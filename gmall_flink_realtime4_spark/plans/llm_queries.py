@@ -1,0 +1,423 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis.
+
+Beyond-reference extensions (BASELINE.json north star) designed for 100 TB
+scale, over the driver's ``documents`` / ``embeddings`` tables. Determinism:
+hashing uses md5 (identical hex in Spark and DuckDB); similarity scores are
+computed decimal-exact then scaled to BIGINT, so hash-matching an oracle is
+exact. The non-SQL-expressible variants (MinHash-LSH, SimHash) live in
+``llm_queries_weak.py`` with rows-only checks.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .. import tables as T
+from .catalog import query
+
+STOPWORDS = ("the", "a", "of", "to", "and")
+_STOP_SQL = "('the', 'a', 'of', 'to', 'and')"
+
+# embedding components are < 1 in magnitude (normalized-ish vectors). Cast
+# float -> DOUBLE first (Spark's float->decimal goes through the FLOAT's
+# shortest decimal repr; DuckDB uses the exact binary value — double-first
+# makes both engines see the same value), then DECIMAL(9,7): products stay
+# within (19,14), 64-element sums within (38,14) and the scaled integer sum
+# stays under 2^53 so decimal->double is one exactly-rounded step. Exact,
+# order-independent arithmetic on both engines.
+VEC_DEC = "decimal(9,7)"
+VEC_ACC = "decimal(38,14)"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup — hash-groupBy. Scale path: this is a single shuffle on the
+# content hash; at 100 TB, partial aggregation map-side combines first.
+# ---------------------------------------------------------------------------
+@query(
+    "llm_dedup_exact",
+    oracle="""
+SELECT md5(lower(text))   AS content_hash,
+       MIN(doc_id)        AS keeper_doc_id,
+       COUNT(*)           AS dup_count
+FROM documents
+GROUP BY 1
+""",
+    tags=("llm-dedup",),
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup via hash-groupBy; keeper = min doc_id."""
+    d = T.load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.lower("text")).alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup — shingle -> inverted-index join -> pair scores.
+# Scale path: the shingle join IS the LSH-free candidate generator; skewed
+# (stop-)shingles are the hazard — the distinct-per-doc step bounds
+# contribution, AQE skew-join handles the rest.
+# ---------------------------------------------------------------------------
+@query(
+    "llm_dedup_ngram_jaccard",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
+), sh AS (
+    SELECT DISTINCT doc_id,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM idx
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_ct
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter_ct,
+       sa.n_sh + sb.n_sh - i.inter_ct                    AS union_ct,
+       (1000 * i.inter_ct) // (sa.n_sh + sb.n_sh - i.inter_ct) AS jaccard_permille
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+""",
+    tags=("llm-dedup",),
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram (word-shingle) Jaccard similarity pairs.
+
+    shingle -> explode -> self-equi-join on shingle (candidate pairs share at
+    least one shingle; no cross join) -> intersection counts -> Jaccard in
+    exact integer per-mille. At scale this is the classic inverted-index
+    candidate join; common-shingle skew is bounded by per-doc distinct.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.greatest(F.size("t") - 3, F.lit(0))),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(F.col("t"), i + 1),
+                            F.element_at(F.col("t"), i + 2),
+                            F.element_at(F.col("t"), i + 3),
+                        ),
+                    )
+                )
+            ).alias("shingle"),
+        )
+        # mirror the oracle's range(1, len-1): drop the tail shingles that
+        # would index past the end (concat_ws skips nulls -> short shingles)
+        .filter(F.size(F.split("shingle", " ")) == 3)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter_ct"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_ct",
+            (F.col("na") + F.col("nb") - F.col("inter_ct")).alias("union_ct"),
+            F.expr("(1000 * inter_ct) div (na + nb - inter_ct)").alias(
+                "jaccard_permille"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k ANN — the exact baseline the IVF/LSH variants are
+# judged against. Decimal-exact dot products; score scaled to BIGINT.
+# ---------------------------------------------------------------------------
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: x.cast("double").cast(VEC_DEC)
+            * y.cast("double").cast(VEC_DEC),
+        ),
+        F.lit(0).cast(VEC_ACC),
+        lambda acc, x: (acc + x).cast(VEC_ACC),
+    )
+
+
+@query(
+    "llm_ann_cosine_topk",
+    oracle="""
+WITH ix AS (
+    SELECT unnest(range(1, 65)) AS i
+), norms AS (
+    SELECT vec_id,
+           SUM(CAST(CAST(embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7))
+               * CAST(CAST(embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7))) AS n2
+    FROM embeddings, ix
+    GROUP BY 1
+), pairs AS (
+    SELECT q.vec_id AS query_vec_id, b.vec_id AS neighbor_vec_id,
+           SUM(CAST(CAST(q.embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7))
+               * CAST(CAST(b.embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7))) AS dot
+    FROM embeddings q, embeddings b, ix
+    WHERE q.vec_id < 8 AND b.vec_id <> q.vec_id
+    GROUP BY 1, 2
+), scored AS (
+    SELECT p.query_vec_id, p.neighbor_vec_id,
+           CAST(floor(1000000000.0 * CAST(p.dot AS DOUBLE)
+                / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+                AS BIGINT) AS cos_sim_e9
+    FROM pairs p
+    JOIN norms nq ON p.query_vec_id = nq.vec_id
+    JOIN norms nb ON p.neighbor_vec_id = nb.vec_id
+)
+SELECT query_vec_id, neighbor_vec_id, rank, cos_sim_e9
+FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_vec_id
+        ORDER BY cos_sim_e9 DESC, neighbor_vec_id) AS BIGINT) AS rank
+    FROM scored
+)
+WHERE rank <= 5
+""",
+    tags=("llm-similarity",),
+)
+def llm_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column.
+
+    Query set = vec_id < 8; base = all vectors. Dot products fold the
+    ``array<float>`` JVM-side (zip_with + aggregate, no Python) in exact
+    decimal; cosine is scaled to an integer (1e9) so ranking and hashing are
+    deterministic. Scale path: broadcast the query set (small side),
+    brute-force scan the base — the LSH-bucketed variant reuses this scorer
+    within buckets.
+    """
+    emb = T.load(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", _dot(F.col("embedding"), F.col("embedding")).alias("n2")
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_vec_id"))
+        .select(
+            "query_vec_id",
+            F.col("vec_id").alias("neighbor_vec_id"),
+            _dot(F.col("qe"), F.col("embedding")).alias("dot"),
+        )
+    )
+    nq = norms.select(
+        F.col("vec_id").alias("query_vec_id"), F.col("n2").alias("qn2")
+    )
+    nb = norms.select(
+        F.col("vec_id").alias("neighbor_vec_id"), F.col("n2").alias("bn2")
+    )
+    scored = (
+        pairs.join(F.broadcast(nq), "query_vec_id")
+        .join(nb, "neighbor_vec_id")
+        .select(
+            "query_vec_id",
+            "neighbor_vec_id",
+            F.floor(
+                F.lit(1000000000.0)
+                * F.col("dot").cast("double")
+                / F.sqrt(F.col("qn2").cast("double") * F.col("bn2").cast("double"))
+            )
+            .cast("bigint")
+            .alias("cos_sim_e9"),
+        )
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.col("cos_sim_e9").desc(), F.col("neighbor_vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("query_vec_id", "neighbor_vec_id", "rank", "cos_sim_e9")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis — token counting, quality scoring, language ID, fingerprint.
+# All built-in JVM-side expressions (no Python UDFs in the hot path).
+# ---------------------------------------------------------------------------
+@query(
+    "llm_text_token_count",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' '))                  AS ws_token_count,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_count,
+       length(text)                                  AS char_count
+FROM documents
+""",
+    tags=("llm-text",),
+)
+def llm_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count."""
+    d = T.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_token_count"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).alias(
+            "bpe_ish_count"
+        ),
+        F.length("text").alias("char_count"),
+    )
+
+
+@query(
+    "llm_text_quality_score",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks)                                                AS n_tokens,
+       (1000 * length(replace(text, ' ', ''))) // greatest(len(toks), 1)
+                                                                AS mean_token_len_permille,
+       (1000 * len(list_filter(toks, x -> x IN {_STOP_SQL})))
+           // greatest(len(toks), 1)                            AS stopword_permille,
+       (1000 * len(list_distinct(toks))) // greatest(len(toks), 1)
+                                                                AS distinct_token_permille
+FROM t
+""",
+    tags=("llm-text",),
+)
+def llm_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token stats + stopword and distinctness ratios.
+
+    Ratios are exact integer per-mille (floor division) so they hash-match;
+    no floating point anywhere. All expressions stay in whole-stage codegen.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("n_tokens"),
+        F.expr(
+            "(1000 * length(replace(text, ' ', ''))) div greatest(size(split(text, ' ')), 1)"
+        ).alias("mean_token_len_permille"),
+        F.expr(
+            "(1000 * size(filter(split(text, ' '), x -> x IN ('the','a','of','to','and'))))"
+            " div greatest(size(split(text, ' ')), 1)"
+        ).alias("stopword_permille"),
+        F.expr(
+            "(1000 * size(array_distinct(split(text, ' '))))"
+            " div greatest(size(split(text, ' ')), 1)"
+        ).alias("distinct_token_permille"),
+    )
+
+
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+    "de": ("der", "und", "das"),
+}
+
+
+def _hits_sql(langtoks: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{t}'" for t in langtoks)
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({inlist})))"
+
+
+@query(
+    "llm_text_langid",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id, lang AS labeled_lang,
+           {_hits_sql(LANG_STOPWORDS['en'])} AS en_hits,
+           {_hits_sql(LANG_STOPWORDS['fr'])} AS fr_hits,
+           {_hits_sql(LANG_STOPWORDS['es'])} AS es_hits,
+           {_hits_sql(LANG_STOPWORDS['de'])} AS de_hits
+    FROM documents
+)
+SELECT doc_id, labeled_lang, en_hits, fr_hits, es_hits, de_hits,
+       CASE WHEN en_hits + fr_hits + es_hits + de_hits = 0 THEN 'und'
+            WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+            WHEN fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+            WHEN es_hits >= de_hits THEN 'es'
+            ELSE 'de' END AS predicted_lang
+FROM h
+""",
+    tags=("llm-text",),
+)
+def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-hit heuristic (deterministic n-gram-free).
+
+    Ties resolve in fixed priority en > fr > es > de; zero hits -> 'und'.
+    """
+    d = T.load(spark, sf_dir, "documents")
+
+    def hits(langtoks: tuple[str, ...]):
+        return F.size(F.filter(F.split("text", " "), lambda x: x.isin(*langtoks)))
+
+    h = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits(LANG_STOPWORDS["en"]).alias("en_hits"),
+        hits(LANG_STOPWORDS["fr"]).alias("fr_hits"),
+        hits(LANG_STOPWORDS["es"]).alias("es_hits"),
+        hits(LANG_STOPWORDS["de"]).alias("de_hits"),
+    )
+    total = F.col("en_hits") + F.col("fr_hits") + F.col("es_hits") + F.col("de_hits")
+    return h.withColumn(
+        "predicted_lang",
+        F.when(total == 0, "und")
+        .when(
+            (F.col("en_hits") >= F.col("fr_hits"))
+            & (F.col("en_hits") >= F.col("es_hits"))
+            & (F.col("en_hits") >= F.col("de_hits")),
+            "en",
+        )
+        .when(
+            (F.col("fr_hits") >= F.col("es_hits"))
+            & (F.col("fr_hits") >= F.col("de_hits")),
+            "fr",
+        )
+        .when(F.col("es_hits") >= F.col("de_hits"), "es")
+        .otherwise("de"),
+    )
+
+
+@query(
+    "llm_text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+    tags=("llm-text",),
+)
+def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    d = T.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
+        ).alias("fingerprint"),
+    )

@@ -1,0 +1,80 @@
+"""SparkSession factory and runtime conf normalization.
+
+The reference builds a ``StreamExecutionEnvironment`` per app
+(``realtime-common/.../base/BaseAPP.java:20-66``); here one SparkSession
+serves every pipeline. Confs are split into:
+
+- BUILD_CONFS: set at builder time when *we* own the session (tests, bench).
+- RUNTIME_CONFS: safe to set on an externally-created session (the driver's
+  verify harness builds its own SparkSession and passes it in) — session
+  timezone, parquet nanos handling, AQE/shuffle sizing.
+
+Determinism notes (for the DuckDB oracle gate):
+- session timezone is pinned to UTC so TIMESTAMP / date_format results are
+  byte-identical to DuckDB's naive-timestamp view of the same parquet;
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` because the driver testdata's
+  ``events.parquet`` carries TIMESTAMP(NANOS) which Spark 4 otherwise rejects
+  (tables.events_table converts nanos -> TIMESTAMP_NTZ micros, matching
+  DuckDB's nanos->micros truncation).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are legal to set on a live session (checked: all runtime-settable
+# on Spark 4.1).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # dims (part/supplier/nation/region/config tables) are small: keep the
+    # broadcast threshold generous so every dim-enrichment join broadcasts
+    # (replaces the reference's Redis/HBase cache-aside + async I/O,
+    # DimAsyncFunction.java:39-82).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+BUILD_CONFS: dict[str, str] = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.ui.enabled": "false",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Normalize an externally-created session (driver harness) in place."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # non-settable on this build: keep going, individual queries
+            # fall back to tz-independent expressions where possible.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "gmall_flink_realtime4_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` outside a cluster.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    for k, v in {**BUILD_CONFS, **RUNTIME_CONFS}.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)

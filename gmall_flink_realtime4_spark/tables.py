@@ -1,0 +1,129 @@
+"""Driver-testdata loaders and reference-domain adapters.
+
+The driver supplies TPC-H-ish parquet at ``/root/testdata/sf*/`` (TESTDATA.md):
+``region nation customer supplier part orders lineitem events documents
+embeddings``. The reference warehouse's domain (gmall OLTP CDC + behavior
+logs) is mapped onto these tables so every reference pipeline has a
+batch-testable twin over driver data (FIXTURES.md §6.4 mapping):
+
+  order_info            <- orders       (id, user_id, order_status, ...)
+  order_detail          <- lineitem     (id, order_id, sku_id, amounts, ...)
+  user_info             <- customer
+  sku dim chain         <- part -> brand/type  (sku->spu->tm->category chain)
+  province dim chain    <- supplier -> nation -> region
+  topic_log / page log  <- events       (mid=user_id, page_id=event_type)
+  documents/embeddings  <- LLM-pipeline extension tables
+
+Decimal policy: money columns are cast DOUBLE -> DECIMAL(18,2) *inside*
+aggregations so sums are exact and order-independent (double sums are
+order-dependent and cannot hash-match an oracle); final outputs are cast
+back to DOUBLE on BOTH engines — scale 2/4 keeps the scaled integer sum
+under 2^53, so the decimal->double conversion is a single exactly-rounded
+step in both Spark and DuckDB (bit-identical float64 out). Row-wise
+arithmetic stays in plain DOUBLE (IEEE ops with identical expression trees
+are deterministic across engines).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import apply_runtime_confs
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# money / measure scale used everywhere (see module docstring)
+MONEY = "decimal(18,2)"
+AGG = "decimal(38,6)"  # internal only; final outputs cast to double
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table; normalizes events.ts nanos -> TIMESTAMP_NTZ."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long (see session.RUNTIME_CONFS); truncate
+        # to micros exactly like DuckDB reads the same file.
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLE_NAMES}
+
+
+# ---------------------------------------------------------------------------
+# Reference-domain adapters (Spark side). Oracle-side twins live in
+# plans/oracle_views.py as SQL CTE text.
+# ---------------------------------------------------------------------------
+
+
+def order_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> order_info. Status mapping documents the TPC-H role of the
+    reference lifecycle codes (1001 created / 1002 paid / 1003 cancelled,
+    FIXTURES.md §1): O->1001, P->1002, F->1003."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("user_id"),
+        F.when(F.col("o_orderstatus") == "O", "1001")
+        .when(F.col("o_orderstatus") == "P", "1002")
+        .otherwise("1003")
+        .alias("order_status"),
+        F.col("o_orderdate").alias("create_time"),
+        F.col("o_totalprice").cast(MONEY).alias("total_amount"),
+        F.col("o_orderpriority").alias("order_priority"),
+    )
+
+
+def order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> order_detail (dwd_trade_order_detail shape,
+    DwdTradeOrderDetail.java:96-113). id is synthesized unique:
+    l_orderkey*8 + l_linenumber (linenumber <= 7 in TPC-H)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("sku_id"),
+        F.col("l_suppkey").alias("supplier_id"),
+        F.col("l_quantity").cast(MONEY).alias("sku_num"),
+        F.col("l_extendedprice").cast(MONEY).alias("order_price"),
+        F.col("l_discount").cast(MONEY).alias("discount"),
+        F.col("l_tax").cast(MONEY).alias("tax"),
+        F.col("l_returnflag").alias("return_flag"),
+        F.col("l_linestatus").alias("line_status"),
+        F.col("l_shipdate").alias("create_time"),
+    )
+
+
+def events_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> behavior-log role (topic_log, DwdBaseLog.java:39-154):
+    mid=user_id, page_id=event_type, during_time=value."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id"),
+        F.col("ts"),
+        F.col("user_id").alias("mid"),
+        F.col("user_id").alias("uid"),
+        F.col("event_type").alias("page_id"),
+        F.col("value").alias("during_time"),
+        F.col("props"),
+    )
