@@ -1,0 +1,120 @@
+"""Genuinely stateful operators (SURVEY.md §2.9 W10, §2.5 A8 derived flags).
+
+The few places DataFrame expressions can't express the reference's keyed
+state machines. Each operator ships two twins:
+
+- batch: window functions over the full history (deterministic, oracle-able)
+- streaming: ``applyInPandasWithState`` keyed state (Arrow-batched; the
+  Spark-4 path for Flink's ValueState + TTL, W4)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def repair_is_new_batch(
+    df: DataFrame,
+    mid_col: str = "mid",
+    is_new_col: str = "is_new",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """W10 — visitor-state-machine repair of the is_new flag (batch twin).
+
+    Reference: DwdBaseLog.java:72-108 — keyed ValueState firstVisitDate:
+    * is_new='1' & no state            -> keep 1, state := today
+    * is_new='1' & state == today      -> keep 1
+    * is_new='1' & state earlier day   -> rewrite to 0
+    * is_new='0' & no state            -> backfill state := yesterday
+      (visitor is old; any later same-day is_new='1' still rewrites to 0)
+
+    Net batch semantics: a record keeps is_new='1' iff its mid's FIRST
+    record (by ts) had is_new='1' and this record falls on that first day.
+    """
+    w = Window.partitionBy(mid_col).orderBy(ts_col)
+    # log ts is epoch millis (DwdBaseLog reads topic_log; FIXTURES.md §2);
+    # accept either a raw BIGINT-millis or an already-typed timestamp column
+    is_long = dict(df.dtypes).get(ts_col) == "bigint"
+    day_src = (
+        F.timestamp_millis(F.col(ts_col)) if is_long else F.col(ts_col)
+    )
+    day = F.date_format(day_src, "yyyy-MM-dd")
+    with_first = df.withColumn("__first_day", F.first(day).over(w)).withColumn(
+        "__first_new", F.first(F.col(is_new_col)).over(w)
+    )
+    repaired = F.when(
+        (F.col(is_new_col) == "1")
+        & (F.col("__first_new") == "1")
+        & (day == F.col("__first_day")),
+        "1",
+    ).otherwise("0")
+    return with_first.withColumn(is_new_col, repaired).drop(
+        "__first_day", "__first_new"
+    )
+
+
+def repair_is_new_streaming(
+    df: DataFrame,
+    mid_col: str = "mid",
+    is_new_col: str = "is_new",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """W10 streaming twin — keyed state via applyInPandasWithState.
+
+    State = (first_date, first_is_new) per mid, exactly the reference's
+    ValueState (no TTL in the reference either, DwdBaseLog.java:74-78).
+    Rows are processed in event-time order within each micro-batch; the
+    reference has the same intra-partition-order caveat.
+    """
+    schema = df.schema
+    cols = df.columns
+    mid_i, new_i, ts_i = (
+        cols.index(mid_col),
+        cols.index(is_new_col),
+        cols.index(ts_col),
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            first_day, first_new = state.get
+        else:
+            first_day, first_new = None, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(pdf.columns[ts_i]).reset_index(drop=True)
+            days = (
+                pd.to_datetime(pdf.iloc[:, ts_i], unit="ms")
+                if pdf.dtypes.iloc[ts_i].kind in "il"
+                else pd.to_datetime(pdf.iloc[:, ts_i])
+            ).dt.strftime("%Y-%m-%d")
+            out_new = []
+            for j in range(len(pdf)):
+                d, flag = days.iloc[j], pdf.iloc[j, new_i]
+                if first_day is None:
+                    if flag == "1":
+                        first_day, first_new = d, "1"
+                    else:
+                        first_day, first_new = "1970-01-01", "0"
+                out_new.append(
+                    "1" if flag == "1" and first_new == "1" and d == first_day else "0"
+                )
+            pdf.iloc[:, new_i] = out_new
+            yield pdf
+        state.update((first_day, first_new))
+
+    return (
+        df.groupBy(mid_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=schema,
+            stateStructType="first_day STRING, first_new STRING",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,79 @@
+"""DIM layer — config-table-driven dimension router.
+
+Reference: realtime-dim/.../DimApp.java — data plane parses topic_db CDC
+(:64-75), control plane streams table_process_dim config via MySQL CDC
+(:79-139, with HBase DDL side effects), broadcast-connects the two
+(:144-202), prunes columns per config (:206-217) and upserts into HBase
+with Redis invalidation (DimHBaseSinkFunc.java:36-73).
+
+Spark-first: the config is a small DataFrame broadcast-joined per batch
+(foreachBatch re-reads it for dynamism, W5); the sink is a parquet/Delta
+MERGE per dim table (sinks.upsert_parquet); DDL side effects become
+CREATE TABLE IF NOT EXISTS in the catalog. No Redis — broadcast joins
+downstream make the cache layer moot (SURVEY §2.4 J5).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def filter_cdc(cdc: DataFrame, database: str = "gmall") -> DataFrame:
+    """Data-plane validity filter (DimApp.java:64-75): right database,
+    non-null data payload, and drop Maxwell bootstrap-start/complete
+    (the reference's 'bootstarp'(sic) filter keeps bootstrap-insert)."""
+    return cdc.filter(
+        (F.col("database") == database)
+        & F.col("table").isNotNull()
+        & F.col("data").isNotNull()
+        & F.col("type").isin("insert", "update", "delete", "bootstrap-insert")
+    )
+
+
+def route_dims(cdc: DataFrame, config: DataFrame) -> DataFrame:
+    """Broadcast-join CDC rows to their dim config and prune columns.
+
+    Output: one row per routed change with
+    (sink_table, row_key, type, ts, data) where ``data`` keeps only the
+    configured sink_columns (P6 — DimApp.java:206-217; map_filter is the
+    declarative twin of the reference's entrySet().removeIf).
+    """
+    cfg = F.broadcast(
+        config.select(
+            "source_table",
+            "sink_table",
+            F.split("sink_columns", ",").alias("cols"),
+            "sink_row_key",
+        )
+    )
+    joined = filter_cdc(cdc).join(
+        cfg, F.col("table") == F.col("source_table"), "inner"
+    )
+    return joined.select(
+        "sink_table",
+        F.element_at(F.col("data"), F.col("sink_row_key")).alias("row_key"),
+        "type",
+        "ts",
+        F.map_filter(
+            "data", lambda k, _: F.array_contains(F.col("cols"), k)
+        ).alias("data"),
+    )
+
+
+def apply_dim_batch(
+    routed: DataFrame, sink_table: str
+) -> DataFrame:
+    """Materialize one dim table's latest state from routed changes.
+
+    Batch twin of the HBase put/delete semantics (DimHBaseSinkFunc.java:
+    36-73): last change per row_key wins; a trailing delete removes the
+    row. Streaming: sinks.upsert_parquet applies the same MERGE per batch.
+    """
+    from ..operators.dedup import first_per_key
+
+    changes = routed.filter(F.col("sink_table") == sink_table).withColumn(
+        "__neg_ts", -F.col("ts")
+    )
+    latest = first_per_key(changes, ["row_key"], "__neg_ts").drop("__neg_ts")
+    return latest.filter(F.col("type") != "delete").select("row_key", "data")
