@@ -12,4 +12,6 @@ def load_all() -> None:
     from . import dwd_queries  # noqa: F401
     from . import dws_queries  # noqa: F401
     from . import func_queries  # noqa: F401
+    from . import llm_multimodal  # noqa: F401
     from . import llm_queries  # noqa: F401
+    from . import llm_scale_queries  # noqa: F401

@@ -1,0 +1,530 @@
+"""LLM-pipeline scale-path operators: MinHash-LSH, SimHash, sign-LSH ANN, IVF.
+
+These are the sub-quadratic twins of the brute-force ops in
+``llm_queries.py`` — candidate generation through hashing/bucketing so the
+pair space never materializes at 100 TB:
+
+- MinHash+LSH: shingle -> K minhashes -> band buckets -> bucket self-join.
+  Only bucket-colliding pairs get exact Jaccard verification.
+- SimHash: 64-bit per-doc fingerprint from token-hash bit votes.
+- Embedding near-dup: hyperplane-sign bucket prefilter, exact cosine inside.
+- IVF ANN: coarse quantization to centroid cells; queries probe nprobe
+  cells; exact rerank inside probed cells only.
+
+Determinism: every hash is md5 (identical hex both engines); minhash "min"
+is lexicographic min over fixed-width hex (== numeric min); cosine uses the
+decimal-exact dot from llm_queries scaled to BIGINT. All hot-path
+expressions are JVM-side (whole-stage codegen) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from .. import tables as T
+from .catalog import query
+from .llm_queries import VEC_ACC, VEC_DEC, _dot
+
+# MinHash parameters: K hash functions in B bands of R rows (K = B*R).
+MINHASH_K, MINHASH_B, MINHASH_R = 12, 4, 3
+
+_SHINGLE_SQL = """
+toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
+), sh AS (
+    SELECT DISTINCT doc_id,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM idx
+)"""
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """Distinct 3-word shingles per doc (same construction as the
+    ngram-jaccard query so the two ops share one candidate space)."""
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.greatest(F.size("t") - 3, F.lit(0))),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(F.col("t"), i + 1),
+                            F.element_at(F.col("t"), i + 2),
+                            F.element_at(F.col("t"), i + 3),
+                        ),
+                    )
+                )
+            ).alias("shingle"),
+        )
+        .filter(F.size(F.split("shingle", " ")) == 3)
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(MINHASH_K)
+    )
+    bands = "\n    UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, md5({cat}) AS bucket FROM mh".format(
+            j=j,
+            cat=" || ".join(f"h{MINHASH_R * j + k}" for k in range(MINHASH_R)),
+        )
+        for j in range(MINHASH_B)
+    )
+    return f"""
+WITH {_SHINGLE_SQL},
+mh AS (
+    SELECT doc_id,
+           {mins}
+    FROM sh GROUP BY 1
+), bands AS (
+    {bands}
+), cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS inter_ct
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.shared_bands,
+       COALESCE(i.inter_ct, 0) AS inter_ct,
+       (1000 * COALESCE(i.inter_ct, 0))
+           // (sa.n_sh + sb.n_sh - COALESCE(i.inter_ct, 0)) AS jaccard_permille
+FROM cand c
+LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+"""
+
+
+@query("llm_dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("llm-dedup",))
+def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection.
+
+    shingle -> K=12 md5-seeded minhashes -> 4 bands x 3 rows -> band-bucket
+    self-join for candidates -> exact Jaccard ONLY on candidates. Scale
+    path: the bucket join touches O(collisions), never the full pair space;
+    the exact-verify join is driven BY the candidate set (semi-join
+    pattern), so shingle inverted-index cost is bounded by LSH recall.
+    Mirrors the classic Broder MinHash construction; lexicographic min over
+    fixed-width md5 hex == numeric min, identical in Spark and DuckDB.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.md5(
+                            F.concat(
+                                *[F.col(f"h{MINHASH_R * j + k}") for k in range(MINHASH_R)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for j in range(MINHASH_B)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa, sb2 = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb2,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_ct"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_bands",
+            F.coalesce("inter_ct", F.lit(0)).alias("inter_ct"),
+            F.expr(
+                "(1000 * coalesce(inter_ct, 0))"
+                " div (na + nb - coalesce(inter_ct, 0))"
+            ).alias("jaccard_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 64-bit fingerprint from per-bit token votes.
+# ---------------------------------------------------------------------------
+_HEX = "0123456789abcdef"
+
+
+def _simhash_oracle() -> str:
+    pivot = " || ".join(f"MAX(CASE WHEN p = {i} THEN c END)" for i in range(16))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), h AS (
+    SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks
+), pos AS (
+    SELECT doc_id, h, unnest(range(0, 16)) AS p FROM h
+), dig AS (
+    SELECT doc_id, p, strpos('{_HEX}', substr(h, CAST(p AS INT) + 1, 1)) - 1 AS v
+    FROM pos
+), bits AS (
+    SELECT doc_id, p, unnest(range(0, 4)) AS b, v FROM dig
+), sums AS (
+    SELECT doc_id, p, b,
+           SUM(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM bits GROUP BY 1, 2, 3
+), digit AS (
+    SELECT doc_id, p, SUM(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS dv
+    FROM sums GROUP BY 1, 2
+), chars AS (
+    SELECT doc_id, p, substr('{_HEX}', CAST(dv AS INT) + 1, 1) AS c FROM digit
+)
+SELECT doc_id, {pivot} AS simhash64
+FROM chars GROUP BY doc_id
+"""
+
+
+@query("llm_dedup_simhash", oracle=_simhash_oracle(), tags=("llm-dedup",))
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit document fingerprint (Charikar hyperplane rounding).
+
+    Per token: 64-bit md5-prefix hash; per bit position: +1/-1 vote summed
+    over tokens (frequency-weighted); fingerprint bit = sign of vote.
+    Emitted as 16 hex chars. All JVM-side (explode + groupBy partial aggs);
+    at 100 TB the token->bit explosion stays map-side until the single
+    (doc_id) shuffle. Near-dup search then blocks fingerprints on 16-bit
+    bands (hamming<=k within band collisions) — the fingerprint is the
+    shuffle-compressed representation of the whole document.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = toks.select("doc_id", F.substring(F.md5("tok"), 1, 16).alias("h"))
+    pos = h.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p")
+    )
+    dig = pos.select(
+        "doc_id",
+        "p",
+        (F.expr(f"instr('{_HEX}', substring(h, p + 1, 1))") - 1).alias("v"),
+    )
+    bits = dig.select(
+        "doc_id", "p", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"), "v"
+    )
+    sums = bits.groupBy("doc_id", "p", "b").agg(
+        F.sum(
+            F.when(F.expr("(v >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias("s")
+    )
+    digit = sums.groupBy("doc_id", "p").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(F.lit(0))
+        ).alias("dv")
+    )
+    chars = digit.select(
+        "doc_id", "p", F.expr(f"substring('{_HEX}', cast(dv as int) + 1, 1)").alias("c")
+    )
+    return chars.groupBy("doc_id").agg(
+        F.concat(
+            *[F.max(F.when(F.col("p") == i, F.col("c"))) for i in range(16)]
+        ).alias("simhash64")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup — sign-LSH bucket prefilter + exact cosine.
+# ---------------------------------------------------------------------------
+NEARDUP_SIGN_DIMS = 8
+NEARDUP_THRESHOLD_E9 = 300_000_000  # cosine >= 0.30
+
+_NORMS_SQL = """
+ix AS (
+    SELECT unnest(range(1, 65)) AS i
+), norms AS (
+    SELECT vec_id,
+           SUM(CAST(CAST(embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7))
+               * CAST(CAST(embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7))) AS n2
+    FROM embeddings, ix
+    GROUP BY 1
+)"""
+
+
+def _sign_bucket_sql(alias: str = "embedding") -> str:
+    return " || ".join(
+        f"(CASE WHEN {alias}[{i}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(1, NEARDUP_SIGN_DIMS + 1)
+    )
+
+
+def _sign_bucket_col() -> Column:
+    return F.concat(
+        *[
+            F.when(F.element_at("embedding", i) >= 0, "1").otherwise("0")
+            for i in range(1, NEARDUP_SIGN_DIMS + 1)
+        ]
+    )
+
+
+@query(
+    "llm_dedup_embedding_cosine",
+    oracle=f"""
+WITH {_NORMS_SQL},
+bk AS (
+    SELECT vec_id, embedding, {_sign_bucket_sql()} AS bucket FROM embeddings
+), p AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           SUM(CAST(CAST(a.embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7))
+               * CAST(CAST(b.embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7))) AS dot
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id, ix
+    GROUP BY 1, 2
+)
+SELECT vec_a, vec_b,
+       CAST(floor(1000000000.0 * CAST(p.dot AS DOUBLE)
+            / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+            AS BIGINT) AS cos_sim_e9
+FROM p
+JOIN norms na ON p.vec_a = na.vec_id
+JOIN norms nb ON p.vec_b = nb.vec_id
+WHERE CAST(floor(1000000000.0 * CAST(p.dot AS DOUBLE)
+            / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+            AS BIGINT) >= {NEARDUP_THRESHOLD_E9}
+""",
+    tags=("llm-dedup", "llm-similarity"),
+)
+def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: sign-LSH buckets, exact cosine inside.
+
+    Bucket = sign bits of the first 8 dimensions (hyperplane LSH with
+    axis-aligned planes — deterministic, no random state). Pairs only form
+    inside a bucket (2^8 cells), collapsing the O(n^2) pair space; cosine
+    is then exact (decimal dot, scaled BIGINT). At 100 TB: bucket is the
+    shuffle key, so each cell's pairs form within one partition;
+    per-cell skew is capped by the uniform sign-bit split; more planes =>
+    smaller cells => higher precision/lower recall, the standard trade.
+    """
+    emb = T.load(spark, sf_dir, "embeddings")
+    norms = emb.select("vec_id", _dot(F.col("embedding"), F.col("embedding")).alias("n2"))
+    bk = emb.select("vec_id", "embedding", _sign_bucket_col().alias("bucket"))
+    a, b = bk.alias("a"), bk.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        _dot(F.col("a.embedding"), F.col("b.embedding")).alias("dot"),
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("n2").alias("nb2"))
+    scored = (
+        pairs.join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(
+                F.lit(1000000000.0)
+                * F.col("dot").cast("double")
+                / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double"))
+            )
+            .cast("bigint")
+            .alias("cos_sim_e9"),
+        )
+    )
+    return scored.filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — coarse quantization + nprobe cell search + exact rerank.
+# ---------------------------------------------------------------------------
+IVF_N_CENTROIDS = 16
+IVF_NPROBE = 2
+IVF_TOPK = 5
+ANN_N_QUERIES = 8
+
+_PAIR_DOT = (
+    "SUM(CAST(CAST({l}.embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7))"
+    " * CAST(CAST({r}.embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7)))"
+)
+
+
+def _ivf_oracle() -> str:
+    return f"""
+WITH {_NORMS_SQL},
+bc AS (
+    SELECT b.vec_id, c.vec_id AS cid, {_PAIR_DOT.format(l="b", r="c")} AS dot
+    FROM embeddings b, embeddings c, ix
+    WHERE c.vec_id < {IVF_N_CENTROIDS}
+    GROUP BY 1, 2
+), bscore AS (
+    SELECT bc.vec_id, bc.cid,
+           CAST(floor(1000000000.0 * CAST(bc.dot AS DOUBLE)
+                / sqrt(CAST(nb.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)))
+                AS BIGINT) AS ce9
+    FROM bc
+    JOIN norms nb ON bc.vec_id = nb.vec_id
+    JOIN norms nc ON bc.cid = nc.vec_id
+), assign AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY ce9 DESC, cid) AS rn
+        FROM bscore
+    ) WHERE rn = 1
+), probes AS (
+    SELECT vec_id AS query_vec_id, cid AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY ce9 DESC, cid) AS rn
+        FROM bscore WHERE vec_id < {ANN_N_QUERIES}
+    ) WHERE rn <= {IVF_NPROBE}
+), cand AS (
+    SELECT p.query_vec_id, a.vec_id AS neighbor_vec_id
+    FROM probes p JOIN assign a ON p.cell = a.cell
+    WHERE a.vec_id <> p.query_vec_id
+), qd AS (
+    SELECT c.query_vec_id, c.neighbor_vec_id,
+           {_PAIR_DOT.format(l="q", r="n")} AS dot
+    FROM cand c
+    JOIN embeddings q ON q.vec_id = c.query_vec_id
+    JOIN embeddings n ON n.vec_id = c.neighbor_vec_id, ix
+    GROUP BY 1, 2
+), scored AS (
+    SELECT qd.query_vec_id, qd.neighbor_vec_id,
+           CAST(floor(1000000000.0 * CAST(qd.dot AS DOUBLE)
+                / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nn.n2 AS DOUBLE)))
+                AS BIGINT) AS cos_sim_e9
+    FROM qd
+    JOIN norms nq ON qd.query_vec_id = nq.vec_id
+    JOIN norms nn ON qd.neighbor_vec_id = nn.vec_id
+)
+SELECT query_vec_id, neighbor_vec_id, rank, cos_sim_e9 FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_vec_id
+        ORDER BY cos_sim_e9 DESC, neighbor_vec_id) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= {IVF_TOPK}
+"""
+
+
+def _cos_e9(dot: Column, n2a: Column, n2b: Column) -> Column:
+    return (
+        F.floor(
+            F.lit(1000000000.0)
+            * dot.cast("double")
+            / F.sqrt(n2a.cast("double") * n2b.cast("double"))
+        ).cast("bigint")
+    )
+
+
+@query("llm_ann_ivf", oracle=_ivf_oracle(), tags=("llm-similarity",))
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbor.
+
+    Train-free coarse quantizer: the first 16 vectors are the centroids
+    (deterministic); every base vector is assigned to its nearest centroid
+    cell (argmax cosine, id tie-break); each query probes its nprobe=2
+    nearest cells and reranks exactly inside them. Compare with
+    llm_ann_cosine_topk (the brute-force twin) for recall.
+
+    Scale path: centroids broadcast to assignment (N x K dots, map-only);
+    the cell id becomes the co-partition key so probe->candidate matching
+    is one shuffle on a low-cardinality key; exact rerank touches only
+    nprobe/K of the base — the IVF contract.
+    """
+    emb = T.load(spark, sf_dir, "embeddings")
+    norms = emb.select("vec_id", _dot(F.col("embedding"), F.col("embedding")).alias("n2"))
+    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    ncent = norms.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("n2").alias("cn2")
+    )
+    bscore = (
+        emb.crossJoin(F.broadcast(cent))
+        .join(norms, "vec_id")
+        .join(F.broadcast(ncent), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            _cos_e9(_dot(F.col("embedding"), F.col("ce")), F.col("n2"), F.col("cn2")).alias(
+                "ce9"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ce9").desc(), F.col("cid"))
+    ranked = bscore.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", F.col("cid").alias("cell"))
+    probes = (
+        ranked.filter((F.col("vec_id") < ANN_N_QUERIES) & (F.col("rn") <= IVF_NPROBE))
+        .select(F.col("vec_id").alias("query_vec_id"), F.col("cid").alias("cell"))
+    )
+    cand = probes.join(assign, "cell").filter(
+        F.col("vec_id") != F.col("query_vec_id")
+    ).select("query_vec_id", F.col("vec_id").alias("neighbor_vec_id"))
+    qe = emb.select(F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qe"))
+    ne = emb.select(F.col("vec_id").alias("neighbor_vec_id"), F.col("embedding").alias("ne"))
+    nq = norms.select(F.col("vec_id").alias("query_vec_id"), F.col("n2").alias("qn2"))
+    nn = norms.select(F.col("vec_id").alias("neighbor_vec_id"), F.col("n2").alias("nn2"))
+    scored = (
+        cand.join(F.broadcast(qe), "query_vec_id")
+        .join(ne, "neighbor_vec_id")
+        .join(F.broadcast(nq), "query_vec_id")
+        .join(nn, "neighbor_vec_id")
+        .select(
+            "query_vec_id",
+            "neighbor_vec_id",
+            _cos_e9(_dot(F.col("qe"), F.col("ne")), F.col("qn2"), F.col("nn2")).alias(
+                "cos_sim_e9"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_vec_id").orderBy(
+        F.col("cos_sim_e9").desc(), F.col("neighbor_vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("query_vec_id", "neighbor_vec_id", "rank", "cos_sim_e9")
+    )
