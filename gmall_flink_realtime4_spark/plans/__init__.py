@@ -13,5 +13,6 @@ def load_all() -> None:
     from . import dws_queries  # noqa: F401
     from . import func_queries  # noqa: F401
     from . import llm_multimodal  # noqa: F401
+    from . import log_queries  # noqa: F401
     from . import llm_queries  # noqa: F401
     from . import llm_scale_queries  # noqa: F401

@@ -1,0 +1,429 @@
+"""DwdBaseLog + DimApp queries: JSON log parse/split/repair + dim routing.
+
+The behavior-log pipeline (reference: realtime-dwd/.../DwdBaseLog.java) runs
+here end-to-end over driver data: events rows are serialized into the
+reference's nested log-JSON shape (common/page/start/displays/actions/err),
+then the REAL pipeline runs — from_json with the LOG_EVENT schema (P1),
+is_new state-machine repair (W10), 5-way side-output split (W6) with
+displays/actions denormalized (F-arr). The oracle skips the JSON round-trip
+(it is deterministic construction) and asserts the end-to-end semantics
+directly over events.
+
+Log synthesis mapping (FIXTURES-style):
+  mid/uid = user_id, sid = event_id, vc = 'v'||user_id%3, ch = 'app',
+  ar = user_id%7, is_new = '1' iff event_type='signup',
+  page_id = event_type, item = props.k, during_time = floor(value*100),
+  signup -> start{entry}, error -> err{error_code},
+  view -> displays[2], click -> actions[1] (action ts = ts+500ms).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import tables as T
+from ..pipelines import dwd_base_log
+from ..pipelines.dim_app import apply_dim_batch, route_dims
+from .catalog import query
+
+# ---------------------------------------------------------------------------
+# Shared log-JSON builder (Spark side) and repair CTE (oracle side)
+# ---------------------------------------------------------------------------
+
+
+def raw_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> one JSON string per row in the reference topic_log shape."""
+    e = T.load(spark, sf_dir, "events")
+    ts_ms = F.expr("unix_millis(cast(ts as timestamp))")
+    k = F.get_json_object("props", "$.k")
+    common = F.struct(
+        F.col("user_id").cast("string").alias("mid"),
+        F.col("user_id").cast("string").alias("uid"),
+        F.concat(F.lit("v"), (F.col("user_id") % 3).cast("string")).alias("vc"),
+        F.lit("app").alias("ch"),
+        (F.col("user_id") % 7).cast("string").alias("ar"),
+        F.when(F.col("event_type") == "signup", "1").otherwise("0").alias("is_new"),
+        F.col("event_id").cast("string").alias("sid"),
+    )
+    page = F.when(
+        F.col("event_type") != "signup",
+        F.struct(
+            F.col("event_type").alias("page_id"),
+            F.lit(None).cast("string").alias("last_page_id"),
+            k.alias("item"),
+            F.lit("sku_id").alias("item_type"),
+            F.floor(F.col("value") * 100).cast("long").alias("during_time"),
+        ),
+    )
+    start = F.when(
+        F.col("event_type") == "signup", F.struct(F.lit("icon").alias("entry"))
+    )
+    displays = F.when(
+        F.col("event_type") == "view",
+        F.array(
+            *[
+                F.struct(
+                    k.alias("item"),
+                    F.lit("sku_id").alias("item_type"),
+                    F.lit(str(i)).alias("pos_id"),
+                )
+                for i in (1, 2)
+            ]
+        ),
+    )
+    actions = F.when(
+        F.col("event_type") == "click",
+        F.array(
+            F.struct(
+                F.lit("cart_add").alias("action_id"),
+                k.alias("item"),
+                F.lit("sku_id").alias("item_type"),
+                (ts_ms + 500).alias("ts"),
+            )
+        ),
+    )
+    err = F.when(
+        F.col("event_type") == "error", F.struct(k.alias("error_code"))
+    )
+    return e.select(
+        F.to_json(
+            F.struct(
+                common.alias("common"),
+                page.alias("page"),
+                start.alias("start"),
+                displays.alias("displays"),
+                actions.alias("actions"),
+                err.alias("err"),
+                ts_ms.alias("ts"),
+            )
+        ).alias("value")
+    )
+
+
+def _split(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return dwd_base_log.transform(raw_log(spark, sf_dir))
+
+
+_COMMON_COLS = """
+       CAST(user_id AS VARCHAR)                      AS mid,
+       CAST(user_id AS VARCHAR)                      AS uid,
+       'v' || CAST(user_id % 3 AS VARCHAR)           AS vc,
+       'app'                                         AS ch,
+       CAST(user_id % 7 AS VARCHAR)                  AS ar,
+       {is_new}                                      AS is_new,
+       CAST(event_id AS VARCHAR)                     AS sid"""
+
+# is_new repair (W10): keep '1' iff the mid's FIRST record (ts order) was
+# is_new='1' AND this record falls on that first day.
+_REPAIR_CTE = """
+e AS (
+    SELECT event_id, user_id, event_type, value,
+           json_extract_string(props, '$.k') AS k,
+           epoch_ms(ts)                      AS ts_ms,
+           strftime(ts, '%Y-%m-%d')          AS day,
+           CASE WHEN event_type = 'signup' THEN '1' ELSE '0' END AS is_new_in
+    FROM events
+), f AS (
+    SELECT *,
+           first_value(is_new_in) OVER w AS first_new,
+           first_value(day)       OVER w AS first_day
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+)"""
+
+_REPAIRED = (
+    "CASE WHEN is_new_in = '1' AND first_new = '1' AND day = first_day"
+    " THEN '1' ELSE '0' END"
+)
+
+
+@query(
+    "dwd_base_log_page",
+    oracle=f"""
+WITH {_REPAIR_CTE}
+SELECT {_COMMON_COLS.format(is_new=_REPAIRED)},
+       event_type                         AS page_id,
+       CAST(NULL AS VARCHAR)              AS last_page_id,
+       k                                  AS item,
+       'sku_id'                           AS item_type,
+       CAST(floor(value * 100) AS BIGINT) AS during_time,
+       ts_ms                              AS ts
+FROM f WHERE event_type <> 'signup'
+""",
+    tags=("P1", "W6", "W10", "F-json1"),
+)
+def dwd_base_log_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page side-output: parse -> is_new repair -> split, flattened.
+
+    Reference: DwdBaseLog.java:110-161 page path (the main output); the
+    repair (:72-108) runs BEFORE the split over all rows. Error rows stay
+    in the page output (the reference strips the err FIELD to the side
+    output and keeps routing the row), so page = everything non-start.
+    """
+    page = _split(spark, sf_dir)["page"]
+    return page.select("common.*", "page.*", "ts")
+
+
+@query(
+    "dwd_base_log_start",
+    oracle=f"""
+WITH {_REPAIR_CTE}
+SELECT {_COMMON_COLS.format(is_new=_REPAIRED)},
+       'icon' AS entry,
+       ts_ms  AS ts
+FROM f WHERE event_type = 'signup'
+""",
+    tags=("W6", "W10"),
+)
+def dwd_base_log_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Start side-output — the rows where is_new repair actually bites:
+    a signup on the mid's first day keeps is_new='1', later ones flip to
+    '0' (DwdBaseLog.java:84-99)."""
+    start = _split(spark, sf_dir)["start"]
+    return start.select("common.*", "start.*", "ts")
+
+
+@query(
+    "dwd_base_log_err",
+    oracle=f"""
+WITH {_REPAIR_CTE}
+SELECT {_COMMON_COLS.format(is_new="'0'")},
+       event_type                         AS page_id,
+       CAST(NULL AS VARCHAR)              AS last_page_id,
+       k                                  AS item,
+       'sku_id'                           AS item_type,
+       CAST(floor(value * 100) AS BIGINT) AS during_time,
+       k                                  AS error_code,
+       ts_ms                              AS ts
+FROM f WHERE event_type = 'error'
+""",
+    tags=("W6",),
+)
+def dwd_base_log_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Err side-output (err split happens first, DwdBaseLog.java:118-123)."""
+    err = _split(spark, sf_dir)["err"]
+    return err.select("common.*", "page.*", "err.*", "ts")
+
+
+@query(
+    "dwd_base_log_display",
+    oracle=f"""
+WITH {_REPAIR_CTE}
+SELECT {_COMMON_COLS.format(is_new="'0'")},
+       event_type                         AS page_id,
+       k                                  AS item,
+       CAST(floor(value * 100) AS BIGINT) AS during_time,
+       k                                  AS display_item,
+       'sku_id'                           AS display_item_type,
+       pos_id,
+       ts_ms                              AS ts
+FROM f, (VALUES ('1'), ('2')) v(pos_id)
+WHERE event_type = 'view'
+""",
+    tags=("W6", "F-arr"),
+)
+def dwd_base_log_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Display side-output: explode(displays) denormalized with common/page/
+    ts (DwdBaseLog.java:130-141, F-arr)."""
+    disp = _split(spark, sf_dir)["display"]
+    return disp.select(
+        "common.*",
+        F.col("page.page_id").alias("page_id"),
+        F.col("page.item").alias("item"),
+        F.col("page.during_time").alias("during_time"),
+        F.col("display.item").alias("display_item"),
+        F.col("display.item_type").alias("display_item_type"),
+        F.col("display.pos_id").alias("pos_id"),
+        "ts",
+    )
+
+
+@query(
+    "dwd_base_log_action",
+    oracle=f"""
+WITH {_REPAIR_CTE}
+SELECT {_COMMON_COLS.format(is_new="'0'")},
+       event_type    AS page_id,
+       'cart_add'    AS action_id,
+       k             AS action_item,
+       ts_ms + 500   AS action_ts,
+       ts_ms         AS ts
+FROM f WHERE event_type = 'click'
+""",
+    tags=("W6", "F-arr"),
+)
+def dwd_base_log_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Action side-output: explode(actions) with the action's own ts
+    (DwdBaseLog.java:144-152)."""
+    act = _split(spark, sf_dir)["action"]
+    return act.select(
+        "common.*",
+        F.col("page.page_id").alias("page_id"),
+        F.col("action.action_id").alias("action_id"),
+        F.col("action.item").alias("action_item"),
+        F.col("action.ts").alias("action_ts"),
+        "ts",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DimApp — config-driven router + dim materialization (J8/W5/P6/K5/K6)
+# ---------------------------------------------------------------------------
+
+# (source_table, sink_table, sink_columns, sink_row_key); the fourth source
+# table 'activity_rule' is deliberately absent -> routed out (DimApp only
+# forwards configured tables, DimApp.java:168-183).
+DIM_CONFIG = [
+    ("user_info", "dim_user_info", "id,user_id", "id"),
+    ("sku_info", "dim_sku_info", "id,status", "id"),
+    ("base_province", "dim_base_province", "id,date_id", "id"),
+]
+
+
+def _cdc_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> Maxwell-style CDC rows: table cycles by o_orderkey%4 (the
+    4th table is unconfigured), type from o_orderstatus, data payload of
+    string cells (CDC carries everything as strings, SQLUtil.java:36-37)."""
+    o = T.load(spark, sf_dir, "orders")
+    return o.select(
+        F.lit("gmall").alias("database"),
+        F.element_at(
+            F.array(
+                F.lit("user_info"),
+                F.lit("sku_info"),
+                F.lit("base_province"),
+                F.lit("activity_rule"),
+            ),
+            (F.col("o_orderkey") % 4).cast("int") + 1,
+        ).alias("table"),
+        F.when(F.col("o_orderstatus") == "O", "insert")
+        .when(F.col("o_orderstatus") == "P", "update")
+        .otherwise("delete")
+        .alias("type"),
+        F.col("o_orderkey").alias("ts"),
+        F.create_map(
+            F.lit("id"), F.col("o_orderkey").cast("string"),
+            F.lit("user_id"), F.col("o_custkey").cast("string"),
+            F.lit("status"), F.col("o_orderstatus"),
+            F.lit("priority"), F.col("o_orderpriority"),
+            F.lit("date_id"), F.date_format("o_orderdate", "yyyy-MM-dd"),
+        ).alias("data"),
+        F.lit(None).cast("map<string,string>").alias("old"),
+    )
+
+
+_DIM_CDC_CTE = """
+c AS (
+    SELECT o_orderkey AS k, o_custkey AS cust, o_orderstatus AS st,
+           o_orderpriority AS pri, strftime(o_orderdate, '%Y-%m-%d') AS did,
+           CASE CAST(o_orderkey % 4 AS INT)
+                WHEN 0 THEN 'user_info' WHEN 1 THEN 'sku_info'
+                WHEN 2 THEN 'base_province' ELSE 'activity_rule'
+           END AS tbl,
+           CASE st WHEN 'O' THEN 'insert' WHEN 'P' THEN 'update'
+                ELSE 'delete' END AS typ
+    FROM orders
+)"""
+
+
+@query(
+    "dim_app_router",
+    oracle=f"""
+WITH {_DIM_CDC_CTE}
+SELECT CASE tbl WHEN 'user_info' THEN 'dim_user_info'
+                WHEN 'sku_info' THEN 'dim_sku_info'
+                ELSE 'dim_base_province' END          AS sink_table,
+       CAST(k AS VARCHAR)                             AS row_key,
+       typ                                            AS type,
+       k                                              AS ts,
+       CASE tbl WHEN 'user_info' THEN 'id,user_id'
+                WHEN 'sku_info' THEN 'id,status'
+                ELSE 'date_id,id' END                 AS kept_cols,
+       CASE tbl WHEN 'user_info' THEN CAST(k AS VARCHAR) || '|' || CAST(cust AS VARCHAR)
+                WHEN 'sku_info' THEN CAST(k AS VARCHAR) || '|' || st
+                ELSE did || '|' || CAST(k AS VARCHAR) END AS kept_vals
+FROM c WHERE tbl <> 'activity_rule'
+""",
+    tags=("J8", "W5", "P6", "F-map"),
+)
+def dim_app_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIM config router: broadcast config join + map_filter column pruning.
+
+    Reference: DimApp.java:144-217 — broadcast table_process_dim config,
+    route each CDC record, prune the data map to sink_columns (P6). Output
+    proves the pruning by emitting the kept keys (sorted csv) and their
+    values; the unconfigured 'activity_rule' table is dropped (J8 inner
+    join), exactly the reference's processElement null-check.
+    """
+    cdc = _cdc_from_orders(spark, sf_dir)
+    config = spark.createDataFrame(
+        [(s, t, c, rk) for s, t, c, rk in DIM_CONFIG],
+        "source_table string, sink_table string, sink_columns string,"
+        " sink_row_key string",
+    )
+    routed = route_dims(cdc, config)
+    keys = F.array_sort(F.map_keys("data"))
+    return routed.select(
+        "sink_table",
+        "row_key",
+        "type",
+        "ts",
+        F.concat_ws(",", keys).alias("kept_cols"),
+        F.concat_ws(
+            "|", F.transform(keys, lambda key: F.element_at(F.col("data"), key))
+        ).alias("kept_vals"),
+    )
+
+
+@query(
+    "dim_app_materialize",
+    oracle="""
+WITH ch AS (
+    SELECT CAST(l_partkey AS VARCHAR)  AS row_key,
+           l_orderkey * 8 + l_linenumber AS seq,
+           CASE WHEN l_returnflag = 'R' THEN 'delete' ELSE 'upsert' END AS typ,
+           CAST(l_orderkey AS VARCHAR) AS src_order_id,
+           l_linestatus                AS line_status
+    FROM lineitem
+), last AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY row_key ORDER BY seq DESC) AS rn
+        FROM ch
+    ) WHERE rn = 1
+)
+SELECT row_key, src_order_id, line_status
+FROM last WHERE typ <> 'delete'
+""",
+    tags=("K5", "K6", "A1"),
+)
+def dim_app_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-table materialization: last change per row_key wins, trailing
+    delete removes the row.
+
+    Reference: DimHBaseSinkFunc.java:36-73 (HBase put/delete honoring CDC
+    type) + HBaseUtil.java:68-96. Batch twin of the foreachBatch MERGE the
+    streaming sink applies (sinks.upsert_parquet). Change stream: lineitem
+    rows as dim updates keyed by part, seq = synthetic change id, delete on
+    returnflag='R'.
+    """
+    l = T.load(spark, sf_dir, "lineitem")
+    routed = l.select(
+        F.lit("dim_sku").alias("sink_table"),
+        F.col("l_partkey").cast("string").alias("row_key"),
+        F.when(F.col("l_returnflag") == "R", "delete").otherwise("upsert").alias(
+            "type"
+        ),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("ts"),
+        F.create_map(
+            F.lit("src_order_id"), F.col("l_orderkey").cast("string"),
+            F.lit("line_status"), F.col("l_linestatus"),
+        ).alias("data"),
+    )
+    latest = apply_dim_batch(routed, "dim_sku")
+    return latest.select(
+        "row_key",
+        F.element_at("data", "src_order_id").alias("src_order_id"),
+        F.element_at("data", "line_status").alias("line_status"),
+    )
