@@ -1,0 +1,109 @@
+"""Sink factories — the engine's K1-K7 inventory (SURVEY.md §2.2).
+
+Exactly-once posture: every streaming sink pairs a checkpointLocation with
+an idempotent target (parquet/Delta overwrite-merge, or Kafka with
+downstream dedup by key) — the effective equivalent of the reference's
+transactional Kafka producer (FlinkSinkUtil.java:25-36; its checkpointing
+is commented out, BaseAPP.java:33-50, so this engine is strictly stronger).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def kafka_sink(
+    df: DataFrame, topic: str, bootstrap: str, checkpoint: str
+) -> DataStreamWriter:
+    """K1 — fixed-topic Kafka sink; value = JSON of all columns.
+
+    Reference: FlinkSinkUtil.java:25-36 (transactional id prefix + 15 min
+    txn timeout). Spark: checkpointed at-least-once + key-dedup downstream;
+    `to_json(struct(*))` mirrors DorisMapFunction-style snake_case JSON.
+    """
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def routed_kafka_frame(df: DataFrame, topic_col: str = "sink_table") -> DataFrame:
+    """K2 — dynamic-topic routing: per-row ``topic`` column + JSON value.
+
+    Reference: FlinkSinkUtil.java:38-52 routes each record to
+    record["sink_table"], removing that field — here the projection does
+    both in one select (the kafka sink honors a ``topic`` column when no
+    fixed topic option is set). Returned as a DataFrame so tests can assert
+    routing without a broker.
+    """
+    rest = [c for c in df.columns if c != topic_col]
+    return df.select(
+        F.col(topic_col).alias("topic"),
+        F.to_json(F.struct(*rest)).alias("value"),
+    )
+
+
+def upsert_parquet(
+    batch_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    order_col: str,
+    delete_col: str | None = None,
+    delete_value: str = "delete",
+) -> None:
+    """K3/K5 — keyed upsert MERGE into a parquet table (foreachBatch body).
+
+    Reference: upsert-kafka (SQLUtil.java:49-57) and the HBase dim sink's
+    put/delete honoring CDC type (DimHBaseSinkFunc.java:36-73). Semantics:
+    union existing rows + batch, keep the highest ``order_col`` row per
+    key, drop rows whose latest change is a delete. Parquet overwrite is
+    the no-Delta MERGE; swap for `DeltaTable.merge` on clusters with Delta
+    for true ACID.
+    """
+    spark = batch_df.sparkSession
+    try:
+        existing = spark.read.parquet(path)
+        merged = existing.unionByName(batch_df, allowMissingColumns=True)
+    except Exception:
+        merged = batch_df
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if delete_col is not None:
+        latest = latest.filter(F.col(delete_col) != delete_value)
+    # materialize before overwriting the path being read
+    out = latest.cache()
+    out.count()
+    out.write.mode("overwrite").parquet(path)
+    out.unpersist()
+
+
+def table_append_sink(
+    df: DataFrame, path: str, checkpoint: str
+) -> DataStreamWriter:
+    """K4 — analytics-table append (the Doris stream-load twin).
+
+    Reference: FlinkSinkUtil.java:79-101 + SQLUtil.java:59-68 write each
+    DWS bean as snake_case JSON to a Doris table; here each DWS output
+    appends to a columnar table (parquet/Delta) per window fire — columns
+    are already snake_case end-to-end (F-str2 is a nonissue).
+    """
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def console_sink(df: DataFrame) -> DataStreamWriter:
+    """K7 — debugging sink (the reference's .print() probes)."""
+    return df.writeStream.format("console").outputMode("append")

@@ -1,0 +1,274 @@
+"""Batch-vs-stream parity tests (SURVEY.md §5.3).
+
+Structured Streaming's unified semantics make "run the same DataFrame fn in
+batch" the oracle: each test materializes an input, replays it as staged
+micro-batches (one stage = one drain = one-or-more triggers), and asserts
+the streaming result equals the batch plan's — windows (A2-A5), dedup (A8),
+keyed state (W10), stream-stream joins (J1/J3), and the foreachBatch upsert
+sink (K3/K5). Watermark late-row semantics (W1/W3) get a dedicated test.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gmall_flink_realtime4_spark import tables as T
+from gmall_flink_realtime4_spark.operators.dedup import first_today
+from gmall_flink_realtime4_spark.operators.joins import interval_join
+from gmall_flink_realtime4_spark.operators.stateful import (
+    repair_is_new_batch,
+    repair_is_new_streaming,
+)
+from gmall_flink_realtime4_spark.sinks import routed_kafka_frame, upsert_parquet
+from gmall_flink_realtime4_spark.streaming import (
+    run_to_memory,
+    stream_from_dataframe,
+    stream_parquet_source,
+)
+from gmall_flink_realtime4_spark.streaming.runner import (
+    empty_stream_dir,
+    run_foreach_batch,
+    time_slices,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _events(spark):
+    # typed event frame with a proper timestamp column
+    return T.load(spark, SF, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type"
+    )
+
+
+def _stage_writes(src: str, frames) -> list:
+    """One callable per frame: append it to the source dir (a micro-batch)."""
+    return [
+        (lambda df=df: df.coalesce(1).write.mode("append").parquet(src))
+        for df in frames
+    ]
+
+
+def _flush_row(spark):
+    """Far-future row to push the watermark past every real window
+    (append-mode windowed aggs only emit closed windows)."""
+    return spark.createDataFrame(
+        [(999_999, "2025-06-01 00:00:00", 0, "__flush")],
+        "event_id bigint, ts string, user_id bigint, event_type string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type"
+    )
+
+
+def test_tumbling_window_stream_parity(spark, tmp_path):
+    """A3/A5 twin: 1-hour tumbling count by key arriving in 3 in-order
+    micro-batches == batch groupBy(window)."""
+    e = _events(spark)
+    batch = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .select(F.col("w.start").alias("stt"), "event_type", "ct")
+    )
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, e.schema, max_files_per_trigger=1000)
+    streamed = (
+        s.withWatermark("ts", "5 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .select(F.col("w.start").alias("stt"), "event_type", "ct")
+    )
+    stages = _stage_writes(src, time_slices(e, 3, "ts") + [_flush_row(spark)])
+    got = run_to_memory(streamed, output_mode="append", stages=stages)
+    cols = ["stt", "event_type", "ct"]
+    assert _rows(got.filter(F.col("event_type") != "__flush"), cols) == _rows(
+        batch, cols
+    )
+
+
+def test_first_today_dedup_stream_parity(spark, tmp_path):
+    """A8 twin: per-day first-visit dedup; streaming dropDuplicates keeps
+    arrival-order first, so assert the (key, day) universe + count match
+    the batch min-ts keeper."""
+    e = _events(spark)
+    batch = first_today(e, "user_id", "ts")
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, e.schema, max_files_per_trigger=1000)
+    streamed = run_to_memory(
+        first_today(s.withWatermark("ts", "1 day"), "user_id", "ts", streaming=True),
+        output_mode="update",
+        stages=_stage_writes(src, time_slices(e, 3, "ts")),
+    )
+
+    def key(df):
+        return sorted(
+            (r[0], r[1])
+            for r in df.select("user_id", F.date_format("ts", "yyyy-MM-dd")).collect()
+        )
+
+    assert key(streamed) == key(batch)
+    assert streamed.count() == batch.count()
+
+
+def test_is_new_repair_stream_parity_single_batch(spark, tmp_path):
+    """W10 twin: applyInPandasWithState == batch window-fn repair when all
+    rows arrive in one micro-batch (intra-batch ts ordering is handled by
+    the operator)."""
+    log = spark.createDataFrame(
+        [
+            ("m1", "1", 1_000),
+            ("m1", "1", 90_000_000),  # next day, claims new -> repaired 0
+            ("m1", "0", 95_000_000),
+            ("m2", "0", 2_000),  # first seen not-new -> backfill, never 1
+            ("m2", "1", 3_000),
+            ("m3", "1", 5_000),  # same-day repeat new stays 1
+            ("m3", "1", 6_000),
+        ],
+        "mid string, is_new string, ts long",
+    )
+    expect = _rows(repair_is_new_batch(log), ["mid", "is_new", "ts"])
+    _, src = stream_from_dataframe(log, n_files=1, base_dir=str(tmp_path))
+    s = stream_parquet_source(spark, src, log.schema)
+    got = run_to_memory(repair_is_new_streaming(s), output_mode="append")
+    assert _rows(got, ["mid", "is_new", "ts"]) == expect
+
+
+def test_is_new_repair_state_survives_batches(spark, tmp_path):
+    """W10 cross-batch state: the first-day state set in micro-batch 1 must
+    rewrite a day-2 'new' claim arriving in micro-batch 2."""
+    schema = "mid string, is_new string, ts long"
+    day1 = spark.createDataFrame([("m1", "1", 1_000)], schema)
+    day2 = spark.createDataFrame([("m1", "1", 90_000_000)], schema)
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, schema, max_files_per_trigger=1000)
+    got = run_to_memory(
+        repair_is_new_streaming(s),
+        output_mode="append",
+        stages=_stage_writes(src, [day1, day2]),
+    )
+    vals = {r["ts"]: r["is_new"] for r in got.collect()}
+    assert vals == {1_000: "1", 90_000_000: "0"}
+
+
+def test_interval_join_stream_parity(spark, tmp_path):
+    """J3 twin: watermarked stream-stream interval join == batch join.
+    payment within [-15 min, +5 s] of detail (DwdTradeOrderPaySucDetail
+    bounds)."""
+    e = _events(spark)
+    detail = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("d_id"),
+        F.col("user_id").alias("d_uid"),
+        F.col("ts").alias("d_ts"),
+    )
+    pay = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = interval_join(
+        pay, detail, F.col("p_uid") == F.col("d_uid"), "p_ts", "d_ts",
+        "interval 15 minutes", "interval 5 seconds",
+    )
+    dsrc = empty_stream_dir(str(tmp_path))
+    psrc = empty_stream_dir(str(tmp_path))
+    ds = stream_parquet_source(spark, dsrc, detail.schema, 1000).withWatermark(
+        "d_ts", "15 seconds"
+    )
+    ps = stream_parquet_source(spark, psrc, pay.schema, 1000).withWatermark(
+        "p_ts", "15 seconds"
+    )
+    streamed = interval_join(
+        ps, ds, F.col("p_uid") == F.col("d_uid"), "p_ts", "d_ts",
+        "interval 15 minutes", "interval 5 seconds",
+    )
+    # stage both sides together, oldest slice first (kafka-ish arrival)
+    dslices, pslices = time_slices(detail, 2, "d_ts"), time_slices(pay, 2, "p_ts")
+    stages = [
+        w
+        for pair in zip(_stage_writes(dsrc, dslices), _stage_writes(psrc, pslices))
+        for w in pair
+    ]
+    got = run_to_memory(streamed, output_mode="append", stages=stages)
+    cols = ["p_id", "d_id"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_late_rows_dropped_by_watermark(spark, tmp_path):
+    """W1/W3: a row arriving after the watermark passed its window is
+    silently dropped (reference: no allowedLateness anywhere)."""
+    schema = "k string, ts timestamp"
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k string, ts string").select(
+            "k", F.col("ts").cast("timestamp").alias("ts")
+        )
+
+    on_time = frame([("a", "2024-01-01 00:00:01"), ("a", "2024-01-01 02:00:00")])
+    late = frame([("late", "2024-01-01 00:00:02")])
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, schema, max_files_per_trigger=1000)
+    agg = (
+        s.withWatermark("ts", "5 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.collect_set("k").alias("ks"))
+    )
+    got = run_to_memory(
+        agg, output_mode="append", stages=_stage_writes(src, [on_time, late])
+    )
+    emitted = {
+        (r["w"]["start"].isoformat(), tuple(sorted(r["ks"]))) for r in got.collect()
+    }
+    # batch 1's 02:00 row advanced the watermark past the 00:00 window;
+    # the late row must not appear anywhere
+    assert ("2024-01-01T00:00:00", ("a",)) in emitted
+    assert all("late" not in ks for _, ks in emitted)
+
+
+def test_upsert_parquet_foreach_batch(spark, tmp_path):
+    """K3/K5 twin: streamed changes through foreachBatch+upsert_parquet ==
+    batch last-change-wins materialization (delete drops the key)."""
+    changes = spark.createDataFrame(
+        [
+            ("k1", 1, "upsert", "v1"),
+            ("k1", 3, "upsert", "v3"),
+            ("k1", 2, "upsert", "v2"),
+            ("k2", 1, "upsert", "x1"),
+            ("k2", 2, "delete", ""),
+            ("k3", 5, "delete", ""),
+            ("k3", 7, "upsert", "z7"),
+        ],
+        "row_key string, seq long, type string, val string",
+    )
+    target = str(tmp_path / "dim_tbl")
+    _, src = stream_from_dataframe(changes, n_files=1, base_dir=str(tmp_path))
+    s = stream_parquet_source(spark, src, changes.schema)
+    run_foreach_batch(
+        s,
+        lambda bdf, _bid: upsert_parquet(
+            bdf, target, ["row_key"], "seq", delete_col="type"
+        ),
+        output_mode="append",
+    )
+    got = _rows(spark.read.parquet(target), ["row_key", "seq", "val"])
+    assert got == [("k1", 3, "v3"), ("k3", 7, "z7")]
+
+
+def test_routed_kafka_frame_shape(spark):
+    """K2: dynamic-topic projection emits (topic, value) and strips the
+    routing column from the payload."""
+    df = spark.createDataFrame(
+        [("dwd_a", "1", "x"), ("dwd_b", "2", "y")],
+        "sink_table string, id string, payload string",
+    )
+    routed = routed_kafka_frame(df)
+    assert routed.columns == ["topic", "value"]
+    rows = {r["topic"]: r["value"] for r in routed.collect()}
+    assert rows["dwd_a"] == '{"id":"1","payload":"x"}'
