@@ -27,10 +27,14 @@ HEADLINE = [
     "dws_trade_province_order_window",
     "dws_traffic_vc_ch_ar_is_new_page_view_window",
     "dws_user_user_login_window",
+    "dwd_base_log_page",
     "llm_dedup_exact",
     "llm_dedup_ngram_jaccard",
+    "llm_dedup_minhash_lsh",
     "llm_ann_cosine_topk",
+    "llm_ann_ivf",
     "llm_text_quality_score",
+    "llm_multimodal_decode",
 ]
 
 
@@ -40,9 +44,12 @@ def main() -> None:
     spark = get_spark("bench")
     qs = queries()
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # plans, not first-touch JIT/IO noise.
+    # warm the JVM + parquet footers + Python UDF workers once so per-query
+    # numbers measure the plans, not first-touch JIT/IO/fork noise.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").count()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:

@@ -398,6 +398,9 @@ WITH od AS (
            l_orderkey, l_partkey, l_quantity, l_extendedprice, l_discount,
            l_shipdate
     FROM lineitem
+    ORDER BY l_orderkey * 8 + l_linenumber,
+             l_orderkey, l_partkey, l_quantity, l_extendedprice, l_discount,
+             l_shipdate
 )
 SELECT date_trunc('day', od.l_shipdate)                 AS stt,
        date_trunc('day', od.l_shipdate) + INTERVAL 1 DAY AS edt,
@@ -427,12 +430,23 @@ def dws_trade_sku_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-emitted order_detail upserts (A1, :77-118), 10 s tumbling sums of four
     BigDecimal amounts (A2, :120-149), then the sku->spu->trademark->category
     dim chain via Redis/HBase async lookups (J5, Async/SyncCache variants).
-    Spark-first: dropDuplicates(["id"]) under watermark replaces diff-state
-    (the reference's dedup exists to net out duplicate upsert emissions);
-    ONE broadcast hash join against the dim table replaces cache+async I/O;
-    1-day tumbling windows by trademark/category.
+    Spark-first: a deterministic keeper per id under watermark replaces
+    diff-state (the reference's dedup exists to net out duplicate upsert
+    emissions). min(struct(payload)) is the keeper rule: unlike
+    dropDuplicates (arbitrary row, partition-order dependent) it is stable
+    under any partitioning AND partial-aggregable — map-side combine
+    shrinks the dedup shuffle, no window sort. ONE broadcast hash join
+    against the dim table replaces cache+async I/O; 1-day tumbling windows
+    by trademark/category.
     """
-    od = T.order_detail(spark, sf_dir).dropDuplicates(["id"])
+    payload = ["order_id", "sku_id", "sku_num", "order_price", "discount",
+               "create_time"]
+    od = (
+        T.order_detail(spark, sf_dir)
+        .groupBy("id")
+        .agg(F.min(F.struct(*payload)).alias("s"))
+        .select("id", "s.*")
+    )
     p = T.load(spark, sf_dir, "part")
     return (
         od.join(F.broadcast(p), od.sku_id == p.p_partkey)

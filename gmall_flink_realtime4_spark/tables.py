@@ -53,10 +53,39 @@ MONEY = "decimal(18,2)"
 AGG = "decimal(38,6)"  # internal only; final outputs cast to double
 
 
+def _file_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 60  # unknown (remote FS): assume big, don't reshuffle
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver table; normalizes events.ts nanos -> TIMESTAMP_NTZ."""
+    """Read one driver table; normalizes events.ts nanos -> TIMESTAMP_NTZ.
+
+    Parallelism guard: the testdata parquet is one row group per table, so
+    the scan yields ONE input partition and every downstream map-side
+    operator (JSON build/parse, shingling, token explode, dot products)
+    would run on one core. Small inputs (under one split,
+    spark.sql.files.maxPartitionBytes) are spread across the session's
+    cores up front — a cheap narrow-input shuffle here; a no-op on real
+    multi-file/multi-row-group tables at scale (their scans already
+    split). Decided from file size (free) rather than df.rdd partition
+    count (which forces a plan->RDD conversion, ~0.5 s per call).
+    """
     apply_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if _file_bytes(path) < int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+    ):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (see session.RUNTIME_CONFS); truncate
         # to micros exactly like DuckDB reads the same file.
