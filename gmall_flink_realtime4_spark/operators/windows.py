@@ -15,6 +15,18 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+def with_event_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """W1 — bounded out-of-orderness watermark, applied ONCE per stream,
+    BEFORE any stateful operator (dedup/join/window) so their state is
+    evicted by it. Casts TIMESTAMP_NTZ (the batch-determinism carrier) to
+    TIMESTAMP — value-preserving under the engine's pinned UTC session tz.
+    Spark disallows redefining a watermark downstream, so pipelines call
+    this at the source boundary and pass watermark=None to tumble()."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, delay)
+
+
 def tumble(
     df: DataFrame,
     ts_col: str,
@@ -32,7 +44,7 @@ def tumble(
     bottleneck: Spark still runs distributed partial aggregation (A9).
     """
     if watermark is not None:
-        df = df.withWatermark(ts_col, watermark)
+        df = with_event_watermark(df, ts_col, watermark)
     w = F.window(ts_col, duration).alias("w")
     out = df.groupBy(w, *keys).agg(*aggs)
     return out.select(

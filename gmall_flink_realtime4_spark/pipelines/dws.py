@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from ..functions.tokenizer import kw_split
 from ..operators.dedup import dedup_upserts, first_today
 from ..operators.joins import dim_enrich
-from ..operators.windows import tumble
+from ..operators.windows import tumble, with_event_watermark
 
 MONEY = "decimal(16,2)"  # the reference's BigDecimal(16,2) beans
 
@@ -34,15 +34,15 @@ def trade_cart_add_uu_window(
 ) -> DataFrame:
     """DwsTradeCartAddUuWindow.java:76-119 — first-today dedup by user (A8,
     1-day TTL state) then 10 s tumbling uu count (A5)."""
-    firsts = first_today(
-        _event_time(cart), "user_id", "event_time", streaming=streaming
-    )
+    src = _event_time(cart)
+    if streaming:
+        src = with_event_watermark(src, "event_time", "5 seconds")
+    firsts = first_today(src, "user_id", "event_time", streaming=streaming)
     return tumble(
         firsts,
         "event_time",
         window,
         aggs=[F.count(F.lit(1)).alias("cart_add_uu_ct")],
-        watermark="5 seconds" if streaming else None,
     )
 
 
@@ -61,11 +61,10 @@ def trade_sku_order_window(
     The reference's state-key bug (:89 vs :111) is NOT replicated — intent
     (net out duplicate upsert rows) implemented via dedup.
     """
-    d = dedup_upserts(
-        _event_time(detail), ["id"], order_col="ts", streaming=streaming
-    )
+    src = _event_time(detail)
     if streaming:
-        d = d.withWatermark("event_time", "5 seconds")
+        src = with_event_watermark(src, "event_time", "5 seconds")
+    d = dedup_upserts(src, ["id"], order_col="ts", streaming=streaming)
     agged = tumble(
         d,
         "event_time",
@@ -130,6 +129,8 @@ def user_user_login_window(
         ).select(F.col("common.uid").alias("uid"), "ts"),
         unit="ms",
     )
+    if streaming:
+        logins = with_event_watermark(logins, "event_time", "5 seconds")
     firsts = first_today(logins, "uid", "event_time", streaming=streaming)
     firsts = firsts.withColumn(
         "d", F.to_date("event_time")
@@ -138,7 +139,7 @@ def user_user_login_window(
         # derived back-flag needs cross-day state; the streaming twin joins
         # a user-profile dim instead (SURVEY §7) — here emit uu only.
         return tumble(
-            firsts.withWatermark("event_time", "5 seconds"),
+            firsts,
             "event_time",
             window,
             aggs=[F.count(F.lit(1)).alias("uu_ct")],
@@ -181,7 +182,7 @@ def traffic_source_keyword_page_view_window(
         .select("event_time", F.explode(kw_split("keywords")).alias("keyword"))
     )
     if streaming:
-        kw = kw.withWatermark("event_time", "5 seconds")
+        kw = with_event_watermark(kw, "event_time", "5 seconds")
     return tumble(
         kw,
         "event_time",
@@ -210,6 +211,8 @@ def traffic_vc_ch_ar_is_new_page_view_window(
         ),
         unit="ms",
     )
+    if streaming:
+        flat = with_event_watermark(flat, "event_time", "3 seconds")
     firsts = first_today(flat, "mid", "event_time", streaming=streaming).select(
         F.col("mid").alias("uv_mid"), F.col("event_time").alias("uv_time")
     )
@@ -218,8 +221,6 @@ def traffic_vc_ch_ar_is_new_page_view_window(
         (flat.mid == F.col("uv_mid")) & (flat.event_time == F.col("uv_time")),
         "left",
     ).withColumn("uv", F.when(F.col("uv_mid").isNotNull(), 1).otherwise(0))
-    if streaming:
-        marked = marked.withWatermark("event_time", "3 seconds")
     return tumble(
         marked,
         "event_time",

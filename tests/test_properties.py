@@ -1,0 +1,132 @@
+"""Property tests for the stateful few (SURVEY.md §5.4).
+
+The reference's dedup/state operators exist to make pipelines idempotent
+under record duplication and re-ordering (Kafka at-least-once delivery).
+These properties ARE the contract, so they're tested as properties:
+hypothesis generates the duplication/shuffling; Spark runs the operator.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from gmall_flink_realtime4_spark.operators.dedup import (
+    dedup_upserts,
+    first_today,
+)
+from gmall_flink_realtime4_spark.operators.stateful import repair_is_new_batch
+
+# one base universe of rows: (id, key, ts, amount)
+ROW = st.tuples(
+    st.integers(0, 5),  # id (small range => collisions on purpose)
+    st.sampled_from(["u1", "u2", "u3"]),
+    st.integers(0, 200_000_000),  # ts millis, spans >1 day
+    st.integers(0, 100),
+)
+
+PROP_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, k, t, a) for (i, k, t, a) in rows],
+        "id long, key string, ts long, amount long",
+    )
+
+
+@given(rows=st.lists(ROW, min_size=1, max_size=25), seed=st.integers(0, 10**6))
+@settings(**PROP_SETTINGS)
+def test_dedup_upserts_idempotent_under_duplication(spark, rows, seed):
+    """A1: re-emitting any subset of rows (at-least-once delivery) must not
+    change the deduped result; keeper choice is order-deterministic."""
+    rng = random.Random(seed)
+    dup = rows + [r for r in rows if rng.random() < 0.5]
+    rng.shuffle(dup)
+    base = dedup_upserts(_df(spark, rows), ["id"], order_col="ts")
+    redelivered = dedup_upserts(_df(spark, dup), ["id"], order_col="ts")
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, redelivered.collect())
+    )
+
+
+@given(rows=st.lists(ROW, min_size=1, max_size=25))
+@settings(**PROP_SETTINGS)
+def test_dedup_upserts_is_idempotent_operator(spark, rows):
+    """dedup(dedup(x)) == dedup(x)."""
+    once = dedup_upserts(_df(spark, rows), ["id"], order_col="ts")
+    twice = dedup_upserts(once, ["id"], order_col="ts")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(rows=st.lists(ROW, min_size=1, max_size=25), seed=st.integers(0, 10**6))
+@settings(**PROP_SETTINGS)
+def test_first_today_duplication_invariant(spark, rows, seed):
+    """A8: the (key, day) universe of first-today survivors is invariant
+    under duplication; exactly one survivor per (key, day)."""
+    rng = random.Random(seed)
+    dup = rows + [r for r in rows if rng.random() < 0.5]
+    rng.shuffle(dup)
+
+    def days(df):
+        out = first_today(
+            df.withColumn("tsx", F.timestamp_millis("ts")), "key", "tsx"
+        )
+        return sorted(
+            (r["key"], r["d"])
+            for r in out.select(
+                "key", F.date_format("tsx", "yyyy-MM-dd").alias("d")
+            ).collect()
+        )
+
+    a, b = days(_df(spark, rows)), days(_df(spark, dup))
+    assert a == b
+    assert len(a) == len(set(a))
+
+
+@given(rows=st.lists(ROW, min_size=1, max_size=25))
+@settings(**PROP_SETTINGS)
+def test_is_new_repair_idempotent_and_monotone(spark, rows):
+    """W10: repair never turns 0 into 1 (monotone) and repairing a repaired
+    stream is a no-op (idempotent) — the reference state machine's fixed
+    point."""
+    log = spark.createDataFrame(
+        [(k, "1" if i % 2 == 0 else "0", t) for (i, k, t, _) in rows],
+        "mid string, is_new string, ts long",
+    )
+    once = repair_is_new_batch(log)
+    # monotone: every '1' in the output was a '1' in the input
+    joined = once.alias("o").join(
+        log.alias("i"),
+        (F.col("o.mid") == F.col("i.mid")) & (F.col("o.ts") == F.col("i.ts")),
+    )
+    bad = joined.filter(
+        (F.col("o.is_new") == "1") & (F.col("i.is_new") == "0")
+    ).count()
+    assert bad == 0
+    twice = repair_is_new_batch(once)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@pytest.mark.parametrize("n_dups", [0, 1, 3])
+def test_flagship_dedup_net_out(spark, n_dups):
+    """A1 end-to-end shape: duplicated upsert emissions with identical
+    payloads net out of the windowed sums entirely."""
+    base = [(1, "u1", 1_000, 10), (2, "u1", 2_000, 20), (3, "u2", 3_000, 30)]
+    rows = base + base[:n_dups]
+    deduped = dedup_upserts(_df(spark, rows), ["id"], order_col="ts")
+    total = deduped.agg(F.sum("amount").alias("s")).collect()[0]["s"]
+    assert total == 60

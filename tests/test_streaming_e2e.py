@@ -1,0 +1,87 @@
+"""End-to-end streaming pipeline test: Kafka-shaped JSON -> DWS output.
+
+One full reference app runs as a real Structured Streaming query —
+DwdTradeCartAdd (CDC envelope parse + change predicate P4/P5) feeding
+DwsTradeCartAddUuWindow (A8 first-today dedup + tumbling uu count) — over
+staged micro-batches, asserted against the identical pipeline run in batch
+mode. This is the BaseAPP lifecycle (SURVEY §3.1) minus the broker: source
+factory -> pipeline transforms -> sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gmall_flink_realtime4_spark.pipelines import dwd_trade, dws
+from gmall_flink_realtime4_spark.sources import read_topic_db
+from gmall_flink_realtime4_spark.streaming.runner import (
+    empty_stream_dir,
+    run_to_memory,
+    stream_parquet_source,
+)
+
+DAY = 86_400  # epoch seconds
+
+
+def _cdc(table, typ, ts, data, old=None):
+    return json.dumps(
+        {"database": "gmall", "table": table, "type": typ, "ts": ts,
+         "data": data, "old": old}
+    )
+
+
+def _rows():
+    # 3 users; u1 adds twice on day 1 (dedup -> 1), again day 2 (counts);
+    # u2's update with DECREASED sku_num must be filtered by P4;
+    # u3 inserts day 1.
+    return [
+        _cdc("cart_info", "insert", 10, {"id": "1", "user_id": "u1", "sku_id": "s1", "cart_price": "5", "sku_num": "2", "sku_name": "a", "create_time": "t"}),
+        _cdc("cart_info", "update", 20, {"id": "1", "user_id": "u1", "sku_id": "s1", "cart_price": "5", "sku_num": "5", "sku_name": "a", "create_time": "t"}, {"sku_num": "2"}),
+        _cdc("cart_info", "update", 30, {"id": "2", "user_id": "u2", "sku_id": "s2", "cart_price": "5", "sku_num": "1", "sku_name": "b", "create_time": "t"}, {"sku_num": "4"}),
+        _cdc("cart_info", "insert", 40, {"id": "3", "user_id": "u3", "sku_id": "s3", "cart_price": "5", "sku_num": "1", "sku_name": "c", "create_time": "t"}),
+        _cdc("order_info", "insert", 50, {"id": "9"}),  # wrong table -> filtered
+        _cdc("cart_info", "insert", DAY + 10, {"id": "4", "user_id": "u1", "sku_id": "s1", "cart_price": "5", "sku_num": "1", "sku_name": "a", "create_time": "t"}),
+    ]
+
+
+def _pipeline(raw, streaming):
+    # exactly one watermark owner per stream (Spark disallows redefining):
+    # the DWS op watermarks its own event_time, so the source sets none.
+    cdc = read_topic_db(raw, watermark=None)
+    cart = dwd_trade.cart_add(cdc)
+    return dws.trade_cart_add_uu_window(
+        cart, window="1 day", streaming=streaming
+    )
+
+
+def test_cart_add_uu_end_to_end_stream_vs_batch(spark, tmp_path):
+    rows = _rows()
+    batch_raw = spark.createDataFrame([(v,) for v in rows], "value string")
+    expect = sorted(
+        (r["stt"].isoformat(), r["cart_add_uu_ct"])
+        for r in _pipeline(batch_raw, streaming=False).collect()
+    )
+    # day 1: u1 + u3 (u2 filtered by the decreased-sku_num predicate);
+    # day 2: u1 again
+    assert [c for _, c in expect] == [2, 1]
+
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, "value string", 1000)
+    flush = _cdc("cart_info", "insert", 10 * DAY, {"id": "99", "user_id": "flush", "sku_id": "s", "cart_price": "1", "sku_num": "1", "sku_name": "f", "create_time": "t"})
+    stages = [
+        (lambda vs=vs: spark.createDataFrame([(v,) for v in vs], "value string")
+         .coalesce(1).write.mode("append").parquet(src))
+        for vs in (rows[:3], rows[3:], [flush])
+    ]
+    got = run_to_memory(_pipeline(s, streaming=True), "append", stages=stages)
+    streamed = sorted(
+        (r["stt"].isoformat(), r["cart_add_uu_ct"])
+        for r in got.filter(F.col("stt") < "2000-01-01").collect()
+    )
+    assert streamed == expect
