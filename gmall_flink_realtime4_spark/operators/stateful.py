@@ -118,3 +118,59 @@ def repair_is_new_streaming(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def back_visitor_flags_streaming(
+    df: DataFrame,
+    uid_col: str = "uid",
+    ts_col: str = "event_time",
+    gap_days: int = 7,
+) -> DataFrame:
+    """A8 derived flags, streaming twin — first-of-day emission with the
+    "returning after > gap_days" back flag.
+
+    Reference: DwsUserUserLoginWindow.java:73-107 — keyed ValueState
+    lastLoginDt; a record emits only on its uid's first login of the day
+    (uu), with back=1 when the previous login day is more than 7 days ago.
+    The batch twin (pipelines/dws.user_user_login_window) expresses the
+    same with first_today + LAG(day); this is the keyed-state form for
+    unbounded streams (applyInPandasWithState, state = last login date).
+
+    Output: one row per (uid, day) first login — (uid, event_time, back)
+    with back in {0, 1}.
+    """
+    import datetime as _dt
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_day = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+            out_rows = []
+            for ts in pdf[ts_col]:
+                day = pd.Timestamp(ts).strftime("%Y-%m-%d")
+                if last_day is None:
+                    out_rows.append((key[0], ts, 0))
+                elif day != last_day:
+                    gap = (
+                        _dt.date.fromisoformat(day)
+                        - _dt.date.fromisoformat(last_day)
+                    ).days
+                    out_rows.append((key[0], ts, 1 if gap > gap_days else 0))
+                else:
+                    continue  # not first login of this day -> no emission
+                last_day = day
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=[uid_col, ts_col, "back"])
+        state.update((last_day,))
+
+    uid_type = dict(df.dtypes)[uid_col]
+    ts_type = dict(df.dtypes)[ts_col]
+    return df.groupBy(uid_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{uid_col} {uid_type}, {ts_col} {ts_type}, back int",
+        stateStructType="last_day STRING",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

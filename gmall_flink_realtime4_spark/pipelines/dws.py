@@ -130,20 +130,27 @@ def user_user_login_window(
         unit="ms",
     )
     if streaming:
-        logins = with_event_watermark(logins, "event_time", "5 seconds")
+        # keyed lastLoginDt state does BOTH the first-of-day dedup and the
+        # 7-day back flag (the reference's single ValueState, :73-107);
+        # the watermark attaches AFTER the stateful op (watermark metadata
+        # does not propagate through applyInPandasWithState).
+        from ..operators.stateful import back_visitor_flags_streaming
+
+        flags = back_visitor_flags_streaming(logins, "uid", "event_time")
+        return tumble(
+            flags,
+            "event_time",
+            window,
+            aggs=[
+                F.count(F.lit(1)).alias("uu_ct"),
+                F.sum("back").cast("bigint").alias("back_ct"),
+            ],
+            watermark="5 seconds",
+        )
     firsts = first_today(logins, "uid", "event_time", streaming=streaming)
     firsts = firsts.withColumn(
         "d", F.to_date("event_time")
     )
-    if streaming:
-        # derived back-flag needs cross-day state; the streaming twin joins
-        # a user-profile dim instead (SURVEY §7) — here emit uu only.
-        return tumble(
-            firsts,
-            "event_time",
-            window,
-            aggs=[F.count(F.lit(1)).alias("uu_ct")],
-        )
     prev = W.partitionBy("uid").orderBy("d")
     flagged = firsts.withColumn("prev_d", F.lag("d").over(prev))
     return tumble(

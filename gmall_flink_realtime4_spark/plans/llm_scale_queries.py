@@ -273,6 +273,111 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_HAMMING_MAX = 16
+_POPCOUNT = "0112122312232334"  # popcount lookup for a 4-bit value
+
+
+def _simhash_pairs_oracle() -> str:
+    # fingerprints CTE = the simhash oracle body minus the final pivot
+    pivot = " || ".join(f"MAX(CASE WHEN p = {i} THEN c END)" for i in range(16))
+    hamming = " + ".join(
+        "CAST(substr('{pc}', xor(strpos('{hx}', substr(a.simhash64, {i}, 1)) - 1,"
+        " strpos('{hx}', substr(b.simhash64, {i}, 1)) - 1) + 1, 1) AS INT)".format(
+            pc=_POPCOUNT, hx=_HEX, i=i + 1
+        )
+        for i in range(16)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), h AS (
+    SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks
+), pos AS (
+    SELECT doc_id, h, unnest(range(0, 16)) AS p FROM h
+), dig AS (
+    SELECT doc_id, p, strpos('{_HEX}', substr(h, CAST(p AS INT) + 1, 1)) - 1 AS v
+    FROM pos
+), bits AS (
+    SELECT doc_id, p, unnest(range(0, 4)) AS b, v FROM dig
+), sums AS (
+    SELECT doc_id, p, b,
+           SUM(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM bits GROUP BY 1, 2, 3
+), digit AS (
+    SELECT doc_id, p, SUM(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS dv
+    FROM sums GROUP BY 1, 2
+), chars AS (
+    SELECT doc_id, p, substr('{_HEX}', CAST(dv AS INT) + 1, 1) AS c FROM digit
+), fp AS (
+    SELECT doc_id, {pivot} AS simhash64 FROM chars GROUP BY doc_id
+), blocks AS (
+    SELECT doc_id, simhash64, unnest(range(0, 4)) AS blk FROM fp
+), bl AS (
+    SELECT doc_id, simhash64, blk,
+           substr(simhash64, CAST(blk AS INT) * 4 + 1, 4) AS block_val
+    FROM blocks
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, a.simhash64 AS sim_a,
+                    b.doc_id AS doc_b, b.simhash64 AS sim_b
+    FROM bl a
+    JOIN bl b ON a.blk = b.blk AND a.block_val = b.block_val
+             AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+    SELECT a.doc_a, a.doc_b, CAST({hamming.replace('a.simhash64', 'a.sim_a').replace('b.simhash64', 'a.sim_b')} AS BIGINT) AS hamming
+    FROM cand a
+) WHERE hamming <= {SIMHASH_HAMMING_MAX}
+"""
+
+
+@query("llm_dedup_simhash_pairs", oracle=_simhash_pairs_oracle(), tags=("llm-dedup",))
+def llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit block banding + hamming distance.
+
+    The pigeonhole trick: two 64-bit fingerprints within hamming distance
+    k < 4 must agree on at least one of 4 16-bit blocks, so candidate pairs
+    come from a block-equality self-join (4 shuffle keys per doc, never the
+    O(n^2) pair space); hamming is then computed exactly from the hex
+    digits via a 4-bit popcount lookup and filtered to <= {k}. All
+    JVM-side string/bit expressions.
+    """
+    fp = llm_dedup_simhash(spark, sf_dir)
+    blocks = fp.select(
+        "doc_id",
+        "simhash64",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("blk"),
+    ).withColumn("block_val", F.expr("substring(simhash64, blk * 4 + 1, 4)"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash64").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash64").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.expr(
+            f"cast(substring('{_POPCOUNT}', "
+            f"((instr('{_HEX}', substring(sim_a, {i + 1}, 1)) - 1) ^ "
+            f"(instr('{_HEX}', substring(sim_b, {i + 1}, 1)) - 1)) + 1, 1) as int)"
+        )
+        for i in range(16)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup — sign-LSH bucket prefilter + exact cosine.
 # ---------------------------------------------------------------------------

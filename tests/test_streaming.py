@@ -272,3 +272,85 @@ def test_routed_kafka_frame_shape(spark):
     assert routed.columns == ["topic", "value"]
     rows = {r["topic"]: r["value"] for r in routed.collect()}
     assert rows["dwd_a"] == '{"id":"1","payload":"x"}'
+
+
+def test_back_visitor_flags_stream_vs_batch(spark, tmp_path):
+    """A8 derived flag (7-day returning) — keyed-state streaming twin must
+    match the batch first_today + LAG(day) formulation over real events."""
+    from pyspark.sql import Window as W
+
+    from gmall_flink_realtime4_spark.operators.stateful import (
+        back_visitor_flags_streaming,
+    )
+
+    e = _events(spark).select(
+        F.col("user_id").cast("string").alias("uid"),
+        F.col("ts").alias("event_time"),
+    )
+    firsts = first_today(e, "uid", "event_time")
+    prev = W.partitionBy("uid").orderBy("d")
+    batch = (
+        firsts.withColumn("d", F.to_date("event_time"))
+        .withColumn("prev_d", F.lag("d").over(prev))
+        .select(
+            "uid",
+            "event_time",
+            F.when(
+                F.col("prev_d").isNotNull()
+                & (F.datediff(F.col("d"), F.col("prev_d")) > 7),
+                1,
+            )
+            .otherwise(0)
+            .alias("back"),
+        )
+    )
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, e.schema, max_files_per_trigger=1000)
+    got = run_to_memory(
+        back_visitor_flags_streaming(s),
+        output_mode="append",
+        stages=_stage_writes(src, time_slices(e, 3, "event_time")),
+    )
+    cols = ["uid", "event_time", "back"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """W8: a restarted query resumes from its checkpoint — rows processed
+    before the stop are NOT re-emitted (effective exactly-once with the
+    idempotent parquet sink), rows arriving while down are picked up."""
+    src = empty_stream_dir(str(tmp_path))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k string, v long"
+
+    def start():
+        s = stream_parquet_source(spark, src, schema, max_files_per_trigger=1000)
+        return (
+            s.select("k", (F.col("v") * 2).alias("v2"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    q = start()
+    try:
+        write([("a", 1), ("b", 2)])
+        q.processAllAvailable()
+    finally:
+        q.stop(); q.awaitTermination()
+    write([("c", 3)])  # arrives while the query is down
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop(); q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == [("a", 2), ("b", 4), ("c", 6)]

@@ -85,3 +85,53 @@ def test_cart_add_uu_end_to_end_stream_vs_batch(spark, tmp_path):
         for r in got.filter(F.col("stt") < "2000-01-01").collect()
     )
     assert streamed == expect
+
+
+def _page_rows(spark, rows):
+    """(uid, last_page_id, ts_ms) -> page-log-shaped frame."""
+    return spark.createDataFrame(
+        rows, "uid string, lp string, ts long"
+    ).select(
+        F.struct(F.col("uid")).alias("common"),
+        F.struct(F.col("lp").alias("last_page_id")).alias("page"),
+        "ts",
+    )
+
+
+def test_login_window_end_to_end_stream_vs_batch(spark, tmp_path):
+    """DwsUserUserLoginWindow: the streaming keyed-state path must produce
+    the batch plan's uu/back counts exactly (incl. the 7-day back flag)."""
+    day = 86_400_000
+    rows = [
+        ("u1", None, 10 * day),          # first login
+        ("u1", "login", 10 * day + 1000),  # same day -> deduped
+        ("u2", None, 10 * day + 2000),
+        (None, None, 10 * day + 3000),   # no uid -> filtered
+        ("u1", "cart", 10 * day + 4000),  # not a login page -> filtered
+        ("u1", None, 20 * day),          # 10-day gap -> back=1
+        ("u2", None, 21 * day),          # 11-day gap -> back=1
+    ]
+    batch = dws.user_user_login_window(
+        _page_rows(spark, rows), window="1 day", streaming=False
+    )
+    expect = sorted(
+        (r["stt"].isoformat(), r["uu_ct"], r["back_ct"]) for r in batch.collect()
+    )
+    assert [(c, b) for _, c, b in expect] == [(2, 0), (1, 1), (1, 1)]
+
+    src = empty_stream_dir(str(tmp_path))
+    schema = "common struct<uid:string>, page struct<last_page_id:string>, ts long"
+    s = stream_parquet_source(spark, src, schema, 1000)
+    streamed_df = dws.user_user_login_window(s, window="1 day", streaming=True)
+    flush = [("zz", None, 400 * day)]
+    stages = [
+        (lambda vs=vs: _page_rows(spark, vs).coalesce(1)
+         .write.mode("append").parquet(src))
+        for vs in (rows[:5], rows[5:], flush)
+    ]
+    got = run_to_memory(streamed_df, "append", stages=stages)
+    streamed = sorted(
+        (r["stt"].isoformat(), r["uu_ct"], r["back_ct"])
+        for r in got.filter(F.col("stt") < "2000-01-01").collect()
+    )
+    assert streamed == expect
