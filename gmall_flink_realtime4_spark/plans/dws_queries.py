@@ -441,8 +441,13 @@ def dws_trade_sku_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     payload = ["order_id", "sku_id", "sku_num", "order_price", "discount",
                "create_time"]
+    # Explicit hash distribution by id: collapses the loader's spread
+    # shuffle (CollapseRepartition) and makes the dedup a single-phase agg
+    # on already-distributed data — upsert re-emissions are rare, so a
+    # map-side partial pass over mostly-unique ids is wasted work.
     od = (
         T.order_detail(spark, sf_dir)
+        .repartition(F.col("id"))
         .groupBy("id")
         .agg(F.min(F.struct(*payload)).alias("s"))
         .select("id", "s.*")
