@@ -40,6 +40,24 @@ def dedup_upserts(
     )
 
 
+def dedup_within_watermark(
+    df: DataFrame, id_cols: Sequence[str]
+) -> DataFrame:
+    """A1 with the reference's state TTL (W4) — duplicates are only netted
+    out while their key's state is alive.
+
+    Reference: DwsTradeSkuOrderWindow.java:77-118 keeps the last-seen
+    amounts per order_detail_id under a 30 s TTL — re-emissions arrive
+    within seconds, so bounded state suffices. Spark twin:
+    ``dropDuplicatesWithinWatermark`` — state for a key is dropped once the
+    watermark passes its event time + delay, giving O(watermark-window)
+    state instead of O(stream). Requires a watermark upstream; duplicates
+    farther apart than the watermark delay are NOT deduped (exactly the
+    TTL semantics).
+    """
+    return df.dropDuplicatesWithinWatermark(list(id_cols))
+
+
 def first_per_key(
     df: DataFrame, keys: Sequence[str], order_col: str
 ) -> DataFrame:

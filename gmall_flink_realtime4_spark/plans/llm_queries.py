@@ -404,6 +404,74 @@ def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_corpus_prepare",
+    oracle=f"""
+WITH feat AS (
+    SELECT doc_id, source, text,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text)                 AS n_chars,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           (1000 * len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})))
+               // greatest(len(string_split(text, ' ')), 1) AS stop_pm
+    FROM documents
+), kept AS (
+    SELECT * FROM feat
+    WHERE n_tokens >= 5 AND n_chars >= 30 AND stop_pm <= 500
+), dedup AS (
+    SELECT fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS dup_count
+    FROM kept GROUP BY 1
+), docs AS (
+    SELECT k.* FROM kept k JOIN dedup d ON k.doc_id = d.keeper_doc_id
+)
+SELECT source,
+       COUNT(*)          AS n_docs,
+       SUM(n_tokens)     AS total_tokens,
+       SUM(n_chars)      AS total_chars,
+       MIN(doc_id)       AS min_doc_id
+FROM docs GROUP BY 1
+""",
+    tags=("llm-text", "llm-dedup"),
+)
+def llm_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation: quality filter -> exact
+    dedup (keeper = min doc_id per fingerprint) -> per-source corpus stats.
+
+    The composed shape every 100 TB data pipeline runs nightly: all three
+    stages are single-pass DataFrame transforms; the only shuffles are the
+    fingerprint dedup and the final per-source agg (both map-side
+    combined). Quality gates: >= 5 tokens, >= 30 chars, stopword ratio
+    <= 50% — the length/punct/stopword heuristics of SURVEY's text-quality
+    family applied as a filter instead of a score.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feat = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))).alias("fp"),
+        F.expr(
+            "(1000 * size(filter(split(text, ' '), x -> x IN ('the','a','of','to','and'))))"
+            " div greatest(size(split(text, ' ')), 1)"
+        ).alias("stop_pm"),
+    )
+    kept = feat.filter(
+        (F.col("n_tokens") >= 5) & (F.col("n_chars") >= 30) & (F.col("stop_pm") <= 500)
+    )
+    keepers = kept.groupBy("fp").agg(F.min("doc_id").alias("keeper_doc_id"))
+    docs = kept.join(
+        keepers, kept.doc_id == keepers.keeper_doc_id, "left_semi"
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+@query(
     "llm_text_fingerprint",
     oracle="""
 SELECT doc_id,

@@ -354,3 +354,36 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
         q.stop(); q.awaitTermination()
     got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert got == [("a", 2), ("b", 4), ("c", 6)]
+
+
+def test_dedup_within_watermark_ttl_semantics(spark, tmp_path):
+    """A1+W4: dropDuplicatesWithinWatermark nets out duplicates arriving
+    within the watermark delay (the reference's 30 s TTL state) but NOT a
+    re-emission after state expiry — bounded state, TTL semantics."""
+    from gmall_flink_realtime4_spark.operators.dedup import dedup_within_watermark
+
+    schema = "id long, ts timestamp, amount long"
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "id long, ts string, amount long"
+        ).select("id", F.col("ts").cast("timestamp").alias("ts"), "amount")
+
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, schema, max_files_per_trigger=1000)
+    dd = dedup_within_watermark(s.withWatermark("ts", "30 seconds"), ["id"])
+    stages = _stage_writes(
+        src,
+        [
+            frame([(1, "2024-01-01 00:00:00", 10), (1, "2024-01-01 00:00:05", 10)]),
+            frame([(2, "2024-01-01 00:01:00", 20)]),  # advances watermark
+            frame([(1, "2024-01-01 00:05:00", 10)]),  # id=1 state expired
+            frame([(9, "2024-01-01 01:00:00", 0)]),  # flush
+        ],
+    )
+    got = run_to_memory(dd, output_mode="append", stages=stages)
+    by_id = {}
+    for r in got.collect():
+        by_id[r["id"]] = by_id.get(r["id"], 0) + 1
+    # in-window duplicate removed; the post-expiry re-emission survives
+    assert by_id[1] == 2 and by_id[2] == 1
