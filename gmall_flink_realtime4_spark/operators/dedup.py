@@ -32,7 +32,11 @@ def dedup_upserts(
     """
     if streaming or order_col is None:
         return df.dropDuplicates(list(id_cols))
-    w = Window.partitionBy(*id_cols).orderBy(order_col)
+    # total order: order_col first, every remaining column as tie-break —
+    # two rows with equal id AND equal order_col but different payload
+    # must still pick the same keeper under any partitioning/arrival order
+    rest = [c for c in df.columns if c not in id_cols and c != order_col]
+    w = Window.partitionBy(*id_cols).orderBy(order_col, *rest)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

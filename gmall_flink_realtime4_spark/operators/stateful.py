@@ -120,6 +120,52 @@ def repair_is_new_streaming(
     )
 
 
+def diff_state_deltas_streaming(
+    df: DataFrame,
+    id_col: str,
+    amount_cols: list[str],
+    ts_col: str = "event_time",
+) -> DataFrame:
+    """A1 exact diff-state — emit per-id DELTAS (current − last-seen) so
+    downstream windowed sums net out re-emitted upserts even when the
+    amounts CHANGED between emissions.
+
+    Reference: DwsTradeSkuOrderWindow.java:77-118 — MapState of last-seen
+    BigDecimal amounts per order_detail_id; each arrival emits the
+    difference. (The reference's state-key bug — writes `curOriginalAmount`
+    :111, reads `originalAmount` :89 — is NOT replicated; intent is.)
+    SUM(deltas) over any downstream grouping == last-seen value per id,
+    which is what the simplified keeper-dedup can't give when a re-emission
+    revises the amounts. Amounts must be numeric (double here; production
+    would carry decimals scaled to long for exactness in Arrow).
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last = list(state.get) if state.exists else [0.0] * len(amount_cols)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+            for j, c in enumerate(amount_cols):
+                cur = pdf[c].astype("float64").tolist()
+                deltas = []
+                for v in cur:
+                    deltas.append(v - last[j])
+                    last[j] = v
+                pdf[c] = deltas
+            yield pdf
+        state.update(tuple(last))
+
+    state_schema = ", ".join(f"a{i} DOUBLE" for i in range(len(amount_cols)))
+    return df.groupBy(id_col).applyInPandasWithState(
+        fn,
+        outputStructType=df.schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def back_visitor_flags_streaming(
     df: DataFrame,
     uid_col: str = "uid",

@@ -86,6 +86,16 @@ def upsert_parquet(
     out.unpersist()
 
 
+def write_routed_batch(
+    batch_df: DataFrame, base_path: str, topic_col: str = "topic"
+) -> None:
+    """K2 broker-less twin (foreachBatch body): append each record under
+    its routed topic as a partition directory — `base/topic=<t>/...` — the
+    storage analog of the per-row Kafka topic routing. Idempotent replays
+    rely on the checkpoint (same as the kafka sink)."""
+    batch_df.write.mode("append").partitionBy(topic_col).parquet(base_path)
+
+
 def table_append_sink(
     df: DataFrame, path: str, checkpoint: str
 ) -> DataStreamWriter:

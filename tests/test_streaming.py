@@ -387,3 +387,44 @@ def test_dedup_within_watermark_ttl_semantics(spark, tmp_path):
         by_id[r["id"]] = by_id.get(r["id"], 0) + 1
     # in-window duplicate removed; the post-expiry re-emission survives
     assert by_id[1] == 2 and by_id[2] == 1
+
+
+def test_diff_state_deltas_net_out_revisions(spark, tmp_path):
+    """A1 exact: a re-emitted upsert with REVISED amounts must net to the
+    latest value in a windowed sum (keeper-dedup can't do this; the
+    reference's MapState diff emission can)."""
+    from gmall_flink_realtime4_spark.operators.stateful import (
+        diff_state_deltas_streaming,
+    )
+
+    schema = "id long, event_time timestamp, amount double"
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "id long, event_time string, amount double"
+        ).select(
+            "id", F.col("event_time").cast("timestamp").alias("event_time"),
+            "amount",
+        )
+
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, schema, max_files_per_trigger=1000)
+    deltas = diff_state_deltas_streaming(s, "id", ["amount"])
+    agged = (
+        deltas.withWatermark("event_time", "5 seconds")
+        .groupBy(F.window("event_time", "1 hour").alias("w"))
+        .agg(F.sum("amount").alias("total"))
+        .select(F.col("w.start").alias("stt"), "total")
+    )
+    stages = _stage_writes(
+        src,
+        [
+            frame([(1, "2024-01-01 00:00:01", 10.0), (2, "2024-01-01 00:00:02", 5.0)]),
+            frame([(1, "2024-01-01 00:00:03", 15.0)]),  # revision of id=1
+            frame([(9, "2024-01-01 06:00:00", 0.0)]),  # flush
+        ],
+    )
+    got = run_to_memory(agged, output_mode="append", stages=stages)
+    by_window = {r["stt"].isoformat(): r["total"] for r in got.collect()}
+    # latest amounts: id1=15, id2=5 -> 20 (a plain sum of emissions = 30)
+    assert by_window["2024-01-01T00:00:00"] == 20.0

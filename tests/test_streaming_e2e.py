@@ -135,3 +135,60 @@ def test_login_window_end_to_end_stream_vs_batch(spark, tmp_path):
         for r in got.filter(F.col("stt") < "2000-01-01").collect()
     )
     assert streamed == expect
+
+
+def test_base_db_dynamic_routing_end_to_end(spark, tmp_path):
+    """DwdBaseDb end-to-end (J8/W5 -> K2): streamed CDC rows broadcast-join
+    the routing config, prune to sink_columns, and land under per-topic
+    partition dirs via foreachBatch — the broker-less twin of the dynamic
+    Kafka sink."""
+    from gmall_flink_realtime4_spark.schemas import CDC_ENVELOPE
+    from gmall_flink_realtime4_spark.sinks import routed_kafka_frame
+    from gmall_flink_realtime4_spark.sinks.factories import write_routed_batch
+    from gmall_flink_realtime4_spark.streaming.runner import run_foreach_batch
+
+    config = spark.createDataFrame(
+        [
+            ("comment_info", "insert", "dwd_interaction_comment", "id,user_id"),
+            ("favor_info", "insert", "dwd_interaction_favor", "id,sku_id"),
+        ],
+        "source_table string, source_type string, sink_table string,"
+        " sink_columns string",
+    )
+    rows = [
+        _cdc("comment_info", "insert", 10, {"id": "1", "user_id": "u1", "junk": "x"}),
+        _cdc("favor_info", "insert", 20, {"id": "2", "sku_id": "s9", "junk": "y"}),
+        _cdc("comment_info", "update", 30, {"id": "3"}),  # wrong type -> dropped
+        _cdc("other_tbl", "insert", 40, {"id": "4"}),  # unconfigured -> dropped
+    ]
+    src = empty_stream_dir(str(tmp_path))
+    out = str(tmp_path / "topics")
+    s = stream_parquet_source(spark, src, "value string", 1000)
+    cdc = s.select(F.from_json("value", CDC_ENVELOPE).alias("j")).select("j.*")
+    routed = routed_kafka_frame(
+        dwd_trade.base_db_route(cdc, config), topic_col="sink_table"
+    )
+    stages = [
+        lambda: spark.createDataFrame([(v,) for v in rows], "value string")
+        .coalesce(1).write.mode("append").parquet(src)
+    ]
+    q = (
+        routed.writeStream.foreachBatch(
+            lambda bdf, _bid: write_routed_batch(bdf, out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for st in stages:
+            st()
+            q.processAllAvailable()
+    finally:
+        q.stop(); q.awaitTermination()
+    got = spark.read.parquet(out)
+    topics = {r["topic"] for r in got.select("topic").distinct().collect()}
+    assert topics == {"dwd_interaction_comment", "dwd_interaction_favor"}
+    vals = {r["topic"]: r["value"] for r in got.collect()}
+    # pruned payload: junk column gone, only configured sink_columns kept
+    assert '"junk"' not in vals["dwd_interaction_comment"]
+    assert '"user_id":"u1"' in vals["dwd_interaction_comment"]
