@@ -1,0 +1,87 @@
+"""Physical-plan regression guards.
+
+Correctness is the oracle gate's job; these tests pin the PLAN properties
+that matter at 100 TB — filters reaching the parquet scan, dims broadcast
+instead of shuffled, column-pruned scans, no accidental cartesian products —
+so a refactor can't silently trade them away.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gmall_flink_realtime4_spark.plans.catalog import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filters_push_to_scan(spark):
+    """P2/P4 predicates must reach the parquet reader (PushedFilters), not
+    evaluate post-scan."""
+    plan = _plan(spark, "dwd_trade_order_cancel_detail")
+    assert "PushedFilters: [" in plan
+    # the status/returnflag predicates specifically
+    assert "EqualTo(o_orderstatus,F)" in plan or "o_orderstatus" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
+
+
+def test_scan_is_column_pruned(spark):
+    """A 2-column text query must not read the whole documents schema."""
+    plan = _plan(spark, "llm_text_fingerprint")
+    scan = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in scan and "doc_id" in scan
+    assert "n_chars" not in scan and "lang" not in scan and "source" not in scan
+
+
+def test_dim_joins_broadcast(spark):
+    """J5: the dim enrichment must be broadcast hash joins — never a
+    shuffled sort-merge of fact x dim (the whole point of replacing the
+    reference's Redis/HBase cache chain)."""
+    for name in ("dws_trade_sku_order_window", "dwd_trade_order_detail"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_no_cartesian_products(spark):
+    """No query may degenerate to an unconstrained cross join; the only
+    intended cross join is IVF's vector x centroid assignment (bounded by
+    the 16-centroid broadcast)."""
+    for name in (
+        "dwd_trade_order_detail",
+        "dws_trade_province_order_window",
+        "llm_dedup_minhash_lsh",
+        "llm_dedup_ngram_jaccard",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_ivf_centroids_broadcast(spark):
+    """IVF assignment must broadcast the centroids (a 16-row table), never
+    shuffle the base vectors against them."""
+    plan = _plan(spark, "llm_ann_ivf")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """A9: windowed aggs must show map-side partial aggregation (two
+    HashAggregate phases around the exchange)."""
+    plan = _plan(spark, "dws_traffic_vc_ch_ar_is_new_page_view_window")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
