@@ -23,8 +23,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from .. import tables as T
-from .catalog import query
-from .llm_queries import VEC_ACC, VEC_DEC, _dot
+from .catalog import REGISTRY, query
+from .llm_queries import VEC_ACC, VEC_DEC, _dot, llm_ann_cosine_topk
 
 # MinHash parameters: K hash functions in B bands of R rows (K = B*R).
 MINHASH_K, MINHASH_B, MINHASH_R = 12, 4, 3
@@ -563,6 +563,23 @@ def _cos_e9(dot: Column, n2a: Column, n2b: Column) -> Column:
     )
 
 
+def _ivf_recall_oracle() -> str:
+    brute = REGISTRY["llm_ann_cosine_topk"].oracle
+    ivf = _ivf_oracle()
+    return f"""
+WITH brute AS ({brute}),
+ivf AS ({ivf})
+SELECT b.query_vec_id,
+       COUNT(*)                                   AS k,
+       COUNT(i.neighbor_vec_id)                   AS hits,
+       (1000 * COUNT(i.neighbor_vec_id)) // COUNT(*) AS recall_permille
+FROM brute b
+LEFT JOIN ivf i ON b.query_vec_id = i.query_vec_id
+                AND b.neighbor_vec_id = i.neighbor_vec_id
+GROUP BY 1
+"""
+
+
 @query("llm_ann_ivf", oracle=_ivf_oracle(), tags=("llm-similarity",))
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbor.
@@ -632,4 +649,34 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rank") <= IVF_TOPK)
         .select("query_vec_id", "neighbor_vec_id", "rank", "cos_sim_e9")
+    )
+
+
+@query("llm_ann_ivf_recall", oracle=_ivf_recall_oracle(), tags=("llm-similarity",))
+def llm_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index against the brute-force exact top-k.
+
+    The self-evaluation every ANN deployment needs: per query, how many of
+    the true top-5 neighbors the nprobe=2 cell search recovered (exact
+    integer per-mille). At scale this runs on a sampled query set; both
+    sides are existing registered plans, so the metric is one left join.
+    """
+    brute = llm_ann_cosine_topk(spark, sf_dir).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    ivf = llm_ann_ivf(spark, sf_dir).select(
+        "query_vec_id", F.col("neighbor_vec_id").alias("ivf_neighbor")
+    )
+    joined = brute.join(
+        ivf,
+        (brute.query_vec_id == ivf.query_vec_id)
+        & (brute.neighbor_vec_id == ivf.ivf_neighbor),
+        "left",
+    ).select(brute.query_vec_id.alias("qid"), "ivf_neighbor")
+    return joined.groupBy(F.col("qid").alias("query_vec_id")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count("ivf_neighbor").alias("hits"),
+        F.expr("(1000 * count(ivf_neighbor)) div count(1)").alias(
+            "recall_permille"
+        ),
     )

@@ -1,0 +1,128 @@
+"""Scale-sanity harness: replicate sf0.1 N-fold and re-run the headline
+queries, verifying the plans HOLD as data grows (near-linear wall-clock, no
+OOM, no plan flip to cartesian/sort-merge-of-dims).
+
+Replication is key-aware so the workload scales like real growth, not like
+a degenerate duplicate pile:
+
+- facts (lineitem/orders/events) shift their keys per replica; dims
+  (region/nation/customer/supplier/part) stay fixed — fact/dim ratio grows
+  like a real warehouse, dim joins stay broadcast.
+- documents: every token is salted per replica, so shingle/minhash/simhash
+  candidate spaces scale ~linearly instead of quadratically across replicas
+  (10 exact copies of every doc would mean a 100x pair blowup — growth, not
+  scale).
+- embeddings: vec_id shifts; query set stays replica-0 (fixed query budget
+  over a growing base — the ANN serving pattern).
+
+Usage: python tools/scale_sanity.py [N] [out_md]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from gmall_flink_realtime4_spark.plans.catalog import queries  # noqa: E402
+from gmall_flink_realtime4_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+QUERIES = [
+    "dws_trade_sku_order_window",
+    "dwd_trade_order_detail",
+    "dws_trade_province_order_window",
+    "dwd_base_log_page",
+    "llm_dedup_exact",
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_simhash",
+    "llm_ann_cosine_topk",
+    "llm_ann_ivf",
+    "llm_text_quality_score",
+    "llm_multimodal_decode",
+]
+
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+
+def replicate(spark, n: int, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    for t in DIMS:
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    okey_span = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+
+    def _union(parts):
+        out_df = parts[0]
+        for p in parts[1:]:
+            out_df = out_df.unionByName(p)
+        return out_df
+
+    _union(
+        [
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * okey_span))
+            for i in range(n)
+        ]
+    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    _union(
+        [
+            orders.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * okey_span)
+            )
+            for i in range(n)
+        ]
+    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    _union(
+        [
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+            for i in range(n)
+        ]
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    _union(
+        [
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+            .withColumn(
+                "text",
+                F.regexp_replace("text", " ", f" s{i}") if i else F.col("text"),
+            )
+            for i in range(n)
+        ]
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    _union(
+        [
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+            for i in range(n)
+        ]
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    scaled = f"/tmp/spark_graft_scale_x{n}"
+    spark = get_spark("scale_sanity")
+    if not os.path.exists(f"{scaled}/embeddings.parquet"):
+        print(f"# replicating sf0.1 x{n} -> {scaled}", file=sys.stderr)
+        replicate(spark, n, scaled)
+    qs = queries()
+    results = {}
+    for name in QUERIES:
+        t0 = time.perf_counter()
+        cnt = qs[name](spark, scaled).count()
+        dt = round(time.perf_counter() - t0, 2)
+        results[name] = {"sec": dt, "rows": cnt}
+        print(f"# {name}: {cnt} rows in {dt}s", file=sys.stderr)
+    print(json.dumps({"scale": f"sf0.1 x{n}", "results": results}))
+
+
+if __name__ == "__main__":
+    main()
