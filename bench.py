@@ -34,7 +34,11 @@ HEADLINE = [
     "llm_ann_cosine_topk",
     "llm_ann_ivf",
     "llm_text_quality_score",
+    "llm_corpus_prepare",
     "llm_multimodal_decode",
+    "llm_dedup_simhash",
+    "dws_sliding_window_events",
+    "dws_session_window_events",
 ]
 
 
