@@ -53,6 +53,23 @@ MONEY = "decimal(18,2)"
 AGG = "decimal(38,6)"  # internal only; final outputs cast to double
 
 
+_SIZE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    """Parse spark.sql.files.maxPartitionBytes, which may carry a byte
+    suffix ("128m", "134217728b") or be a bare number."""
+    raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    ).strip().lower().removesuffix("b")
+    try:
+        if raw and raw[-1] in _SIZE_SUFFIX:
+            return int(raw[:-1]) * _SIZE_SUFFIX[raw[-1]]
+        return int(raw)
+    except ValueError:
+        return 128 * 1024 * 1024
+
+
 def _file_bytes(path: str) -> int:
     if os.path.isdir(path):
         return sum(
@@ -82,9 +99,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    if _file_bytes(path) < int(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
-    ):
+    if _file_bytes(path) < _max_partition_bytes(spark):
         df = df.repartition(spark.sparkContext.defaultParallelism)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (see session.RUNTIME_CONFS); truncate
