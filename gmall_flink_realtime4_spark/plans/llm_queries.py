@@ -404,6 +404,41 @@ def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_text_length_quantiles",
+    oracle="""
+SELECT source,
+       COUNT(*)                                              AS n_docs,
+       CAST(quantile_disc(len(string_split(text, ' ')), 0.25) AS BIGINT) AS p25_tokens,
+       CAST(quantile_disc(len(string_split(text, ' ')), 0.50) AS BIGINT) AS p50_tokens,
+       CAST(quantile_disc(len(string_split(text, ' ')), 0.90) AS BIGINT) AS p90_tokens,
+       CAST(quantile_disc(length(text), 0.50) AS BIGINT)      AS p50_chars
+FROM documents
+GROUP BY 1
+""",
+    tags=("llm-text",),
+)
+def llm_text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-distribution profile (the corpus-health dashboard
+    query): discrete percentiles of token/char counts.
+
+    percentile_disc picks an actual data value (no interpolation), so
+    Spark and DuckDB agree bit-for-bit — approx_percentile would not.
+    Scale path: exact percentiles need a per-group sort; at 100 TB swap in
+    approx_percentile (t-digest, mergeable map-side) and accept the
+    documented error bound.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    n_tok = "size(split(text, ' '))"
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(f"cast(percentile_disc(0.25) WITHIN GROUP (ORDER BY {n_tok}) as bigint)").alias("p25_tokens"),
+        F.expr(f"cast(percentile_disc(0.50) WITHIN GROUP (ORDER BY {n_tok}) as bigint)").alias("p50_tokens"),
+        F.expr(f"cast(percentile_disc(0.90) WITHIN GROUP (ORDER BY {n_tok}) as bigint)").alias("p90_tokens"),
+        F.expr("cast(percentile_disc(0.50) WITHIN GROUP (ORDER BY length(text)) as bigint)").alias("p50_chars"),
+    )
+
+
+@query(
     "llm_corpus_prepare",
     oracle=f"""
 WITH feat AS (
