@@ -192,3 +192,58 @@ def test_base_db_dynamic_routing_end_to_end(spark, tmp_path):
     # pruned payload: junk column gone, only configured sink_columns kept
     assert '"junk"' not in vals["dwd_interaction_comment"]
     assert '"user_id":"u1"' in vals["dwd_interaction_comment"]
+
+
+def test_sku_order_window_end_to_end_stream_vs_batch(spark, tmp_path):
+    """Flagship (DwsTradeSkuOrderWindow) streaming path: watermark -> A1
+    dedup -> tumbling sums -> broadcast dim chain, as ONE streaming query,
+    vs the identical pipeline in batch. Duplicate emissions carry identical
+    payloads (the reference's re-emission case), so stream/batch keepers
+    agree."""
+    detail_schema = (
+        "id string, sku_id string, order_price string, sku_num string,"
+        " split_total_amount string, split_activity_amount string,"
+        " split_coupon_amount string, ts long"
+    )
+    rows = [
+        ("d1", "s1", "10", "2", "20", "1", "0", 100),
+        ("d1", "s1", "10", "2", "20", "1", "0", 100),  # re-emission
+        ("d2", "s1", "5", "1", "5", "0", "1", 103),
+        ("d3", "s2", "7", "1", "7", "0", "0", 111),
+    ]
+    dim_sku = spark.createDataFrame(
+        [("s1", "sku one", "p1", "t1", "c1"), ("s2", "sku two", "p2", "t2", "c2")],
+        "id string, sku_name string, spu_id string, tm_id string, category3_id string",
+    )
+    dim_spu = spark.createDataFrame(
+        [("p1", "spu one"), ("p2", "spu two")], "id string, spu_name string"
+    )
+    dim_tm = spark.createDataFrame(
+        [("t1", "brand one"), ("t2", "brand two")], "id string, tm_name string"
+    )
+
+    def run(df, streaming):
+        return dws.trade_sku_order_window(
+            df, dim_sku, dim_spu, dim_tm, window="10 seconds", streaming=streaming
+        )
+
+    batch_detail = spark.createDataFrame(rows, detail_schema)
+    cols = ["stt", "sku_id", "order_amount", "original_amount", "sku_name", "tm_name"]
+    expect = sorted(
+        tuple(str(r[c]) for c in cols) for r in run(batch_detail, False).collect()
+    )
+
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, detail_schema, 1000)
+    flush = [("zz", "s1", "0", "0", "0", "0", "0", 10_000_000)]
+    stages = [
+        (lambda vs=vs: spark.createDataFrame(vs, detail_schema).coalesce(1)
+         .write.mode("append").parquet(src))
+        for vs in (rows[:2], rows[2:], flush)
+    ]
+    got = run_to_memory(run(s, True), "append", stages=stages)
+    streamed = sorted(
+        tuple(str(r[c]) for c in cols)
+        for r in got.filter(F.col("stt") < "1970-02-01").collect()  # drop flush
+    )
+    assert streamed == expect
