@@ -247,3 +247,48 @@ def test_sku_order_window_end_to_end_stream_vs_batch(spark, tmp_path):
         for r in got.filter(F.col("stt") < "1970-02-01").collect()  # drop flush
     )
     assert streamed == expect
+
+
+def test_vc_ch_ar_window_end_to_end_stream_vs_batch(spark, tmp_path):
+    """DwsTrafficVcChArIsNewPageViewWindow streaming: first-today uv flag
+    (self-join against the dedup stream) + keyed tumbling multi-measure
+    reduce, vs the batch plan."""
+    schema = (
+        "common struct<mid:string,vc:string,ch:string,ar:string,is_new:string>,"
+        " page struct<last_page_id:string,during_time:bigint>, ts long"
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(rows, schema)
+
+    c1 = ("m1", "v1", "app", "1", "0")
+    c2 = ("m2", "v1", "app", "1", "0")
+    rows = [
+        (c1, (None, 10), 1_000),        # m1 first visit (uv=1, sv=1)
+        (c1, ("home", 20), 5_000),      # same window, not first (pv only)
+        (c2, (None, 30), 7_000),        # m2 first visit
+        (c1, (None, 40), 90_000_000),   # m1 next day -> uv again, new window
+    ]
+    batch = dws.traffic_vc_ch_ar_is_new_page_view_window(
+        frame(rows), window="1 day", streaming=False
+    )
+    cols = ["stt", "vc", "ch", "ar", "is_new", "uv_ct", "sv_ct", "pv_ct", "dur_sum"]
+    expect = sorted(tuple(str(r[c]) for c in cols) for r in batch.collect())
+    assert [(r[5], r[7]) for r in expect] == [("2", "3"), ("1", "1")]
+
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, schema, 1000)
+    streamed_df = dws.traffic_vc_ch_ar_is_new_page_view_window(
+        s, window="1 day", streaming=True
+    )
+    flush = [(("zz", "v9", "app", "9", "0"), (None, 0), 10_000_000_000)]
+    stages = [
+        (lambda vs=vs: frame(vs).coalesce(1).write.mode("append").parquet(src))
+        for vs in (rows[:3], rows[3:], flush)
+    ]
+    got = run_to_memory(streamed_df, "append", stages=stages)
+    streamed = sorted(
+        tuple(str(r[c]) for c in cols)
+        for r in got.filter(F.col("vc") != "v9").collect()
+    )
+    assert streamed == expect
