@@ -292,3 +292,72 @@ def test_vc_ch_ar_window_end_to_end_stream_vs_batch(spark, tmp_path):
         for r in got.filter(F.col("vc") != "v9").collect()
     )
     assert streamed == expect
+
+
+def test_home_detail_window_end_to_end_stream_vs_batch(spark, tmp_path):
+    """DwsTrafficHomeDetailPageViewWindow: TWO independent first-today
+    dedup states (home vs good_detail, DwsTrafficHomeDetailPageViewWindow.
+    java:69-113) feeding one window — streamed vs batch."""
+    from gmall_flink_realtime4_spark.operators.dedup import first_today
+    from gmall_flink_realtime4_spark.operators.windows import (
+        tumble,
+        with_event_watermark,
+    )
+
+    schema = "mid string, page_id string, ts long"
+
+    def pipeline(df, streaming):
+        src = df.select(
+            "mid", "page_id",
+            F.expr("cast(timestamp_micros(ts * 1000) as timestamp_ntz)").alias(
+                "event_time"
+            ),
+        )
+        if streaming:
+            src = with_event_watermark(src, "event_time", "5 seconds")
+        home = first_today(
+            src.filter(F.col("page_id") == "home"), "mid", "event_time",
+            streaming=streaming,
+        ).withColumn("home_uv", F.lit(1)).withColumn("detail_uv", F.lit(0))
+        detail = first_today(
+            src.filter(F.col("page_id") == "good_detail"), "mid", "event_time",
+            streaming=streaming,
+        ).withColumn("home_uv", F.lit(0)).withColumn("detail_uv", F.lit(1))
+        return tumble(
+            home.unionByName(detail),
+            "event_time",
+            "1 day",
+            aggs=[
+                F.sum("home_uv").cast("bigint").alias("home_uv_ct"),
+                F.sum("detail_uv").cast("bigint").alias("good_detail_uv_ct"),
+            ],
+        )
+
+    day = 86_400_000
+    rows = [
+        ("m1", "home", 10 * day),
+        ("m1", "home", 10 * day + 1000),        # same-day dup -> dropped
+        ("m1", "good_detail", 10 * day + 2000),  # independent state
+        ("m2", "good_detail", 10 * day + 3000),
+        ("m2", "cart", 10 * day + 4000),         # neither page -> ignored
+        ("m1", "home", 11 * day),                # next day counts again
+    ]
+    batch = pipeline(spark.createDataFrame(rows, schema), False)
+    cols = ["stt", "home_uv_ct", "good_detail_uv_ct"]
+    expect = sorted(tuple(str(r[c]) for c in cols) for r in batch.collect())
+    assert [(r[1], r[2]) for r in expect] == [("1", "2"), ("1", "0")]
+
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, schema, 1000)
+    flush = [("zz", "home", 400 * day)]
+    stages = [
+        (lambda vs=vs: spark.createDataFrame(vs, schema).coalesce(1)
+         .write.mode("append").parquet(src))
+        for vs in (rows[:4], rows[4:], flush)
+    ]
+    got = run_to_memory(pipeline(s, True), "append", stages=stages)
+    streamed = sorted(
+        tuple(str(r[c]) for c in cols)
+        for r in got.filter(F.col("stt") < "2000-01-01").collect()
+    )
+    assert streamed == expect
