@@ -63,8 +63,15 @@ def trade_sku_order_window(
     """
     src = _event_time(detail)
     if streaming:
+        # TTL-bounded dedup state (the reference's 30 s MapState TTL, W4):
+        # re-emissions arrive within seconds, so watermark-scoped state
+        # suffices — O(watermark window), not O(stream)
+        from ..operators.dedup import dedup_within_watermark
+
         src = with_event_watermark(src, "event_time", "5 seconds")
-    d = dedup_upserts(src, ["id"], order_col="ts", streaming=streaming)
+        d = dedup_within_watermark(src, ["id"])
+    else:
+        d = dedup_upserts(src, ["id"], order_col="ts")
     agged = tumble(
         d,
         "event_time",

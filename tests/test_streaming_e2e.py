@@ -361,3 +361,52 @@ def test_home_detail_window_end_to_end_stream_vs_batch(spark, tmp_path):
         for r in got.filter(F.col("stt") < "2000-01-01").collect()
     )
     assert streamed == expect
+
+
+def test_keyword_window_end_to_end_stream_vs_batch(spark, tmp_path):
+    """DwsTrafficSourceKeywordPageViewWindow streaming: search-page filter
+    (P7) -> tokenizer UDTF explode (U1/J7) -> tumbling keyword counts (A3),
+    streamed vs batch."""
+    schema = (
+        "common struct<mid:string>,"
+        " page struct<last_page_id:string,item:string,item_type:string>, ts long"
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(rows, schema)
+
+    day = 86_400_000
+    rows = [
+        (("m1",), ("search", "red dress", "keyword"), 10 * day),
+        (("m2",), ("search", "red shoes", "keyword"), 10 * day + 1000),
+        (("m3",), ("home", "red hat", "keyword"), 10 * day + 2000),   # wrong last page
+        (("m4",), ("search", None, "keyword"), 10 * day + 3000),      # null item
+        (("m5",), ("search", "dress dress", "keyword"), 11 * day),    # set-dedup
+    ]
+    batch = dws.traffic_source_keyword_page_view_window(
+        frame(rows), window="1 day", streaming=False
+    )
+    cols = ["stt", "keyword", "keyword_count"]
+    expect = sorted(tuple(str(r[c]) for c in cols) for r in batch.collect())
+    # day1: red x2, dress, shoes; day2: dress x1 (HashSet-dedup inside doc)
+    assert [(k, c) for _, k, c in expect] == [
+        ("dress", "1"), ("red", "2"), ("shoes", "1"), ("dress", "1")
+    ]
+
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, schema, 1000)
+    flush = [(("zz",), ("search", "flush", "keyword"), 400 * day)]
+    stages = [
+        (lambda vs=vs: frame(vs).coalesce(1).write.mode("append").parquet(src))
+        for vs in (rows[:3], rows[3:], flush)
+    ]
+    got = run_to_memory(
+        dws.traffic_source_keyword_page_view_window(s, window="1 day", streaming=True),
+        "append",
+        stages=stages,
+    )
+    streamed = sorted(
+        tuple(str(r[c]) for c in cols)
+        for r in got.filter(F.col("keyword") != "flush").collect()
+    )
+    assert streamed == expect
