@@ -39,6 +39,8 @@ HEADLINE = [
     "llm_dedup_simhash",
     "dws_sliding_window_events",
     "dws_session_window_events",
+    "dws_user_event_funnel",
+    "llm_corpus_rollup",
 ]
 
 

@@ -12,7 +12,7 @@ gaps-and-islands rewrite (LAG + cumulative sum of new-session flags).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from .. import tables as T
 from .catalog import query
@@ -72,6 +72,115 @@ def dws_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ct",
             "val_sum",
         )
+    )
+
+
+@query(
+    "llm_corpus_rollup",
+    oracle="""
+SELECT COALESCE(lang, '<all>')    AS lang,
+       COALESCE(source, '<all>')  AS source,
+       CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+       COUNT(*)                   AS n_docs,
+       SUM(len(string_split(text, ' '))) AS total_tokens
+FROM documents
+GROUP BY ROLLUP (lang, source)
+""",
+    tags=("llm-text", "rollup"),
+)
+def llm_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats with ROLLUP (lang, source) — subtotal + grand-total
+    rows in one pass (beyond-reference: the warehouse has no grouping
+    sets). GROUPING() disambiguates rollup-NULL from data-NULL; Spark
+    computes rollup via Expand before the single aggregation shuffle."""
+    d = T.load(spark, sf_dir, "documents")
+    rolled = d.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        (F.grouping("lang") * 2 + F.grouping("source"))
+        .cast("bigint")
+        .alias("gid"),
+    )
+    return rolled.select(
+        F.coalesce("lang", F.lit("<all>")).alias("lang"),
+        F.coalesce("source", F.lit("<all>")).alias("source"),
+        "gid",
+        "n_docs",
+        "total_tokens",
+    )
+
+
+@query(
+    "dws_user_event_funnel",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type, ts,
+           min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS first_view
+    FROM events
+), click_after AS (
+    SELECT user_id, first_view,
+           min(CASE WHEN event_type = 'click' AND ts > first_view THEN ts END)
+               AS first_click
+    FROM seq GROUP BY user_id, first_view
+), buy_after AS (
+    SELECT s.user_id, c.first_view, c.first_click,
+           min(CASE WHEN s.event_type = 'purchase' AND s.ts > c.first_click
+                    THEN s.ts END) AS first_buy
+    FROM seq s JOIN click_after c ON s.user_id = c.user_id
+    GROUP BY s.user_id, c.first_view, c.first_click
+)
+SELECT CAST(COUNT(*) AS BIGINT)                              AS n_users,
+       CAST(COUNT(first_view) AS BIGINT)                     AS viewed,
+       CAST(COUNT(first_click) AS BIGINT)                    AS clicked_after_view,
+       CAST(COUNT(first_buy) AS BIGINT)                      AS bought_after_click
+FROM buy_after
+""",
+    tags=("window-analytic",),
+)
+def dws_user_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase via analytic
+    window functions (beyond-reference: the warehouse has no OVER windows).
+
+    Stage timestamps chain: first view, first click strictly after it,
+    first purchase strictly after that — each a conditional MIN, so the
+    whole funnel is two keyed aggregations (no per-user sort-explode)."""
+    e = T.load(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(
+            Window.partitionBy("user_id")
+        ).alias("first_view"),
+    )
+    click_after = seq.groupBy("user_id", "first_view").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("first_view")),
+                F.col("ts"),
+            )
+        ).alias("first_click")
+    )
+    buy_after = (
+        seq.select("user_id", "event_type", "ts")
+        .join(click_after, "user_id")
+        .groupBy("user_id", "first_view", "first_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).alias("first_buy")
+        )
+    )
+    return buy_after.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_view").alias("viewed"),
+        F.count("first_click").alias("clicked_after_view"),
+        F.count("first_buy").alias("bought_after_click"),
     )
 
 
