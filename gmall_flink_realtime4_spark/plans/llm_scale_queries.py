@@ -680,3 +680,85 @@ def llm_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_permille"
         ),
     )
+
+
+def _kmeans_step_oracle() -> str:
+    return f"""
+WITH {_NORMS_SQL},
+bc AS (
+    SELECT b.vec_id, c.vec_id AS cid, {_PAIR_DOT.format(l="b", r="c")} AS dot
+    FROM embeddings b, embeddings c, ix
+    WHERE c.vec_id < {IVF_N_CENTROIDS}
+    GROUP BY 1, 2
+), bscore AS (
+    SELECT bc.vec_id, bc.cid,
+           CAST(floor(1000000000.0 * CAST(bc.dot AS DOUBLE)
+                / sqrt(CAST(nb.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)))
+                AS BIGINT) AS ce9
+    FROM bc
+    JOIN norms nb ON bc.vec_id = nb.vec_id
+    JOIN norms nc ON bc.cid = nc.vec_id
+), assign AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY ce9 DESC, cid) AS rn
+        FROM bscore
+    ) WHERE rn = 1
+), mem AS (
+    SELECT a.cell, e.embedding FROM assign a
+    JOIN embeddings e ON a.vec_id = e.vec_id
+)
+SELECT cell, ix.i AS dim_idx,
+       COUNT(*) AS n_members,
+       CAST(SUM(CAST(CAST(embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7)))
+            AS DOUBLE) AS dim_sum
+FROM mem, ix
+GROUP BY 1, 2
+"""
+
+
+@query("llm_embedding_kmeans_step", oracle=_kmeans_step_oracle(), tags=("llm-similarity",))
+def llm_embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means (Lloyd) iteration in sufficient-statistics form: assign
+    every vector to its nearest centroid (IVF's quantizer) and emit per
+    (cell, dimension) the member count + exact component sum.
+
+    Sum+count, not mean: the mergeable map-side-combinable statistic every
+    distributed k-means shuffles (means divide at the driver). The driver
+    loop re-broadcasts updated centroids per iteration — the SURVEY's
+    'iterative algorithm' pattern with one scan + one low-cardinality
+    shuffle per step. Exact decimal sums -> one rounded double, so the
+    step is engine-reproducible.
+    """
+    emb = T.load(spark, sf_dir, "embeddings")
+    norms = emb.select("vec_id", _dot(F.col("embedding"), F.col("embedding")).alias("n2"))
+    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    ncent = norms.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("n2").alias("cn2")
+    )
+    bscore = (
+        emb.crossJoin(F.broadcast(cent))
+        .join(norms, "vec_id")
+        .join(F.broadcast(ncent), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            _cos_e9(_dot(F.col("embedding"), F.col("ce")), F.col("n2"), F.col("cn2")).alias("ce9"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ce9").desc(), F.col("cid"))
+    assign = (
+        bscore.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    mem = assign.join(emb, "vec_id").select("cell", "embedding")
+    comp = mem.select(
+        "cell", F.posexplode("embedding").alias("pos", "val")
+    )
+    return comp.groupBy("cell", (F.col("pos") + 1).alias("dim_idx")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("val").cast("double").cast(VEC_DEC)).cast("double").alias("dim_sum"),
+    )

@@ -1,0 +1,72 @@
+"""Cross-operator consistency checks for the LLM dedup/similarity family.
+
+The approximate operators (LSH, IVF) are graded against their exact twins
+ON THE SAME DATA — subset relations and score equality that must hold by
+construction, plus a recall floor that pins index quality.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gmall_flink_realtime4_spark.plans.catalog import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_candidates_subset_of_jaccard_pairs(spark):
+    """Every MinHash-LSH candidate pair must appear in the exact inverted-
+    index jaccard pairs with the IDENTICAL jaccard_permille — LSH prunes
+    the pair space, it must never invent or mis-score a pair."""
+    qs = queries()
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_permille"]
+        for r in qs["llm_dedup_ngram_jaccard"](spark, SF).collect()
+    }
+    cand = qs["llm_dedup_minhash_lsh"](spark, SF).collect()
+    assert len(cand) > 0  # sf0.001 contains near-dup docs
+    for r in cand:
+        key = (r["doc_a"], r["doc_b"])
+        assert key in exact, f"LSH invented pair {key}"
+        assert r["jaccard_permille"] == exact[key], key
+
+
+def test_lsh_finds_the_high_jaccard_pairs(spark):
+    """Recall sanity: every pair with jaccard >= 0.8 shares a band with
+    overwhelming probability (J^3 per band, 4 bands) — at fixture scale
+    demand 100% recall at that threshold."""
+    qs = queries()
+    high = {
+        (r["doc_a"], r["doc_b"])
+        for r in qs["llm_dedup_ngram_jaccard"](spark, SF).collect()
+        if r["jaccard_permille"] >= 800
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in qs["llm_dedup_minhash_lsh"](spark, SF).collect()
+    }
+    assert high, "fixture should contain at least one >=0.8 jaccard pair"
+    missed = high - cand
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_ivf_recall_floor(spark):
+    """IVF with nprobe=2 of 16 cells must keep mean recall@5 above a floor
+    (brute-force is the judge); protects against quantizer regressions."""
+    rows = queries()["llm_ann_ivf_recall"](spark, SF).collect()
+    assert rows
+    mean_recall = sum(r["recall_permille"] for r in rows) / len(rows)
+    assert mean_recall >= 300, f"mean recall@5 dropped to {mean_recall}"
+
+
+def test_simhash_identical_docs_same_fingerprint(spark):
+    """Exact duplicates (same token multiset) must collide in SimHash; the
+    fingerprint of a doc must also be stable across runs."""
+    qs = queries()
+    fp1 = {r["doc_id"]: r["simhash64"] for r in qs["llm_dedup_simhash"](spark, SF).collect()}
+    fp2 = {r["doc_id"]: r["simhash64"] for r in qs["llm_dedup_simhash"](spark, SF).collect()}
+    assert fp1 == fp2
+    assert all(len(v) == 16 for v in fp1.values())
