@@ -428,3 +428,76 @@ def test_diff_state_deltas_net_out_revisions(spark, tmp_path):
     by_window = {r["stt"].isoformat(): r["total"] for r in got.collect()}
     # latest amounts: id1=15, id2=5 -> 20 (a plain sum of emissions = 30)
     assert by_window["2024-01-01T00:00:00"] == 20.0
+
+
+def test_upsert_parquet_across_batches(spark, tmp_path):
+    """K5 across micro-batches: a later batch must upsert over keys merged
+    in an earlier batch (read-merge-overwrite cycle), and a late delete
+    must remove a previously-materialized key."""
+    target = str(tmp_path / "dim_multi")
+    schema = "row_key string, seq long, type string, val string"
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, schema, max_files_per_trigger=1000)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    stages = _stage_writes(
+        src,
+        [
+            batch([("k1", 1, "upsert", "v1"), ("k2", 1, "upsert", "x1")]),
+            batch([("k1", 2, "upsert", "v2"), ("k3", 1, "upsert", "z1")]),
+            batch([("k2", 2, "delete", "")]),
+        ],
+    )
+    qname = f"fb_{tmp_path.name}"
+    q = (
+        s.writeStream.foreachBatch(
+            lambda bdf, _bid: upsert_parquet(
+                bdf, target, ["row_key"], "seq", delete_col="type"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        for st in stages:
+            st()
+            q.processAllAvailable()
+    finally:
+        q.stop(); q.awaitTermination()
+    got = _rows(spark.read.parquet(target), ["row_key", "seq", "val"])
+    assert got == [("k1", 2, "v2"), ("k3", 1, "z1")]
+
+
+def test_llm_exact_dedup_streaming(spark, tmp_path):
+    """LLM exact dedup on a document STREAM: md5-fingerprint
+    dropDuplicates under watermark — re-ingested duplicate content is
+    emitted once (the streaming ingestion twin of llm_dedup_exact)."""
+    schema = "doc_id long, text string, ts timestamp"
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, ts string"
+        ).select("doc_id", "text", F.col("ts").cast("timestamp").alias("ts"))
+
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, schema, max_files_per_trigger=1000)
+    dedup = (
+        s.withWatermark("ts", "1 hour")
+        .withColumn("content_hash", F.md5(F.lower("text")))
+        .dropDuplicates(["content_hash"])
+    )
+    stages = _stage_writes(
+        src,
+        [
+            frame([(1, "Alpha Beta", "2024-01-01 00:00:01"),
+                   (2, "alpha beta", "2024-01-01 00:00:02"),  # dup (case)
+                   (3, "gamma", "2024-01-01 00:00:03")]),
+            frame([(4, "ALPHA BETA", "2024-01-01 00:10:00"),  # dup again
+                   (5, "delta", "2024-01-01 00:10:01")]),
+        ],
+    )
+    got = run_to_memory(dedup, output_mode="append", stages=stages)
+    kept = sorted(r["doc_id"] for r in got.collect())
+    assert kept == [1, 3, 5]
