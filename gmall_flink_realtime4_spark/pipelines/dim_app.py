@@ -61,6 +61,39 @@ def route_dims(cdc: DataFrame, config: DataFrame) -> DataFrame:
     )
 
 
+def apply_config_ddl(
+    spark, config: DataFrame, location_root: str | None = None
+) -> list[str]:
+    """K6 — the HBase DDL side effects, Spark-catalog twin.
+
+    Reference: DimApp.java:99-139 + HBaseUtil.java:32-66 — when a config
+    row appears the dim table is created (idempotent); when the row is
+    deleted the table is dropped. Here each configured sink_table becomes a
+    catalog table (row_key + string-cell map, the HBase column-family
+    shape); both statements are idempotent (IF [NOT] EXISTS) so config
+    replays are safe. Returns the tables ensured, for the caller's
+    drop-diff: tables previously ensured but absent from the new config
+    should be dropped via ``drop_dim_table``.
+    """
+    ensured = []
+    for row in config.select("sink_table").distinct().collect():
+        name = row["sink_table"]
+        loc = (
+            f" LOCATION '{location_root}/{name}'" if location_root else ""
+        )
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} "
+            f"(row_key STRING, data MAP<STRING, STRING>) USING parquet{loc}"
+        )
+        ensured.append(name)
+    return ensured
+
+
+def drop_dim_table(spark, name: str) -> None:
+    """K6 — config-row deletion side effect (DimApp.java:123-131)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def apply_dim_batch(
     routed: DataFrame, sink_table: str
 ) -> DataFrame:

@@ -397,3 +397,26 @@ def test_tokenizer_pure():
     assert tokenize("小米手机 pro") == ["pro", "小", "手", "机", "米"]
     assert tokenize(None) == []
     assert tokenize("") == []
+
+
+def test_dim_config_ddl_side_effects(spark, tmp_path):
+    """K6: config rows create dim tables idempotently; a removed config row
+    drops its table (DimApp.java:99-139 twin)."""
+    config = spark.createDataFrame(
+        [("user_info", "dim_tbl_a", "id", "id"), ("sku_info", "dim_tbl_b", "id", "id")],
+        "source_table string, sink_table string, sink_columns string, sink_row_key string",
+    )
+    loc = str(tmp_path / "dims")
+    ensured = dim_app.apply_config_ddl(spark, config, location_root=loc)
+    assert sorted(ensured) == ["dim_tbl_a", "dim_tbl_b"]
+    # idempotent replay
+    assert sorted(dim_app.apply_config_ddl(spark, config, location_root=loc)) == [
+        "dim_tbl_a", "dim_tbl_b"
+    ]
+    assert spark.catalog.tableExists("dim_tbl_a")
+    spark.sql("INSERT INTO dim_tbl_a VALUES ('k1', map('a', '1'))")
+    assert spark.table("dim_tbl_a").count() == 1
+    dim_app.drop_dim_table(spark, "dim_tbl_a")
+    dim_app.drop_dim_table(spark, "dim_tbl_a")  # idempotent
+    assert not spark.catalog.tableExists("dim_tbl_a")
+    dim_app.drop_dim_table(spark, "dim_tbl_b")
