@@ -87,13 +87,31 @@ def upsert_parquet(
 
 
 def write_routed_batch(
-    batch_df: DataFrame, base_path: str, topic_col: str = "topic"
+    batch_df: DataFrame,
+    base_path: str,
+    topic_col: str = "topic",
+    batch_id: int | None = None,
 ) -> None:
-    """K2 broker-less twin (foreachBatch body): append each record under
-    its routed topic as a partition directory — `base/topic=<t>/...` — the
-    storage analog of the per-row Kafka topic routing. Idempotent replays
-    rely on the checkpoint (same as the kafka sink)."""
-    batch_df.write.mode("append").partitionBy(topic_col).parquet(base_path)
+    """K2 broker-less twin (foreachBatch body): land each record under its
+    routed topic as a partition directory — `base/topic=<t>/...` — the
+    storage analog of the per-row Kafka topic routing.
+
+    Exactly-once: pass the foreachBatch ``batch_id``. The write becomes a
+    dynamic partition overwrite of `(topic, batch_id)` partitions, so a
+    replayed batch (post-crash re-delivery from the checkpoint) overwrites
+    its own previous output instead of appending duplicates — the standard
+    idempotent-foreachBatch contract.
+    """
+    if batch_id is None:
+        batch_df.write.mode("append").partitionBy(topic_col).parquet(base_path)
+        return
+    (
+        batch_df.withColumn("__batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(topic_col, "__batch_id")
+        .parquet(base_path)
+    )
 
 
 def table_append_sink(

@@ -501,3 +501,23 @@ def test_llm_exact_dedup_streaming(spark, tmp_path):
     got = run_to_memory(dedup, output_mode="append", stages=stages)
     kept = sorted(r["doc_id"] for r in got.collect())
     assert kept == [1, 3, 5]
+
+
+def test_routed_batch_replay_idempotent(spark, tmp_path):
+    """K2 exactly-once: re-delivering the same foreachBatch batch_id (the
+    post-crash replay case) must overwrite its own partitions, not append
+    duplicates; distinct batch_ids accumulate."""
+    from gmall_flink_realtime4_spark.sinks.factories import write_routed_batch
+
+    out = str(tmp_path / "routed")
+    b0 = spark.createDataFrame(
+        [("t_a", "r1"), ("t_b", "r2")], "topic string, value string"
+    )
+    write_routed_batch(b0, out, batch_id=0)
+    write_routed_batch(b0, out, batch_id=0)  # replay of batch 0
+    b1 = spark.createDataFrame([("t_a", "r3")], "topic string, value string")
+    write_routed_batch(b1, out, batch_id=1)
+    got = sorted(
+        (r["topic"], r["value"]) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [("t_a", "r1"), ("t_a", "r3"), ("t_b", "r2")]
