@@ -762,3 +762,80 @@ def llm_embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.col("val").cast("double").cast(VEC_DEC)).cast("double").alias("dim_sum"),
     )
+
+
+DUP_CLUSTER_THRESHOLD_PM = 500  # jaccard >= 0.5 => same duplicate cluster
+
+
+def _dedup_clusters_oracle() -> str:
+    minhash = REGISTRY["llm_dedup_minhash_lsh"].oracle
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({minhash})
+    WHERE jaccard_permille >= {DUP_CLUSTER_THRESHOLD_PM}
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+), nodes AS (
+    SELECT DISTINCT src AS doc_id FROM edges
+), reach AS (
+    SELECT doc_id, doc_id AS lab FROM nodes
+    UNION
+    SELECT e.dst AS doc_id, r.lab
+    FROM reach r JOIN edges e ON e.src = r.doc_id
+)
+SELECT doc_id, MIN(lab) AS cluster_id
+FROM reach GROUP BY 1
+"""
+
+
+@query("llm_dedup_clusters", oracle=_dedup_clusters_oracle(), tags=("llm-dedup",))
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the MinHash-LSH pair
+    graph (jaccard >= 0.5), cluster id = min doc_id in the component.
+
+    The iterative-algorithm pattern SURVEY §7 calls out: a driver-side
+    Pregel-style loop — each round joins every node's label against its
+    neighbors' and keeps the min — run to convergence (O(component
+    diameter) rounds; dup clusters are near-cliques, so 2-3 rounds in
+    practice). Each round is one shuffle join + one aggregation; at 100 TB
+    you checkpoint labels every few rounds to cut lineage. The oracle is
+    the same fixpoint via DuckDB's recursive CTE.
+    """
+    pairs = (
+        llm_dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("jaccard_permille") >= DUP_CLUSTER_THRESHOLD_PM)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    edges = edges.localCheckpoint()  # fixed small graph; cut plan reuse cost
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "lab", F.col("doc_id")
+    )
+    for _ in range(20):  # bound >> any real component diameter
+        neighbor_min = (
+            labels.join(edges, labels.doc_id == edges.src)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("lab").alias("cluster_id"))
