@@ -811,31 +811,37 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
-    edges = edges.localCheckpoint()  # fixed small graph; cut plan reuse cost
+    # materialize the (small) pair graph once, on few partitions: the label
+    # loop is scheduling-bound, not data-bound — per-iteration cost is
+    # tasks, so keep the iteration frames narrow. At 100 TB the edge set is
+    # still tiny relative to the corpus (it's only near-dup pairs); size
+    # partitions to the edge count, not the input.
+    edges = edges.coalesce(8).localCheckpoint()
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "lab", F.col("doc_id")
     )
+    # convergence check: labels only ever decrease, so SUM(lab) is a strictly
+    # decreasing potential — one scalar agg per round instead of a
+    # join-and-count (halves the per-iteration job count; the loop is
+    # scheduling-bound, not data-bound)
+    prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
     for _ in range(20):  # bound >> any real component diameter
         neighbor_min = (
             labels.join(edges, labels.doc_id == edges.src)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("lab").alias("nlab"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
             )
+            .coalesce(8)
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("doc_id", F.col("lab").alias("cluster_id"))

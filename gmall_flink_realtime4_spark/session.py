@@ -45,6 +45,12 @@ BUILD_CONFS: dict[str, str] = {
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # local mode = one JVM; the default 1g heap cannot hold a 64 MB
+    # broadcast's hashed relation next to execution memory (observed OOM
+    # building broadcasts at 10x scale). Size for the box; harmless when a
+    # session already exists (builder confs are ignored then, and the
+    # runtime confs above still apply).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 
