@@ -249,3 +249,73 @@ def traffic_vc_ch_ar_is_new_page_view_window(
             F.sum("during_time").cast("bigint").alias("dur_sum"),
         ],
     )
+
+
+def trade_province_order_window(
+    detail: DataFrame, window: str = "1 day", streaming: bool = False
+) -> DataFrame:
+    """DwsTradeProvinceOrderWindow.java:82-138 — per-province windowed
+    amount sum (A2) + DISTINCT order count (A7, the orderIdSet-in-state
+    pattern) + distinct user count.
+
+    Batch: plain countDistinct. Streaming: countDistinct is unsupported in
+    streaming aggs, so each distinct measure becomes a watermark-scoped
+    dedup stream (order ids globally — re-emissions net out like the
+    reference's Set union; users per window day) tagged and UNIONed with
+    the raw amount stream — ONE append-mode windowed agg sums the tags.
+    Works because tumbling windows partition event time: every tagged row
+    lands in exactly one window.
+    """
+    src = _event_time(detail)
+    if streaming:
+        src = with_event_watermark(src, "event_time", "5 seconds")
+        base = src.select(
+            "province_id", "event_time",
+            F.col("split_total_amount").cast(MONEY).alias("amount"),
+            F.lit(0).alias("ord"), F.lit(0).alias("usr"),
+        )
+        orders = (
+            src.dropDuplicates(["order_id"])
+            .select(
+                "province_id", "event_time",
+                F.lit(None).cast(MONEY).alias("amount"),
+                F.lit(1).alias("ord"), F.lit(0).alias("usr"),
+            )
+        )
+        users = (
+            src.withColumn("d", F.to_date("event_time"))
+            .dropDuplicates(["user_id", "d"])
+            .select(
+                "province_id", "event_time",
+                F.lit(None).cast(MONEY).alias("amount"),
+                F.lit(0).alias("ord"), F.lit(1).alias("usr"),
+            )
+        )
+        tagged = base.unionByName(orders).unionByName(users)
+    else:
+        tagged = None
+    if streaming:
+        return tumble(
+            tagged,
+            "event_time",
+            window,
+            keys=[F.col("province_id")],
+            aggs=[
+                F.sum("ord").cast("bigint").alias("order_count"),
+                F.sum("usr").cast("bigint").alias("user_count"),
+                F.sum("amount").cast("double").alias("order_amount"),
+            ],
+        )
+    return tumble(
+        src,
+        "event_time",
+        window,
+        keys=[F.col("province_id")],
+        aggs=[
+            F.countDistinct("order_id").alias("order_count"),
+            F.countDistinct("user_id").alias("user_count"),
+            F.sum(F.col("split_total_amount").cast(MONEY))
+            .cast("double")
+            .alias("order_amount"),
+        ],
+    )

@@ -410,3 +410,44 @@ def test_keyword_window_end_to_end_stream_vs_batch(spark, tmp_path):
         for r in got.filter(F.col("keyword") != "flush").collect()
     )
     assert streamed == expect
+
+
+def test_province_window_end_to_end_stream_vs_batch(spark, tmp_path):
+    """DwsTradeProvinceOrderWindow streaming: DISTINCT order/user counts
+    (A7) via tagged dedup-stream union — countDistinct has no streaming
+    form — vs the batch countDistinct plan."""
+    schema = (
+        "province_id string, order_id string, user_id string,"
+        " split_total_amount string, ts long"
+    )
+    day = 86_400
+    rows = [
+        ("p1", "o1", "u1", "10", 10 * day),
+        ("p1", "o1", "u1", "5", 10 * day + 60),   # same order, 2nd detail row
+        ("p1", "o2", "u1", "7", 10 * day + 120),  # same user, distinct order
+        ("p2", "o3", "u2", "3", 10 * day + 180),
+        ("p1", "o4", "u3", "2", 11 * day),        # next window
+    ]
+    def run(df, streaming):
+        return dws.trade_province_order_window(df, window="1 day", streaming=streaming)
+
+    batch = run(spark.createDataFrame(rows, schema), False)
+    cols = ["stt", "province_id", "order_count", "user_count", "order_amount"]
+    expect = sorted(tuple(str(r[c]) for c in cols) for r in batch.collect())
+    assert [(r[2], r[3], r[4]) for r in expect] == [
+        ("2", "1", "22.0"), ("1", "1", "3.0"), ("1", "1", "2.0")
+    ]
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, schema, 1000)
+    flush = [("pz", "oz", "uz", "0", 10_000 * day)]
+    stages = [
+        (lambda vs=vs: spark.createDataFrame(vs, schema).coalesce(1)
+         .write.mode("append").parquet(src))
+        for vs in (rows[:3], rows[3:], flush)
+    ]
+    got = run_to_memory(run(s, True), "append", stages=stages)
+    streamed = sorted(
+        tuple(str(r[c]) for c in cols)
+        for r in got.filter(F.col("province_id") != "pz").collect()
+    )
+    assert streamed == expect
