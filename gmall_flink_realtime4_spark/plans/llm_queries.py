@@ -460,8 +460,8 @@ WITH feat AS (
 )
 SELECT source,
        COUNT(*)          AS n_docs,
-       SUM(n_tokens)     AS total_tokens,
-       SUM(n_chars)      AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT)  AS total_chars,
        MIN(doc_id)       AS min_doc_id
 FROM docs GROUP BY 1
 """,

@@ -82,7 +82,7 @@ SELECT COALESCE(lang, '<all>')    AS lang,
        COALESCE(source, '<all>')  AS source,
        CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
        COUNT(*)                   AS n_docs,
-       SUM(len(string_split(text, ' '))) AS total_tokens
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
 FROM documents
 GROUP BY ROLLUP (lang, source)
 """,

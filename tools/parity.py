@@ -47,10 +47,34 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def dtype_kind(s: pd.Series) -> str:
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(sdf.columns) != sorted(odf.columns):
         problems.append(f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    # Type-faithfulness guard: the driver's value hash is type-sensitive, so
+    # an uncast DuckDB SUM(int) (HUGEINT -> pandas float64) vs Spark BIGINT
+    # (int64) must FAIL here even though the numeric values compare equal.
+    for c in sorted(sdf.columns):
+        ks, ko = dtype_kind(sdf[c]), dtype_kind(odf[c])
+        if ks != ko:
+            problems.append(
+                f"dtype kind mismatch on '{c}': spark={sdf[c].dtype}({ks}) "
+                f"oracle={odf[c].dtype}({ko}) — uncast HUGEINT/DOUBLE in oracle?"
+            )
+    if problems:
         return problems
     if len(sdf) != len(odf):
         problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
