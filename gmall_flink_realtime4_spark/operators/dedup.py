@@ -86,10 +86,83 @@ def first_today(
     (DwsTrafficVcChArIsNewPageViewWindow.java:61-105,
     DwsUserUserLoginWindow.java:73-107, DwsTradeCartAddUuWindow.java:76-97).
     Batch: min-ts row per (key, day); streaming: dropDuplicates on
-    (key, day) under watermark (1-day state TTL falls out of the watermark).
+    (key, day).
+
+    State caveat (streaming): the dedup subset excludes the event-time
+    column, so Spark does NOT evict this state by watermark — it grows
+    O(keys x days) over the stream's lifetime. That is exactly the
+    reference's own posture (its ValueState has no TTL either) and is fine
+    for bounded replays and day-scale jobs; for unbounded deployments use
+    ``first_today_bounded_state`` (event-time-timeout eviction). The
+    upside of dropDuplicates here is that watermark metadata SURVIVES it,
+    so downstream windowed aggs keep working (applyInPandasWithState
+    would strip the watermark).
     """
     day = F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("__day")
     with_day = df.withColumn("__day", day)
     if streaming:
         return with_day.dropDuplicates([key, "__day"]).drop("__day")
     return first_per_key(with_day, [key, "__day"], ts_col).drop("__day")
+
+
+def first_today_bounded_state(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    ttl_hours: int = 36,
+) -> DataFrame:
+    """A8/W4 streaming — first event per (key, day) with BOUNDED state.
+
+    The Flink-exact twin of keyed ValueState lastVisitDate *with TTL*
+    (DwsUserUserLoginWindow.java:73-107): state per key is the last day an
+    event was emitted for, and an event-time timeout at watermark +
+    ``ttl_hours`` evicts keys idle past the horizon — state is
+    O(keys active within the TTL window), not O(keys x days).
+
+    Requires a watermark on ``ts_col`` upstream. Caveat (Spark contract):
+    ``applyInPandasWithState`` strips watermark metadata from its output —
+    re-declare a watermark AFTER this operator before any downstream
+    stateful op (see operators/windows.with_event_watermark).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = df.schema
+    ttl_ms = ttl_hours * 3600 * 1000
+
+    def fn(key_t, pdfs, state: GroupState):
+        import pandas as pd  # noqa: F811 (worker-side import)
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_day = state.get[0] if state.exists else None
+        last_event_ms = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+            ts = pd.to_datetime(pdf[ts_col])
+            days = ts.dt.strftime("%Y-%m-%d")
+            last_event_ms = max(
+                last_event_ms, int(ts.iloc[-1].value // 1_000_000)
+            )
+            keep = []
+            for j in range(len(pdf)):
+                d = days.iloc[j]
+                if d != last_day:
+                    keep.append(j)
+                    last_day = d
+            if keep:
+                yield pdf.iloc[keep]
+        state.update((last_day,))
+        # Anchor the eviction horizon to the newest signal we have: on the
+        # first batch the watermark is still 0 (epoch), and an epoch-anchored
+        # timeout would expire immediately and wipe live state.
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(wm, last_event_ms) + ttl_ms)
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=schema,
+        stateStructType="last_day STRING",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -273,7 +273,15 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIMHASH_HAMMING_MAX = 16
+# Pigeonhole with 4 disjoint 16-bit blocks GUARANTEES a shared block only
+# for pairs within hamming <= 3; a larger threshold would make the banding
+# contract silently partial (pairs at distance 4+ recalled only when a
+# block happens to collide) — and it is also what ballooned the output
+# pair set at x10 scale (2.36 M pairs under the old <= 16). For a larger
+# guaranteed radius r, band on r+1 blocks (Manku et al., WWW'07) — at
+# 64 bits that means narrower blocks and quadratically more collisions,
+# so 3 is the sweet spot the literature itself ships.
+SIMHASH_HAMMING_MAX = 3
 _POPCOUNT = "0112122312232334"  # popcount lookup for a 4-bit value
 
 
@@ -335,10 +343,13 @@ def llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 16-bit block banding + hamming distance.
 
     The pigeonhole trick: two 64-bit fingerprints within hamming distance
-    k < 4 must agree on at least one of 4 16-bit blocks, so candidate pairs
-    come from a block-equality self-join (4 shuffle keys per doc, never the
-    O(n^2) pair space); hamming is then computed exactly from the hex
-    digits via a 4-bit popcount lookup and filtered to <= {k}. All
+    k <= 3 must agree on at least one of 4 16-bit blocks, so candidate
+    pairs come from a block-equality self-join (4 shuffle keys per doc,
+    never the O(n^2) pair space); hamming is then computed exactly from
+    the hex digits via a 4-bit popcount lookup and filtered to
+    SIMHASH_HAMMING_MAX = 3 — the threshold the banding actually
+    GUARANTEES (recall = 1.0 within the radius; see the constant's note
+    for why a wider radius needs more bands, not a looser filter). All
     JVM-side string/bit expressions.
     """
     fp = llm_dedup_simhash(spark, sf_dir)
@@ -593,27 +604,28 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: centroids broadcast to assignment (N x K dots, map-only);
     the cell id becomes the co-partition key so probe->candidate matching
     is one shuffle on a low-cardinality key; exact rerank touches only
-    nprobe/K of the base — the IVF contract.
+    nprobe/K of the base — the IVF contract. Norms are FUSED into the
+    base scan (n2 computed in the same projection as the assignment
+    dots), so the whole assignment stage is one pass over the
+    embeddings with zero extra joins.
     """
     emb = T.load(spark, sf_dir, "embeddings")
-    norms = emb.select("vec_id", _dot(F.col("embedding"), F.col("embedding")).alias("n2"))
-    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    embn = emb.select(
+        "vec_id",
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("n2"),
     )
-    ncent = norms.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("n2").alias("cn2")
+    cent = embn.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("n2").alias("cn2"),
     )
-    bscore = (
-        emb.crossJoin(F.broadcast(cent))
-        .join(norms, "vec_id")
-        .join(F.broadcast(ncent), "cid")
-        .select(
-            "vec_id",
-            "cid",
-            _cos_e9(_dot(F.col("embedding"), F.col("ce")), F.col("n2"), F.col("cn2")).alias(
-                "ce9"
-            ),
-        )
+    bscore = embn.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        _cos_e9(
+            _dot(F.col("embedding"), F.col("ce")), F.col("n2"), F.col("cn2")
+        ).alias("ce9"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("ce9").desc(), F.col("cid"))
     ranked = bscore.withColumn("rn", F.row_number().over(w))
@@ -625,15 +637,19 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probes.join(assign, "cell").filter(
         F.col("vec_id") != F.col("query_vec_id")
     ).select("query_vec_id", F.col("vec_id").alias("neighbor_vec_id"))
-    qe = emb.select(F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qe"))
-    ne = emb.select(F.col("vec_id").alias("neighbor_vec_id"), F.col("embedding").alias("ne"))
-    nq = norms.select(F.col("vec_id").alias("query_vec_id"), F.col("n2").alias("qn2"))
-    nn = norms.select(F.col("vec_id").alias("neighbor_vec_id"), F.col("n2").alias("nn2"))
+    qe = embn.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("embedding").alias("qe"),
+        F.col("n2").alias("qn2"),
+    )
+    ne = embn.select(
+        F.col("vec_id").alias("neighbor_vec_id"),
+        F.col("embedding").alias("ne"),
+        F.col("n2").alias("nn2"),
+    )
     scored = (
         cand.join(F.broadcast(qe), "query_vec_id")
         .join(ne, "neighbor_vec_id")
-        .join(F.broadcast(nq), "query_vec_id")
-        .join(nn, "neighbor_vec_id")
         .select(
             "query_vec_id",
             "neighbor_vec_id",
@@ -731,22 +747,21 @@ def llm_embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     step is engine-reproducible.
     """
     emb = T.load(spark, sf_dir, "embeddings")
-    norms = emb.select("vec_id", _dot(F.col("embedding"), F.col("embedding")).alias("n2"))
-    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    embn = emb.select(
+        "vec_id",
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("n2"),
     )
-    ncent = norms.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("n2").alias("cn2")
+    cent = embn.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("n2").alias("cn2"),
     )
-    bscore = (
-        emb.crossJoin(F.broadcast(cent))
-        .join(norms, "vec_id")
-        .join(F.broadcast(ncent), "cid")
-        .select(
-            "vec_id",
-            "cid",
-            _cos_e9(_dot(F.col("embedding"), F.col("ce")), F.col("n2"), F.col("cn2")).alias("ce9"),
-        )
+    # norms fused into the assignment scan — one pass, no norm joins
+    bscore = embn.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        _cos_e9(_dot(F.col("embedding"), F.col("ce")), F.col("n2"), F.col("cn2")).alias("ce9"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("ce9").desc(), F.col("cid"))
     assign = (
@@ -821,25 +836,34 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lab", F.col("doc_id")
     )
     # convergence check: labels only ever decrease, so SUM(lab) is a strictly
-    # decreasing potential — one scalar agg per round instead of a
-    # join-and-count (halves the per-iteration job count; the loop is
-    # scheduling-bound, not data-bound)
-    prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
-    for _ in range(20):  # bound >> any real component diameter
+    # decreasing potential — one scalar agg per check instead of a
+    # join-and-count. The loop is scheduling-bound, not data-bound, so
+    # propagate THREE rounds per localCheckpoint + convergence check:
+    # dup components are near-cliques (diameter 2-3), so most runs now
+    # converge in one checkpointed super-step instead of paying a
+    # checkpoint + collect per round.
+    rounds_per_check = 3
+
+    def propagate(lab_df):
+        # string-key joins: edges appears multiple times in one chained
+        # lineage (3 rounds per checkpoint), so attribute-reference join
+        # conditions would be ambiguous
         neighbor_min = (
-            labels.join(edges, labels.doc_id == edges.src)
+            lab_df.select(F.col("doc_id").alias("src"), "lab")
+            .join(edges, "src")
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("lab").alias("nlab"))
         )
-        labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
-            )
-            .coalesce(8)
-            .localCheckpoint()
+        return lab_df.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
         )
+
+    prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
+    for _ in range(7):  # 7 x 3 = 21 rounds, bound >> any real diameter
+        for _ in range(rounds_per_check):
+            labels = propagate(labels)
+        labels = labels.coalesce(8).localCheckpoint()
         cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
         if cur_sum == prev_sum:
             break

@@ -64,12 +64,23 @@ def upsert_parquet(
     key, drop rows whose latest change is a delete. Parquet overwrite is
     the no-Delta MERGE; swap for `DeltaTable.merge` on clusters with Delta
     for true ACID.
+
+    Durability: the first-write case is detected by an explicit FS
+    existence check, so a *transient* read failure raises instead of
+    silently truncating the table to the current batch. The merged result
+    is written to a staging directory and swapped in via FS rename —
+    never an in-place overwrite of the path still being read (cache()
+    does not guarantee materialization under eviction).
     """
     spark = batch_df.sparkSession
-    try:
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    target = jvm.org.apache.hadoop.fs.Path(path)
+    fs = target.getFileSystem(hconf)
+    if fs.exists(target):
         existing = spark.read.parquet(path)
         merged = existing.unionByName(batch_df, allowMissingColumns=True)
-    except Exception:
+    else:
         merged = batch_df
     w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
     latest = (
@@ -79,11 +90,13 @@ def upsert_parquet(
     )
     if delete_col is not None:
         latest = latest.filter(F.col(delete_col) != delete_value)
-    # materialize before overwriting the path being read
-    out = latest.cache()
-    out.count()
-    out.write.mode("overwrite").parquet(path)
-    out.unpersist()
+    staging = path.rstrip("/") + ".__staging__"
+    staging_path = jvm.org.apache.hadoop.fs.Path(staging)
+    latest.write.mode("overwrite").parquet(staging)
+    if fs.exists(target):
+        fs.delete(target, True)
+    if not fs.rename(staging_path, target):
+        raise IOError(f"upsert_parquet: rename {staging} -> {path} failed")
 
 
 def write_routed_batch(

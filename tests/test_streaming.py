@@ -118,6 +118,36 @@ def test_first_today_dedup_stream_parity(spark, tmp_path):
     assert streamed.count() == batch.count()
 
 
+def test_first_today_bounded_state_stream_parity(spark, tmp_path):
+    """A8/W4 twin: the bounded-state keyed-state form (event-time-timeout
+    eviction) emits the same (key, day) first-visit universe as the batch
+    min-ts keeper when batches arrive in time order."""
+    from gmall_flink_realtime4_spark.operators.dedup import (
+        first_today_bounded_state,
+    )
+
+    e = _events(spark)
+    batch = first_today(e, "user_id", "ts")
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, e.schema, max_files_per_trigger=1000)
+    streamed = run_to_memory(
+        first_today_bounded_state(
+            s.withWatermark("ts", "1 hour"), "user_id", "ts", ttl_hours=36
+        ),
+        output_mode="append",
+        stages=_stage_writes(src, time_slices(e, 3, "ts")),
+    )
+
+    def key(df):
+        return sorted(
+            (r[0], r[1])
+            for r in df.select("user_id", F.date_format("ts", "yyyy-MM-dd")).collect()
+        )
+
+    assert key(streamed) == key(batch)
+    assert streamed.count() == batch.count()
+
+
 def test_is_new_repair_stream_parity_single_batch(spark, tmp_path):
     """W10 twin: applyInPandasWithState == batch window-fn repair when all
     rows arrive in one micro-batch (intra-batch ts ordering is handled by
