@@ -57,20 +57,32 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
 
+    # best-of-N: damp ambient-load noise (co-tenants swing wall-clock ±40%)
+    # and one-time codegen compile; the min is the plan's actual cost on
+    # this box. N=3 by default so one loaded rep can't set any query's mark.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    load_start = os.getloadavg()[0]
+
     per_query: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        # best-of-2: damp ambient-load noise and one-time codegen compile;
-        # the min is the plan's actual cost on this box
-        best, n = None, 0
-        for _ in range(2):
+        times, n = [], 0
+        for _ in range(reps):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
+            times.append(time.perf_counter() - t0)
+        best = min(times)
         per_query[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {per_query[name]}s", file=sys.stderr)
+        # rep-to-rep spread (max/min - 1): >0.15 means ambient load touched
+        # this query's reps — read the bench total with that in mind
+        spreads[name] = round(max(times) / best - 1, 3)
+        print(
+            f"# {name}: {n} rows in {per_query[name]}s "
+            f"(spread {spreads[name]:.1%})",
+            file=sys.stderr,
+        )
 
     total = round(sum(per_query.values()), 3)
     print(
@@ -81,6 +93,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "reps": reps,
+                "max_rep_spread": max(spreads.values()),
+                "load_avg_start": round(load_start, 2),
+                "load_avg_end": round(os.getloadavg()[0], 2),
             }
         )
     )

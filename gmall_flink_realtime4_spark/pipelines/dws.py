@@ -251,6 +251,81 @@ def traffic_vc_ch_ar_is_new_page_view_window(
     )
 
 
+def trade_trademark_category_user_refund_window(
+    refund: DataFrame,
+    dim_sku: DataFrame,
+    dim_trademark: DataFrame,
+    window: str = "1 day",
+    streaming: bool = False,
+) -> DataFrame:
+    """DwsTradeTrademarkCategoryUserRefundWindow.java:52-189 — refund
+    stream keyed by (trademark, category3, user), orderIdSet union for the
+    DISTINCT refund-order count (A7), windowed amount sum (A2), then the
+    trademark dim lookup (J5).
+
+    Batch: countDistinct. Streaming: the province pattern — countDistinct
+    has no streaming form, so the distinct order measure becomes a
+    watermark-scoped dedup stream tagged ord=1 and UNIONed with the raw
+    amount stream; ONE append-mode windowed agg sums the tags. The sku ->
+    (tm_id, category3_id) broadcast join is stream-static and stateless,
+    so it happens before the watermarked agg; tm_name enriches after the
+    agg (dim_enrich), mirroring the reference's post-agg async lookups.
+    """
+    src = _event_time(refund)
+    sku = dim_sku.select(
+        F.col("id").alias("sku_dim_id"), "tm_id", "category3_id"
+    )
+    enriched = src.join(
+        F.broadcast(sku), src.sku_id == F.col("sku_dim_id")
+    ).drop("sku_dim_id")
+    keys = [F.col("tm_id"), F.col("category3_id"), F.col("user_id")]
+    if streaming:
+        enriched = with_event_watermark(enriched, "event_time", "5 seconds")
+        base = enriched.select(
+            "tm_id", "category3_id", "user_id", "event_time",
+            F.col("refund_amount").cast(MONEY).alias("amount"),
+            F.lit(0).alias("ord"),
+        )
+        orders = enriched.dropDuplicates(["order_id"]).select(
+            "tm_id", "category3_id", "user_id", "event_time",
+            F.lit(None).cast(MONEY).alias("amount"),
+            F.lit(1).alias("ord"),
+        )
+        agged = tumble(
+            base.unionByName(orders),
+            "event_time",
+            window,
+            keys=keys,
+            aggs=[
+                F.sum("ord").cast("bigint").alias("refund_order_count"),
+                F.sum("amount").cast("double").alias("refund_amount"),
+            ],
+        )
+    else:
+        agged = tumble(
+            enriched,
+            "event_time",
+            window,
+            keys=keys,
+            aggs=[
+                F.countDistinct("order_id").alias("refund_order_count"),
+                F.sum(F.col("refund_amount").cast(MONEY))
+                .cast("double")
+                .alias("refund_amount"),
+            ],
+        )
+    return dim_enrich(
+        agged,
+        [
+            (
+                dim_trademark.select(F.col("id").alias("tm_dim_id"), "tm_name"),
+                "tm_id",
+                "tm_dim_id",
+            )
+        ],
+    )
+
+
 def trade_province_order_window(
     detail: DataFrame, window: str = "1 day", streaming: bool = False
 ) -> DataFrame:

@@ -392,7 +392,16 @@ def llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup — sign-LSH bucket prefilter + exact cosine.
 # ---------------------------------------------------------------------------
-NEARDUP_SIGN_DIMS = 8
+# Parameterized sign-LSH: n_planes sign bits form the bucket key; each
+# vector additionally probes every bucket at hamming distance 1 from its
+# own (flip-one-bit multi-probe). More planes => exponentially smaller
+# buckets (within-bucket pair work ~ N^2 / 2^n_planes); the multi-probe
+# recovers the recall the extra planes would otherwise cost, because a
+# near-dup pair that disagrees on one plane's sign still meets in the
+# flipped probe. Candidate volume ~ (n_planes + 1) * N^2 / 2^n_planes —
+# strictly sub-quadratic and tunable, vs the fixed N^2/256 of the old
+# 8-plane single-probe.
+NEARDUP_SIGN_DIMS = 12
 NEARDUP_THRESHOLD_E9 = 300_000_000  # cosine >= 0.30
 
 _NORMS_SQL = """
@@ -423,17 +432,44 @@ def _sign_bucket_col() -> Column:
     )
 
 
+def _flip_bit_sql(i: int, n: int, col: str = "bucket") -> str:
+    """SQL for ``col`` with 1-indexed bit ``i`` of an n-char 0/1 string flipped
+    (identical text works in both Spark SQL and DuckDB)."""
+    return (
+        f"substr({col}, 1, {i - 1}) || "
+        f"(CASE WHEN substr({col}, {i}, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substr({col}, {i + 1}, {n})"
+    )
+
+
+def _probe_union_sql() -> str:
+    n = NEARDUP_SIGN_DIMS
+    parts = ["    SELECT vec_id, bucket AS pb FROM bk"]
+    parts += [
+        f"    SELECT vec_id, {_flip_bit_sql(i, n)} AS pb FROM bk"
+        for i in range(1, n + 1)
+    ]
+    return "\n    UNION ALL\n".join(parts)
+
+
 @query(
     "llm_dedup_embedding_cosine",
     oracle=f"""
 WITH {_NORMS_SQL},
 bk AS (
-    SELECT vec_id, embedding, {_sign_bucket_sql()} AS bucket FROM embeddings
+    SELECT vec_id, {_sign_bucket_sql()} AS bucket FROM embeddings
+), probes AS (
+{_probe_union_sql()}
+), cand AS (
+    SELECT p.vec_id AS vec_a, h.vec_id AS vec_b
+    FROM probes p JOIN bk h ON p.pb = h.bucket AND p.vec_id < h.vec_id
 ), p AS (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SELECT c.vec_a, c.vec_b,
            SUM(CAST(CAST(a.embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7))
                * CAST(CAST(b.embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7))) AS dot
-    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id, ix
+    FROM cand c
+    JOIN embeddings a ON c.vec_a = a.vec_id
+    JOIN embeddings b ON c.vec_b = b.vec_id, ix
     GROUP BY 1, 2
 )
 SELECT vec_a, vec_b,
@@ -450,40 +486,61 @@ WHERE CAST(floor(1000000000.0 * CAST(p.dot AS DOUBLE)
     tags=("llm-dedup", "llm-similarity"),
 )
 def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: sign-LSH buckets, exact cosine inside.
+    """Embedding near-dup pairs: multi-probe sign-LSH, exact cosine inside.
 
-    Bucket = sign bits of the first 8 dimensions (hyperplane LSH with
-    axis-aligned planes — deterministic, no random state). Pairs only form
-    inside a bucket (2^8 cells), collapsing the O(n^2) pair space; cosine
-    is then exact (decimal dot, scaled BIGINT). At 100 TB: bucket is the
-    shuffle key, so each cell's pairs form within one partition;
-    per-cell skew is capped by the uniform sign-bit split; more planes =>
-    smaller cells => higher precision/lower recall, the standard trade.
+    Bucket = sign bits of the first NEARDUP_SIGN_DIMS dimensions
+    (hyperplane LSH with axis-aligned planes — deterministic, no random
+    state). Each vector probes its own bucket plus every flip-one-bit
+    neighbor, so a near-dup pair disagreeing on one plane still meets —
+    recall held while 2^n_planes cells shrink the within-bucket pair work
+    (see the constant's note for the candidate-volume math).
+
+    Scale shape: candidate generation ships only (vec_id, probe_key) —
+    the 64-float embedding is NOT replicated across the n_planes + 1
+    probe rows; full vectors re-enter via two vec_id equi-joins on the
+    (small) candidate set, where the fused n2 rides along. Bucket is the
+    shuffle key; exact cosine (decimal dot, scaled BIGINT) is computed
+    only on candidates.
     """
     emb = T.load(spark, sf_dir, "embeddings")
-    norms = emb.select("vec_id", _dot(F.col("embedding"), F.col("embedding")).alias("n2"))
-    bk = emb.select("vec_id", "embedding", _sign_bucket_col().alias("bucket"))
-    a, b = bk.alias("a"), bk.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        _dot(F.col("a.embedding"), F.col("b.embedding")).alias("dot"),
+    embn = emb.select(
+        "vec_id",
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("n2"),
     )
-    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("n2").alias("na2"))
-    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("n2").alias("nb2"))
+    bk = emb.select("vec_id", _sign_bucket_col().alias("bucket"))
+    n = NEARDUP_SIGN_DIMS
+    probe_keys = F.array(
+        F.col("bucket"),
+        *[F.expr(_flip_bit_sql(i, n)) for i in range(1, n + 1)],
+    )
+    probes = bk.select("vec_id", F.explode(probe_keys).alias("pb"))
+    home = bk.select(F.col("vec_id").alias("vec_b"), F.col("bucket").alias("pb"))
+    # each qualifying pair meets on exactly one probe key (its bucket
+    # hamming distance is 0 or 1, and the probe set hits each at-distance-1
+    # bucket once), so no distinct pass is needed
+    cand = probes.join(home, "pb").filter(F.col("vec_id") < F.col("vec_b")).select(
+        F.col("vec_id").alias("vec_a"), "vec_b"
+    )
+    ea = embn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("n2").alias("na2"),
+    )
+    eb = embn.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("n2").alias("nb2"),
+    )
     scored = (
-        pairs.join(F.broadcast(na), "vec_a")
-        .join(F.broadcast(nb), "vec_b")
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
             F.floor(
                 F.lit(1000000000.0)
-                * F.col("dot").cast("double")
+                * _dot(F.col("ea"), F.col("eb")).cast("double")
                 / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double"))
             )
             .cast("bigint")

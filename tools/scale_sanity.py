@@ -42,6 +42,9 @@ QUERIES = [
     "llm_dedup_exact",
     "llm_dedup_minhash_lsh",
     "llm_dedup_simhash",
+    "llm_dedup_simhash_pairs",
+    "llm_dedup_embedding_cosine",
+    "llm_dedup_clusters",
     "llm_ann_cosine_topk",
     "llm_ann_ivf",
     "llm_text_quality_score",
