@@ -41,6 +41,59 @@ def interval_join(
     return left.join(right, cond, how)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join: for every left row, the LATEST right row with
+    ``right_ts <= left_ts`` on the same key (the time-series point-in-time
+    lookup Spark has no native operator for; beyond-reference coverage —
+    the reference's closest shape is the interval join, J3).
+
+    Spark-first formulation: tag + union + running ``last(ignorenulls)``
+    over (key ORDER BY ts, side) — the log-merge construction. ONE shuffle
+    on the key and a linear window pass; never the O(left x right-per-key)
+    pair space a range-join + rank formulation materializes. Right rows
+    order before left rows at equal ts (inclusive as-of); equal-ts right
+    rows tie-break on ``right_cols``, so callers should pre-reduce the
+    right side to one row per (key, ts) with a deterministic keeper for a
+    stable result (DuckDB's native ASOF JOIN has the same contract).
+    ``right_cols`` must not collide with left column names. ``how="left"``
+    keeps unmatched left rows (NULL right_cols); "inner" drops them.
+    """
+    r = right.select(
+        F.col(right_on).alias(left_on),
+        F.col(right_ts).alias("__asof_t"),
+        *right_cols,
+    ).withColumn("__is_l", F.lit(0))
+    lt = left.withColumn("__asof_t", F.col(left_ts)).withColumn(
+        "__is_l", F.lit(1)
+    )
+    u = lt.unionByName(r, allowMissingColumns=True)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(left_on)
+        .orderBy("__asof_t", "__is_l", *right_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *[c for c in left.columns],
+        "__is_l",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    out = filled.filter(F.col("__is_l") == 1).drop("__is_l")
+    if how == "inner":
+        out = out.filter(F.col(right_cols[0]).isNotNull())
+    return out
+
+
 def dim_enrich(
     fact: DataFrame,
     dims: Sequence[tuple[DataFrame, str, str]],

@@ -111,3 +111,60 @@ def f_conditional_cast_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         (price * F.col("l_tax")).alias("tax_amount"),
         (price - price * F.col("l_discount")).alias("net_price"),
     )
+
+
+@query(
+    "f_asof_join_latest_order",
+    oracle="""
+WITH r AS (
+    SELECT o_custkey, o_orderdate,
+           MAX(o_orderkey)                    AS asof_orderkey,
+           MAX_BY(o_totalprice, o_orderkey)   AS asof_totalprice
+    FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       r.asof_orderkey,
+       r.asof_totalprice,
+       strftime(r.o_orderdate, '%Y-%m-%d') AS asof_orderdate
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+""",
+    tags=("asof-join",),
+)
+def f_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) enrichment: each event picks the customer's
+    LATEST order at-or-before the event time — the time-series lookup every
+    feature-backfill pipeline needs and Spark has no native operator for
+    (beyond-reference; DuckDB validates via its native ASOF JOIN).
+
+    The right side is pre-reduced to one row per (customer, date) with a
+    deterministic keeper (max orderkey; max_by for its payload) so the
+    as-of pick is total-ordered on both engines. The operator itself
+    (operators/joins.py::asof_join) is the log-merge formulation: one
+    shuffle on the key, linear window pass, no range-join pair blowup.
+    """
+    e = T.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    r = (
+        T.load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("asof_orderkey"),
+            F.expr("max_by(o_totalprice, o_orderkey)").alias("asof_totalprice"),
+        )
+        .withColumn(
+            "asof_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd")
+        )
+    )
+    from ..operators.joins import asof_join
+
+    return asof_join(
+        e,
+        r,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["asof_orderkey", "asof_totalprice", "asof_orderdate"],
+    ).drop("ts")

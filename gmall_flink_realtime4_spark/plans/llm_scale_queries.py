@@ -755,6 +755,249 @@ def llm_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_RECALL_ANCHORS = 64
+CELLS_NPROBE = 2
+
+
+def _cells_pair_sql() -> str:
+    """Centroid-cell candidate pairs (SemDeDup-style cluster-then-dedup):
+    assignment CTEs shared with the IVF oracle shape."""
+    return f"""
+cbc AS (
+    SELECT b.vec_id, c.vec_id AS cid, {_PAIR_DOT.format(l="b", r="c")} AS dot
+    FROM embeddings b, embeddings c, ix
+    WHERE c.vec_id < {IVF_N_CENTROIDS}
+    GROUP BY 1, 2
+), cbs AS (
+    SELECT cbc.vec_id, cbc.cid,
+           CAST(floor(1000000000.0 * CAST(cbc.dot AS DOUBLE)
+                / sqrt(CAST(nb.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)))
+                AS BIGINT) AS ce9
+    FROM cbc
+    JOIN norms nb ON cbc.vec_id = nb.vec_id
+    JOIN norms nc ON cbc.cid = nc.vec_id
+), cranked AS (
+    SELECT vec_id, cid, row_number() OVER (
+        PARTITION BY vec_id ORDER BY ce9 DESC, cid) AS rn
+    FROM cbs
+), cassign AS (
+    SELECT vec_id, cid AS cell FROM cranked WHERE rn = 1
+), cprobes AS (
+    SELECT vec_id, cid AS cell FROM cranked WHERE rn <= {CELLS_NPROBE}
+), ccand AS (
+    SELECT p.vec_id AS vec_a, h.vec_id AS vec_b
+    FROM cprobes p JOIN cassign h ON p.cell = h.cell AND p.vec_id < h.vec_id
+)"""
+
+
+_CELLS_SCORED_SQL = f"""
+cpair AS (
+    SELECT c.vec_a, c.vec_b,
+           SUM(CAST(CAST(a.embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7))
+               * CAST(CAST(b.embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7))) AS dot
+    FROM ccand c
+    JOIN embeddings a ON c.vec_a = a.vec_id
+    JOIN embeddings b ON c.vec_b = b.vec_id, ix
+    GROUP BY 1, 2
+), cscored AS (
+    SELECT p.vec_a, p.vec_b,
+           CAST(floor(1000000000.0 * CAST(p.dot AS DOUBLE)
+                / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+                AS BIGINT) AS cos_sim_e9
+    FROM cpair p
+    JOIN norms na ON p.vec_a = na.vec_id
+    JOIN norms nb ON p.vec_b = nb.vec_id
+)"""
+
+
+@query(
+    "llm_dedup_embedding_cells",
+    oracle=f"""
+WITH {_NORMS_SQL},
+{_cells_pair_sql().lstrip()},
+{_CELLS_SCORED_SQL.lstrip()}
+SELECT vec_a, vec_b, cos_sim_e9 FROM cscored
+WHERE cos_sim_e9 >= {NEARDUP_THRESHOLD_E9}
+""",
+    tags=("llm-dedup", "llm-similarity"),
+)
+def llm_dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding similar-pair mining via centroid cells — the SemDeDup
+    cluster-then-dedup pattern (Abbas et al. 2023): quantize every vector
+    to its nearest centroid (the IVF coarse quantizer, broadcast + fused
+    norms), probe nprobe=2 cells, exact cosine only on same-cell pairs.
+
+    This is the LOOSE-threshold complement to the sign-LSH path: at
+    similarity thresholds well below 1 (here 0.30), hyperplane-sign
+    collisions are rare (P(agree) = (1 - theta/pi)^n_planes), while
+    centroid locality still captures a measured ~1/3 of true pairs
+    (llm_neardup_recall) at a bounded cost of ~nprobe * N^2 / k
+    comparisons. Scale rule: k ~ sqrt(N) trained centroids (see
+    llm_embedding_kmeans_step) keeps total within-cell work ~ N^1.5 with
+    balanced cells; SemDeDup itself accepts exactly this partial-recall
+    contract for corpus dedup.
+    """
+    emb = T.load(spark, sf_dir, "embeddings")
+    embn = emb.select(
+        "vec_id",
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("n2"),
+    )
+    cent = embn.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("n2").alias("cn2"),
+    )
+    bscore = embn.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        _cos_e9(
+            _dot(F.col("embedding"), F.col("ce")), F.col("n2"), F.col("cn2")
+        ).alias("ce9"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ce9").desc(), F.col("cid"))
+    ranked = bscore.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("vec_b"), F.col("cid").alias("cell")
+    )
+    probes = ranked.filter(F.col("rn") <= CELLS_NPROBE).select(
+        F.col("vec_id").alias("vec_a"), F.col("cid").alias("cell")
+    )
+    cand = probes.join(assign, "cell").filter(F.col("vec_a") < F.col("vec_b"))
+    ea = embn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("n2").alias("na2"),
+    )
+    eb = embn.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("n2").alias("nb2"),
+    )
+    scored = (
+        cand.select("vec_a", "vec_b")
+        .join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            _cos_e9(
+                _dot(F.col("ea"), F.col("eb")), F.col("na2"), F.col("nb2")
+            ).alias("cos_sim_e9"),
+        )
+    )
+    return scored.filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)
+
+
+def _neardup_recall_oracle() -> str:
+    lsh = REGISTRY["llm_dedup_embedding_cosine"].oracle
+    cells = REGISTRY["llm_dedup_embedding_cells"].oracle
+    return f"""
+WITH {_NORMS_SQL},
+tp AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           SUM(CAST(CAST(a.embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7))
+               * CAST(CAST(b.embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7))) AS dot
+    FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id, ix
+    WHERE a.vec_id < {NEARDUP_RECALL_ANCHORS}
+    GROUP BY 1, 2
+), true_pairs AS (
+    SELECT tp.vec_a, tp.vec_b FROM tp
+    JOIN norms na ON tp.vec_a = na.vec_id
+    JOIN norms nb ON tp.vec_b = nb.vec_id
+    WHERE CAST(floor(1000000000.0 * CAST(tp.dot AS DOUBLE)
+               / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+               AS BIGINT) >= {NEARDUP_THRESHOLD_E9}
+), lsh_found AS (
+    SELECT vec_a, vec_b FROM ({lsh})
+    WHERE vec_a < {NEARDUP_RECALL_ANCHORS}
+), cells_found AS (
+    SELECT vec_a, vec_b FROM ({cells})
+    WHERE vec_a < {NEARDUP_RECALL_ANCHORS}
+)
+SELECT 'sign_lsh' AS method,
+       CAST(COUNT(*) AS BIGINT)       AS n_true,
+       CAST(COUNT(f.vec_a) AS BIGINT) AS n_found,
+       (1000 * COUNT(f.vec_a)) // COUNT(*) AS recall_permille
+FROM true_pairs t
+LEFT JOIN lsh_found f ON t.vec_a = f.vec_a AND t.vec_b = f.vec_b
+UNION ALL
+SELECT 'centroid_cells' AS method,
+       CAST(COUNT(*) AS BIGINT)       AS n_true,
+       CAST(COUNT(f.vec_a) AS BIGINT) AS n_found,
+       (1000 * COUNT(f.vec_a)) // COUNT(*) AS recall_permille
+FROM true_pairs t
+LEFT JOIN cells_found f ON t.vec_a = f.vec_a AND t.vec_b = f.vec_b
+"""
+
+
+@query(
+    "llm_neardup_recall",
+    oracle=_neardup_recall_oracle(),
+    tags=("llm-dedup", "llm-similarity"),
+)
+def llm_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall self-measurement for BOTH sub-quadratic near-dup candidate
+    generators, against the exact brute-force pair set over an anchor
+    sample (vec_id < 64; anchors x base stays broadcastable — never
+    base x base).
+
+    The ivf_recall pattern applied to dedup: a production dedup pipeline
+    must publish its measured recall. On this data (loose 0.30 threshold,
+    no true near-identical pairs) sign-LSH recalls ~1% — hyperplane
+    collisions need near-identical vectors — while centroid cells recall
+    ~33%; the docstrings of both generators state which regime each
+    serves. One row per method: n_true, n_found, recall per-mille.
+    """
+    emb = T.load(spark, sf_dir, "embeddings")
+    embn = emb.select(
+        "vec_id",
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("n2"),
+    )
+    anchors = embn.filter(F.col("vec_id") < NEARDUP_RECALL_ANCHORS).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("n2").alias("na2"),
+    )
+    true_pairs = (
+        F.broadcast(anchors)
+        .join(embn, F.col("vec_id") > F.col("vec_a"))
+        .select(
+            "vec_a",
+            F.col("vec_id").alias("vec_b"),
+            _cos_e9(
+                _dot(F.col("ea"), F.col("embedding")),
+                F.col("na2"),
+                F.col("n2"),
+            ).alias("cos_sim_e9"),
+        )
+        .filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)
+        .select("vec_a", "vec_b")
+    )
+
+    def measure(found: DataFrame, method: str) -> DataFrame:
+        f = found.filter(F.col("vec_a") < NEARDUP_RECALL_ANCHORS).select(
+            F.col("vec_a").alias("fa"), F.col("vec_b").alias("fb")
+        )
+        joined = true_pairs.join(
+            f,
+            (true_pairs.vec_a == f.fa) & (true_pairs.vec_b == f.fb),
+            "left",
+        )
+        return joined.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("fb").alias("n_found"),
+            F.expr("(1000 * count(fb)) div count(1)").alias("recall_permille"),
+        )
+
+    return measure(
+        llm_dedup_embedding_cosine(spark, sf_dir), "sign_lsh"
+    ).unionByName(measure(llm_dedup_embedding_cells(spark, sf_dir), "centroid_cells"))
+
+
+
 def _kmeans_step_oracle() -> str:
     return f"""
 WITH {_NORMS_SQL},

@@ -121,6 +121,51 @@ def test_is_new_repair_idempotent_and_monotone(spark, rows):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
 
 
+@given(
+    lrows=st.lists(
+        st.tuples(st.sampled_from(["u1", "u2", "u3"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=20,
+    ),
+    rrows=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2", "u4"]),
+            st.integers(0, 50),
+            st.integers(0, 1000),
+        ),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda r: (r[0], r[1]),  # one right row per (key, ts)
+    ),
+)
+@settings(**PROP_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, lrows, rrows):
+    """asof_join (log-merge window formulation) == the quadratic
+    definition: for each left row, the right row with the greatest
+    right_ts <= left_ts on the same key, else NULL."""
+    from gmall_flink_realtime4_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)],
+        "key string, ts long, lid long",
+    )
+    right = spark.createDataFrame(rrows, "key string, rts long, val long")
+    got = {
+        r["lid"]: r["val"]
+        for r in asof_join(
+            left, right, "key", "key", "ts", "rts", right_cols=["val"]
+        ).collect()
+    }
+    expect = {}
+    for i, (k, t) in enumerate(lrows):
+        best = None
+        for rk, rt, v in rrows:
+            if rk == k and rt <= t and (best is None or rt > best[0]):
+                best = (rt, v)
+        expect[i] = best[1] if best else None
+    assert got == expect
+
+
 @pytest.mark.parametrize("n_dups", [0, 1, 3])
 def test_flagship_dedup_net_out(spark, n_dups):
     """A1 end-to-end shape: duplicated upsert emissions with identical
