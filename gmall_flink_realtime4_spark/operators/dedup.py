@@ -119,10 +119,17 @@ def first_today_bounded_state(
     ``ttl_hours`` evicts keys idle past the horizon — state is
     O(keys active within the TTL window), not O(keys x days).
 
-    Requires a watermark on ``ts_col`` upstream. Caveat (Spark contract):
+    Requires a watermark on ``ts_col`` upstream. Caveats (Spark contract):
     ``applyInPandasWithState`` strips watermark metadata from its output —
     re-declare a watermark AFTER this operator before any downstream
-    stateful op (see operators/windows.with_event_watermark).
+    stateful op (see operators/windows.with_event_watermark) — and the
+    watermark -> stateful -> watermark -> agg chain trips Spark's
+    global-watermark correctness guard
+    (``spark.sql.streaming.statefulOperator.checkCorrectness.enabled``);
+    disabling it is safe for this operator because emitted rows carry
+    their own event times from the current batch, never older state
+    (chained-agg parity proven in
+    tests/test_streaming.py::test_first_today_bounded_state_chained_window_agg).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

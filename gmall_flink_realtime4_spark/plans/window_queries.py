@@ -230,3 +230,55 @@ def dws_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "dws_time_hierarchy_rollup",
+    oracle="""
+SELECT COALESCE(strftime(ts, '%Y-%m'), '<all>')         AS month,
+       COALESCE(strftime(ts, '%Y-%m-%d'), '<all>')      AS day,
+       COALESCE(strftime(ts, '%Y-%m-%d %H'), '<all>')   AS hour,
+       CAST(GROUPING(strftime(ts, '%Y-%m')) * 4
+            + GROUPING(strftime(ts, '%Y-%m-%d')) * 2
+            + GROUPING(strftime(ts, '%Y-%m-%d %H')) AS BIGINT) AS gid,
+       COUNT(*)                                         AS ct,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+FROM events
+GROUP BY ROLLUP (strftime(ts, '%Y-%m'), strftime(ts, '%Y-%m-%d'),
+                 strftime(ts, '%Y-%m-%d %H'))
+""",
+    tags=("rollup", "hypertable"),
+)
+def dws_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: ONE pass produces the
+    hour, day, month and grand-total aggregate levels via
+    ROLLUP(month, day, hour) — the time-bucket hierarchy TimescaleDB
+    materializes per level, here as a single Expand + one aggregation
+    shuffle (beyond-reference; pairs with llm_corpus_rollup's categorical
+    rollup). GROUPING() disambiguates rollup-NULL from data-NULL; time
+    buckets emitted as strings (determinism contract: no DateType at the
+    boundary).
+    """
+    d = T.load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+        "value",
+    )
+    rolled = d.rollup("month", "day", "hour").agg(
+        F.count(F.lit(1)).alias("ct"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("val_sum"),
+        (
+            F.grouping("month") * 4 + F.grouping("day") * 2 + F.grouping("hour")
+        )
+        .cast("bigint")
+        .alias("gid"),
+    )
+    return rolled.select(
+        F.coalesce("month", F.lit("<all>")).alias("month"),
+        F.coalesce("day", F.lit("<all>")).alias("day"),
+        F.coalesce("hour", F.lit("<all>")).alias("hour"),
+        "gid",
+        "ct",
+        "val_sum",
+    )

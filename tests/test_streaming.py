@@ -148,6 +148,53 @@ def test_first_today_bounded_state_stream_parity(spark, tmp_path):
     assert streamed.count() == batch.count()
 
 
+def test_first_today_bounded_state_chained_window_agg(spark, tmp_path):
+    """A8/W4 + A5: the bounded-state dedup CHAINED into a tumbling count —
+    exercises the documented contract that applyInPandasWithState strips
+    watermark metadata, so the watermark is re-declared AFTER the stateful
+    op and the windowed agg still closes windows correctly."""
+    from gmall_flink_realtime4_spark.operators.dedup import (
+        first_today,
+        first_today_bounded_state,
+    )
+    from gmall_flink_realtime4_spark.operators.windows import tumble
+
+    e = _events(spark)
+    batch = tumble(
+        first_today(e, "user_id", "ts"),
+        "ts",
+        "1 day",
+        aggs=[F.count(F.lit(1)).alias("uu_ct")],
+    )
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, e.schema, max_files_per_trigger=1000)
+    firsts = first_today_bounded_state(
+        s.withWatermark("ts", "1 hour"), "user_id", "ts", ttl_hours=48
+    )
+    streamed_df = tumble(
+        firsts,
+        "ts",
+        "1 day",
+        aggs=[F.count(F.lit(1)).alias("uu_ct")],
+        watermark="5 seconds",  # re-declared: the stateful op ate the first
+    )
+    # two chained stateful ops with a re-declared watermark trip Spark's
+    # global-watermark correctness guard; the op emits rows at their own
+    # event time (never older than its input batch), so the documented
+    # escape hatch is safe here — see first_today_bounded_state docstring
+    check = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(check, "false")
+    try:
+        stages = _stage_writes(src, time_slices(e, 3, "ts") + [_flush_row(spark)])
+        got = run_to_memory(streamed_df, output_mode="append", stages=stages)
+    finally:
+        spark.conf.set(check, "true")
+    cols = ["stt", "uu_ct"]
+    assert _rows(got.filter(F.col("stt") < "2025-01-01"), cols) == _rows(
+        batch, cols
+    )
+
+
 def test_is_new_repair_stream_parity_single_batch(spark, tmp_path):
     """W10 twin: applyInPandasWithState == batch window-fn repair when all
     rows arrive in one micro-batch (intra-batch ts ordering is handled by
