@@ -85,3 +85,53 @@ def test_partial_aggregation_before_shuffle(spark):
     plan = _plan(spark, "dws_traffic_vc_ch_ar_is_new_page_view_window")
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_neardup_candidate_joins_are_equi(spark):
+    """Multi-probe LSH + centroid-cell candidate generation must stay
+    equi-joins on the probe/bucket key — a nested-loop pair join would be
+    the O(n^2) degeneration these operators exist to avoid."""
+    for name in ("llm_dedup_embedding_cosine", "llm_dedup_embedding_cells"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        # the only nested-loop allowed is the broadcast centroid
+        # assignment (cells); the bucket/probe join itself must hash
+        assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or (
+            "ShuffledHashJoin" in plan
+        ), name
+
+
+def test_ivf_norms_fused_single_embeddings_scan_stage(spark):
+    """The fused-norms IVF assignment must not re-join a separate norms
+    frame: every join that feeds the assignment rank (post-order node ids
+    below the first Window) must be the broadcast centroid cross — norm
+    equi-joins there would mean norms are computed in a second pass."""
+    import re
+
+    plan = _plan(spark, "llm_ann_ivf")
+    nodes = {
+        int(n): name
+        for name, n in re.findall(r"(\w+)[^\n(]*\((\d+)\)", plan.split("\n\n")[0])
+    }
+    first_window = min(n for n, name in nodes.items() if name == "Window")
+    pre_rank_joins = [
+        name for n, name in nodes.items() if n < first_window and "Join" in name
+    ]
+    assert pre_rank_joins == ["BroadcastNestedLoopJoin"], pre_rank_joins
+
+
+def test_time_rollup_single_expand_single_shuffle(spark):
+    """The hypertable rollup must be one Expand + one aggregation shuffle,
+    not a union of per-level aggregates."""
+    plan = _plan(spark, "dws_time_hierarchy_rollup")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Expand") == 1
+    assert "Union" not in plan
+
+
+def test_kmv_sketch_dedups_before_rank(spark):
+    """KMV must aggregate (group, hash) distinct BEFORE the per-group
+    order statistic — the rank never sees duplicate hashes."""
+    plan = _plan(spark, "llm_sketch_kmv_distinct")
+    assert "row_number" in plan
+    assert plan.count("HashAggregate") >= 2  # distinct is an aggregate
