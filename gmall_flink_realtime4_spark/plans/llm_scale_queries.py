@@ -1539,3 +1539,118 @@ def llm_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000 * count(sn)) div count(1)").alias("recall_seed_pm"),
         F.expr("(1000 * count(tn)) div count(1)").alias("recall_trained_pm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch — deterministic mergeable quantile estimation
+# (the role t-digest plays at scale, in a form both engines compute
+# identically: fixed-width bins are exact integer arithmetic, while
+# t-digest/GK sketches are implementation-defined).
+# ---------------------------------------------------------------------------
+HIST_BIN_W = 8  # tokens per bin
+
+
+@query(
+    "llm_sketch_histogram_quantiles",
+    oracle=f"""
+WITH t AS (
+    SELECT source, len(string_split(text, ' ')) AS n_tok FROM documents
+), b AS (
+    SELECT source, CAST(n_tok // {HIST_BIN_W} AS BIGINT) AS bin, COUNT(*) AS ct
+    FROM t GROUP BY 1, 2
+), c AS (
+    SELECT source, bin, ct,
+           SUM(ct) OVER (PARTITION BY source ORDER BY bin
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(ct) OVER (PARTITION BY source) AS n
+    FROM b
+), q AS (
+    SELECT source,
+           MIN(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN bin END) AS b50,
+           MIN(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT) THEN bin END) AS b90
+    FROM c GROUP BY 1
+), ex AS (
+    SELECT source,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tok) AS BIGINT) AS p50,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_tok) AS BIGINT) AS p90
+    FROM t GROUP BY 1
+)
+SELECT q.source,
+       CAST(q.b50 * {HIST_BIN_W} + {HIST_BIN_W // 2} AS BIGINT) AS est_p50,
+       CAST(q.b90 * {HIST_BIN_W} + {HIST_BIN_W // 2} AS BIGINT) AS est_p90,
+       ex.p50 AS exact_p50,
+       ex.p90 AS exact_p90,
+       CAST((1000 * abs(q.b50 * {HIST_BIN_W} + {HIST_BIN_W // 2} - ex.p50))
+            // greatest(ex.p50, 1) AS BIGINT) AS err50_permille,
+       CAST((1000 * abs(q.b90 * {HIST_BIN_W} + {HIST_BIN_W // 2} - ex.p90))
+            // greatest(ex.p90, 1) AS BIGINT) AS err90_permille
+FROM q JOIN ex ON q.source = ex.source
+""",
+    tags=("llm-text", "sketch"),
+)
+def llm_sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a fixed-width histogram sketch, per source,
+    with self-reported error against exact percentile_disc.
+
+    The mergeable-quantile pattern for 100 TB (the role t-digest plays):
+    per-partition bin counts merge by addition — one (source, bin) shuffle
+    whose cardinality is values/bin_width, NOT rows — then the quantile is
+    read off the cumulative histogram. Fixed-width integer bins keep the
+    estimate DETERMINISTIC and engine-identical, which t-digest/GK cannot
+    guarantee (their centroids are implementation-defined); error is
+    bounded by bin_width/2 around each true quantile. The exact
+    percentile_disc twin (llm_text_length_quantiles) is the small-data
+    path; this is what it swaps to at scale.
+    """
+    t = T.load(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    b = t.groupBy(
+        "source", F.expr(f"cast(n_tok div {HIST_BIN_W} as bigint)").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("ct"))
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("source")
+    c = b.withColumn("cum", F.sum("ct").over(wc)).withColumn(
+        "n", F.sum("ct").over(wn)
+    )
+    q = c.groupBy("source").agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(0.5 * F.col("n")), F.col("bin"))
+        ).alias("b50"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(0.9 * F.col("n")), F.col("bin"))
+        ).alias("b90"),
+    )
+    ex = t.groupBy("source").agg(
+        F.expr(
+            "cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tok) as bigint)"
+        ).alias("exact_p50"),
+        F.expr(
+            "cast(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_tok) as bigint)"
+        ).alias("exact_p90"),
+    )
+    half = HIST_BIN_W // 2
+    est50 = (F.col("b50") * HIST_BIN_W + half).cast("bigint")
+    est90 = (F.col("b90") * HIST_BIN_W + half).cast("bigint")
+    return (
+        q.join(ex, "source")
+        .select(
+            "source",
+            est50.alias("est_p50"),
+            est90.alias("est_p90"),
+            "exact_p50",
+            "exact_p90",
+            F.expr(
+                f"cast((1000 * abs(b50 * {HIST_BIN_W} + {half} - exact_p50))"
+                " div greatest(exact_p50, 1) as bigint)"
+            ).alias("err50_permille"),
+            F.expr(
+                f"cast((1000 * abs(b90 * {HIST_BIN_W} + {half} - exact_p90))"
+                " div greatest(exact_p90, 1) as bigint)"
+            ).alias("err90_permille"),
+        )
+    )

@@ -195,6 +195,51 @@ def test_first_today_bounded_state_chained_window_agg(spark, tmp_path):
     )
 
 
+def test_kmv_sketch_windowed_stream_parity(spark, tmp_path):
+    """A7-at-scale twin: per-window KMV distinct estimate (k smallest md5
+    values via collect_set) — the mergeable-sketch alternative to the
+    tagged dedup-union when exact distinct isn't required. Streaming
+    windowed agg == identical batch plan."""
+    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
+        _KMV_M,
+        _hexval_sql,
+    )
+
+    K = 16
+
+    def kmv(df):
+        h = df.select(
+            "event_type",
+            "ts",
+            F.md5(F.col("user_id").cast("string")).alias("hx"),
+        )
+        agged = h.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        ).agg(F.array_sort(F.collect_set("hx")).alias("arr"))
+        kth = F.element_at("arr", F.least(F.size("arr"), F.lit(K)))
+        v = F.expr(_hexval_sql("element_at(arr, least(size(arr), {}))".format(K), "instr"))
+        est = F.when(F.size("arr") < K, F.size("arr").cast("bigint")).otherwise(
+            F.expr(f"cast(({K - 1} * {_KMV_M}) as bigint)") / v
+        )
+        return agged.select(
+            F.col("w.start").alias("stt"),
+            "event_type",
+            F.floor(est).cast("bigint").alias("kmv_est"),
+        )
+
+    e = _events(spark)
+    batch = kmv(e)
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, e.schema, max_files_per_trigger=1000)
+    streamed = kmv(s.withWatermark("ts", "5 seconds"))
+    stages = _stage_writes(src, time_slices(e, 3, "ts") + [_flush_row(spark)])
+    got = run_to_memory(streamed, output_mode="append", stages=stages)
+    cols = ["stt", "event_type", "kmv_est"]
+    assert _rows(got.filter(F.col("event_type") != "__flush"), cols) == _rows(
+        batch, cols
+    )
+
+
 def test_is_new_repair_stream_parity_single_batch(spark, tmp_path):
     """W10 twin: applyInPandasWithState == batch window-fn repair when all
     rows arrive in one micro-batch (intra-batch ts ordering is handled by
