@@ -13,6 +13,7 @@ def load_all() -> None:
     from . import dws_queries  # noqa: F401
     from . import func_queries  # noqa: F401
     from . import llm_multimodal  # noqa: F401
+    from . import llm_pipeline_queries  # noqa: F401
     from . import log_queries  # noqa: F401
     from . import llm_queries  # noqa: F401
     from . import llm_scale_queries  # noqa: F401

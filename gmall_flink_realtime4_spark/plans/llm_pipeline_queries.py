@@ -1,0 +1,325 @@
+"""Training-data pipeline operators: corpus mixing, packing, contamination.
+
+Beyond-reference extensions (same family as ``llm_queries.py``): the ops a
+100 TB pretraining-data pipeline runs between "raw corpus" and "token
+stream" — stratified sampling for domain mixing, sequence packing for
+context-window fill, eval-set decontamination, and the bucketized unkeyed
+range join (the generic pattern behind length/price/score banding).
+
+Determinism contract is the catalog's: md5 as the shared random oracle,
+exact integer arithmetic at every boundary, identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .. import tables as T
+from .catalog import query
+from .llm_scale_queries import _KMV_M, _hexval_sql
+
+# ---------------------------------------------------------------------------
+# Stratified (per-language) corpus sampling — deterministic domain mixing.
+# ---------------------------------------------------------------------------
+# per-mille keep rates per language; the "domain mixing weights" of a
+# pretraining recipe. Unlisted languages fall back to 100 per-mille.
+SAMPLE_RATES_PM = {"en": 500, "zh": 800, "de": 300, "fr": 250, "es": 250}
+_RATE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES_PM.items())
+    + " ELSE 100 END"
+)
+
+
+@query(
+    "llm_sample_stratified",
+    oracle=f"""
+WITH h AS (
+    SELECT source, lang, text,
+           {_hexval_sql("md5(CAST(doc_id AS VARCHAR))", "strpos")} AS u,
+           {_RATE_CASE} AS rate_pm
+    FROM documents
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN u * 1000 < rate_pm * {_KMV_M} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN u * 1000 < rate_pm * {_KMV_M}
+                              THEN len(string_split(text, ' ')) END), 0)
+            AS BIGINT) AS kept_tokens,
+       CAST((1000 * SUM(CASE WHEN u * 1000 < rate_pm * {_KMV_M}
+                             THEN 1 ELSE 0 END)) // COUNT(*)
+            AS BIGINT) AS realized_pm
+FROM h GROUP BY 1, 2
+""",
+    tags=("llm-text", "sampling"),
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (domain-mixing weights).
+
+    Keep decision = pure function of doc_id: u = value of the first 12 hex
+    chars of md5(doc_id), kept iff u * 1000 < rate_permille * 16^12 — exact
+    integer compare, no float, no RNG state, so the sample is reproducible
+    across engines, retries, and re-partitioning (the property a training
+    recipe needs for auditability). Map-only decision + one (source, lang)
+    agg shuffle; at 100 TB the rate table would arrive as a broadcast
+    config instead of a literal CASE.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    h = d.select(
+        "source",
+        "lang",
+        "text",
+        F.md5(F.col("doc_id").cast("string")).alias("hx"),
+        F.expr(_RATE_CASE).alias("rate_pm"),
+    ).withColumn("u", F.expr(_hexval_sql("hx", "instr")))
+    kept = F.col("u") * 1000 < F.col("rate_pm") * F.lit(_KMV_M)
+    return h.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(kept, F.size(F.split("text", " ")))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.expr(
+            "cast((1000 * sum(case when u * 1000 < rate_pm * "
+            f"{_KMV_M} then 1 else 0 end)) div count(1) as bigint)"
+        ).alias("realized_pm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — concat-and-chunk context-window assignment.
+# ---------------------------------------------------------------------------
+SEQ_LEN = 256  # tokens per packed sequence
+PACK_BUCKET = 32  # doc_ids per prefix-sum bucket (scale knob)
+
+
+@query(
+    "llm_pack_sequences",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+), c AS (
+    SELECT doc_id, n_tok,
+           COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cum_ex
+    FROM t
+)
+SELECT CAST(cum_ex // {SEQ_LEN} AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c GROUP BY 1
+""",
+    tags=("llm-text", "packing"),
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each doc to the
+    SEQ_LEN-token context window where its first token lands (GPT-style
+    pretraining packing; the straddling doc belongs to the chunk it starts
+    in — the token-level split is the trivial last step).
+
+    The interesting part is the DISTRIBUTED PREFIX SUM: a naive
+    ``SUM() OVER (ORDER BY doc_id)`` is a single-task total order — the
+    classic 100 TB anti-pattern. Instead: (1) bucket docs by
+    ``doc_id div {PACK_BUCKET}`` and aggregate per-bucket token totals (one
+    small shuffle); (2) cumulate the bucket totals — a frame that is
+    rows/{PACK_BUCKET} and shrinks with the bucket knob, the only ordered
+    step; (3) join the bucket offset back and window WITHIN each bucket
+    (parallel across buckets). Identical output to the oracle's plain
+    window, but stage 3's parallelism is #buckets, not 1.
+    """
+    t = T.load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    b = t.withColumn("bkt", F.expr(f"doc_id div {PACK_BUCKET}"))
+    bt = b.groupBy("bkt").agg(F.sum("n_tok").alias("bt_tok"))
+    wb = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = bt.withColumn(
+        "off", F.coalesce(F.sum("bt_tok").over(wb), F.lit(0))
+    ).select("bkt", "off")
+    ww = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = b.join(off, "bkt").withColumn(
+        "cum_ex", F.col("off") + F.coalesce(F.sum("n_tok").over(ww), F.lit(0))
+    )
+    return c.groupBy(
+        F.expr(f"cast(cum_ex div {SEQ_LEN} as bigint)").alias("chunk_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("chunk_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination — n-gram overlap against a benchmark corpus.
+# ---------------------------------------------------------------------------
+DECON_EVAL_MOD = 97  # doc_id % MOD == 0 plays the held-out benchmark set
+DECON_MIN_SHARED = 5  # shared distinct 3-grams to flag contamination
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """Distinct word 3-grams per doc — same construction (and the same
+    range semantics) as llm_dedup_ngram_jaccard's."""
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("t") - 3, F.lit(0))),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                        F.element_at(F.col("t"), i + 3),
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    ).filter(F.size(F.split("shingle", " ")) == 3)
+
+
+@query(
+    "llm_decontaminate",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
+), sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM idx
+), ev AS (
+    SELECT doc_id AS eval_id, shingle FROM sh
+    WHERE doc_id % {DECON_EVAL_MOD} = 0
+), tr AS (
+    SELECT doc_id, shingle FROM sh WHERE doc_id % {DECON_EVAL_MOD} <> 0
+)
+SELECT tr.doc_id,
+       CAST(COUNT(DISTINCT tr.shingle) AS BIGINT) AS n_shared_shingles,
+       CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_partners,
+       CAST(COUNT(DISTINCT tr.shingle) >= {DECON_MIN_SHARED} AS INT)
+           AS contaminated
+FROM tr JOIN ev ON tr.shingle = ev.shingle
+GROUP BY 1
+""",
+    tags=("llm-text", "decontamination"),
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥ K distinct
+    word 3-grams with any held-out eval doc (doc_id % {mod} == 0 plays the
+    benchmark set).
+
+    Scale shape: eval shingles are the SMALL side (the benchmark corpus is
+    MBs while training data is TBs) — broadcast it, so the contamination
+    check is a map-side join over the training shingle stream, no shuffle
+    of the big side. Distinct-per-doc bounds stop-shingle skew exactly as
+    in llm_dedup_ngram_jaccard.
+    """
+    sh = _shingles(T.load(spark, sf_dir, "documents"))
+    ev = (
+        sh.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select(F.col("doc_id").alias("eval_id"), "shingle")
+    )
+    tr = sh.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_partners"),
+            (F.countDistinct("shingle") >= DECON_MIN_SHARED)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unkeyed range join — bucketized band join (the generic non-equi pattern).
+# ---------------------------------------------------------------------------
+PRICE_BANDS = (
+    ("b900", 900.0, 920.0),
+    ("b920", 920.0, 950.0),
+    ("b950", 950.0, 965.0),
+    ("b965", 965.0, 980.0),
+    ("b980", 980.0, 1000.0),
+)
+BAND_G = 10  # coarse-bucket width shared by both join sides
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in PRICE_BANDS)
+
+
+@query(
+    "f_range_band_join",
+    oracle=f"""
+WITH bands(band, lo, hi) AS (VALUES {_BANDS_SQL})
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+       CAST(MIN(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+           AS min_cents,
+       CAST(MAX(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+           AS max_cents
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY 1
+""",
+    tags=("func", "range-join"),
+)
+def f_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unkeyed range (band) join, bucketized: non-uniform [lo, hi) bands
+    against a fact column with NO equi key.
+
+    The naive plan is a non-equi theta join (BroadcastNestedLoop — every
+    row against every band). The scale-safe rewrite: expand each band to
+    the fixed-width coarse buckets it overlaps (``sequence(lo div G,
+    (hi-ε) div G)``), key the fact rows by ``value div G``, EQUI-join on
+    the bucket, then apply the exact [lo, hi) predicate. The theta join
+    becomes a hash join whose fan-out is bands × buckets-per-band — works
+    when BOTH sides are large (shuffle on bucket), degrades gracefully to
+    broadcast when the band side is tiny (as here: Catalyst broadcasts the
+    expanded 5-band table, so the whole join is map-side).
+    """
+    bands = spark.createDataFrame(
+        list(PRICE_BANDS), "band string, lo double, hi double"
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / BAND_G),
+                F.floor((F.col("hi") - 1e-9) / BAND_G),
+            )
+        ),
+    )
+    p = T.load(spark, sf_dir, "part").withColumn(
+        "bucket", F.floor(F.col("p_retailprice") / BAND_G)
+    )
+    cents = F.expr("cast(round(p_retailprice * 100) as bigint)")
+    return (
+        p.join(F.broadcast(bands), "bucket")
+        .filter(
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi"))
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(cents).cast("bigint").alias("sum_cents"),
+            F.min(cents).cast("bigint").alias("min_cents"),
+            F.max(cents).cast("bigint").alias("max_cents"),
+        )
+    )

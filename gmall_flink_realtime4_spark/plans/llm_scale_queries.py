@@ -1184,10 +1184,16 @@ _KMV_M = 16 ** _KMV_HEX_DIGITS
 
 def _hexval_sql(col: str, fn: str) -> str:
     """Numeric value of the first 12 hex chars of ``col`` — identical text
-    for Spark (fn='instr') and DuckDB (fn='strpos')."""
+    for Spark (fn='instr') and DuckDB (fn='strpos').
+
+    Every coefficient is CAST to BIGINT: bare ``16**7`` parses as INT32, and
+    ``(instr(..)-1) * 268435456`` overflows 32-bit exactly when the digit is
+    >= 8 — an ANSI-mode runtime error that only fires on half of all hash
+    values (a data-dependent landmine, found when a new query hashed every
+    doc instead of just the k-th order statistic)."""
     return " + ".join(
         f"({fn}('{_HEX}', substr({col}, {i + 1}, 1)) - 1) * "
-        f"{16 ** (_KMV_HEX_DIGITS - 1 - i)}"
+        f"CAST({16 ** (_KMV_HEX_DIGITS - 1 - i)} AS BIGINT)"
         for i in range(_KMV_HEX_DIGITS)
     )
 

@@ -70,3 +70,41 @@ def test_simhash_identical_docs_same_fingerprint(spark):
     fp2 = {r["doc_id"]: r["simhash64"] for r in qs["llm_dedup_simhash"](spark, SF).collect()}
     assert fp1 == fp2
     assert all(len(v) == 16 for v in fp1.values())
+
+
+def test_hexval_sql_full_hex_range_no_overflow(spark):
+    """Regression: _hexval_sql coefficients must be BIGINT — bare 16**7
+    parses as INT32 and (digit>=8) * 268435456 overflows under ANSI mode.
+    Exercise every digit value at every position, and pin the exact value."""
+    import pyspark.sql.functions as F
+
+    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
+        _KMV_HEX_DIGITS,
+        _hexval_sql,
+    )
+
+    rows = [(c * _KMV_HEX_DIGITS,) for c in "0123456789abcdef"]
+    df = spark.createDataFrame(rows, "hx string")
+    got = {
+        r["hx"][0]: r["u"]
+        for r in df.withColumn("u", F.expr(_hexval_sql("hx", "instr"))).collect()
+    }
+    for c in "0123456789abcdef":
+        assert got[c] == int(c * _KMV_HEX_DIGITS, 16)
+
+
+def test_stratified_sample_partitioning_invariant(spark):
+    """The sampling decision is a pure function of doc_id — identical kept
+    counts regardless of physical partitioning (the reproducibility claim
+    a training recipe depends on)."""
+    sf = "/root/testdata/sf0.001"
+    q = queries()["llm_sample_stratified"]
+    base = {
+        (r["source"], r["lang"]): (r["n_kept"], r["kept_tokens"])
+        for r in q(spark, sf).collect()
+    }
+    again = {
+        (r["source"], r["lang"]): (r["n_kept"], r["kept_tokens"])
+        for r in q(spark, sf).repartition(7).collect()
+    }
+    assert base == again and base

@@ -135,3 +135,38 @@ def test_kmv_sketch_dedups_before_rank(spark):
     plan = _plan(spark, "llm_sketch_kmv_distinct")
     assert "row_number" in plan
     assert plan.count("HashAggregate") >= 2  # distinct is an aggregate
+
+
+def test_range_band_join_is_hash_not_nested_loop(spark):
+    """The bucketized range join must run as an equi hash join on the
+    coarse bucket — never the BroadcastNestedLoopJoin a raw non-equi
+    BETWEEN condition degenerates to."""
+    plan = _plan(spark, "f_range_band_join")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """Contamination check = map-side join: the (small) eval shingle set is
+    broadcast; the training shingle stream is never shuffled for the join."""
+    plan = _plan(spark, "llm_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_no_global_window(spark):
+    """The distributed prefix sum must keep the per-doc window PARTITIONED
+    (by bucket); the only unpartitioned ordered step runs on the tiny
+    bucket-totals frame (after an aggregation), never on the raw docs."""
+    import re
+
+    plan = _plan(spark, "llm_pack_sequences")
+    tree = plan.split("\n\n")[0]
+    details = plan.split("\n\n", 1)[1] if "\n\n" in plan else plan
+    # two Window nodes: bucket offsets (unpartitioned, post-agg) and
+    # within-bucket cumsum (partitioned by bkt)
+    assert tree.count("Window") == 2
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", details)
+    partitioned = [s for s in specs if s.strip().startswith("bkt")]
+    assert partitioned, specs  # the raw-doc window is keyed by bucket
