@@ -323,3 +323,195 @@ def f_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(cents).cast("bigint").alias("max_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filter (the Gopher-rules family): within-doc
+# duplicate n-gram fraction, computed MAP-ONLY (array expressions, zero
+# shuffle before the stats rollup the caller adds).
+# ---------------------------------------------------------------------------
+REP_FLAG_PM = 100  # flag docs with > 10% duplicate 3-grams
+
+
+@query(
+    "llm_text_repetition",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
+), sh AS (
+    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx
+), agg AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+           CAST(COUNT(DISTINCT shingle) AS BIGINT) AS distinct_ngrams
+    FROM sh GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.total_ngrams, 0) AS total_ngrams,
+       COALESCE(a.distinct_ngrams, 0) AS distinct_ngrams,
+       CAST((1000 * (COALESCE(a.total_ngrams, 0) - COALESCE(a.distinct_ngrams, 0)))
+            // greatest(COALESCE(a.total_ngrams, 0), 1) AS BIGINT) AS rep_permille,
+       CAST((1000 * (COALESCE(a.total_ngrams, 0) - COALESCE(a.distinct_ngrams, 0)))
+            // greatest(COALESCE(a.total_ngrams, 0), 1) > {REP_FLAG_PM} AS INT)
+           AS flagged
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+""",
+    tags=("llm-text", "quality"),
+)
+def llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score (Gopher-style quality rule):
+    duplicate word-3-gram fraction per doc, flagged above {pm}‰.
+
+    Scale shape: the entire score is per-row ARRAY arithmetic — build the
+    shingle array, ``size`` vs ``size(array_distinct)`` — so the operator
+    is map-only whole-stage codegen over the scan: no explode, no shuffle,
+    nothing materialized per n-gram. (The oracle takes the explode+GROUP
+    BY road; only the OUTPUT must match.)
+    """
+    d = T.load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    sh_arr = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(t) - 3, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+                F.element_at(t, i + 3),
+            ),
+        ),
+        lambda s: F.size(F.split(s, " ")) == 3,
+    )
+    out = d.select(
+        "doc_id",
+        F.size(sh_arr).cast("bigint").alias("total_ngrams"),
+        F.size(F.array_distinct(sh_arr)).cast("bigint").alias("distinct_ngrams"),
+    )
+    rep = F.expr(
+        "cast((1000 * (total_ngrams - distinct_ngrams))"
+        " div greatest(total_ngrams, 1) as bigint)"
+    )
+    return out.select(
+        "doc_id",
+        "total_ngrams",
+        "distinct_ngrams",
+        rep.alias("rep_permille"),
+        (rep > REP_FLAG_PM).cast("int").alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The full corpus-assembly DAG in one plan: quality gates -> exact dedup ->
+# eval decontamination -> stratified mixing -> per-language token budget.
+# ---------------------------------------------------------------------------
+@query(
+    "llm_corpus_final",
+    oracle=f"""
+WITH feat AS (
+    SELECT doc_id, lang, text,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text)                 AS n_chars,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           (1000 * len(list_filter(string_split(text, ' '),
+                                   x -> x IN ('the', 'a', 'of', 'to', 'and'))))
+               // greatest(len(string_split(text, ' ')), 1) AS stop_pm
+    FROM documents
+), kept AS (
+    SELECT * FROM feat
+    WHERE n_tokens >= 5 AND n_chars >= 30 AND stop_pm <= 500
+), keepers AS (
+    SELECT fp, MIN(doc_id) AS keeper_doc_id FROM kept GROUP BY 1
+), deduped AS (
+    SELECT k.* FROM kept k JOIN keepers p ON k.doc_id = p.keeper_doc_id
+), toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
+), sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM idx
+), contaminated AS (
+    SELECT tr.doc_id
+    FROM (SELECT doc_id, shingle FROM sh
+          WHERE doc_id % {DECON_EVAL_MOD} <> 0) tr
+    JOIN (SELECT shingle FROM sh
+          WHERE doc_id % {DECON_EVAL_MOD} = 0) ev ON tr.shingle = ev.shingle
+    GROUP BY 1 HAVING COUNT(DISTINCT tr.shingle) >= {DECON_MIN_SHARED}
+), clean AS (
+    SELECT d.* FROM deduped d
+    WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+), sampled AS (
+    SELECT lang, n_tokens FROM clean
+    WHERE ({_hexval_sql("md5(CAST(doc_id AS VARCHAR))", "strpos")}) * 1000
+          < ({_RATE_CASE}) * {_KMV_M}
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM sampled GROUP BY 1
+""",
+    tags=("llm-text", "pipeline"),
+)
+def llm_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-corpus assembly DAG as ONE Catalyst plan:
+    quality gates (length/chars/stopword) -> exact fingerprint dedup
+    (keeper = min doc_id) -> eval-set removal + n-gram decontamination ->
+    deterministic stratified mixing -> per-language token budget.
+
+    Composition is the point: each stage is the already-gated operator
+    (llm_corpus_prepare's filter+dedup, llm_decontaminate's overlap set,
+    llm_sample_stratified's hash mix) fused into a single DAG — no
+    intermediate materialization, every filter applied before the next
+    shuffle, contaminated ids arrive as a broadcast anti-join. The shape a
+    nightly 100 TB corpus build actually ships.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feat = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))).alias("fp"),
+        F.expr(
+            "(1000 * size(filter(split(text, ' '),"
+            " x -> x IN ('the','a','of','to','and'))))"
+            " div greatest(size(split(text, ' ')), 1)"
+        ).alias("stop_pm"),
+    )
+    kept = feat.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_chars") >= 30)
+        & (F.col("stop_pm") <= 500)
+    )
+    keepers = kept.groupBy("fp").agg(F.min("doc_id").alias("keeper_doc_id"))
+    deduped = kept.join(
+        keepers, kept.doc_id == keepers.keeper_doc_id, "left_semi"
+    )
+    sh = _shingles(d)
+    ev = sh.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select("shingle")
+    contaminated = (
+        sh.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("ns"))
+        .filter(F.col("ns") >= DECON_MIN_SHARED)
+        .select("doc_id")
+    )
+    clean = deduped.filter(F.col("doc_id") % DECON_EVAL_MOD != 0).join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    )
+    sampled = clean.withColumn(
+        "hx", F.md5(F.col("doc_id").cast("string"))
+    ).filter(
+        F.expr(_hexval_sql("hx", "instr")) * 1000
+        < F.expr(_RATE_CASE) * F.lit(_KMV_M)
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

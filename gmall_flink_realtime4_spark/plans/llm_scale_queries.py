@@ -1190,12 +1190,14 @@ def _hexval_sql(col: str, fn: str) -> str:
     ``(instr(..)-1) * 268435456`` overflows 32-bit exactly when the digit is
     >= 8 — an ANSI-mode runtime error that only fires on half of all hash
     values (a data-dependent landmine, found when a new query hashed every
-    doc instead of just the k-th order statistic)."""
-    return " + ".join(
+    doc instead of just the k-th order statistic). The whole sum is
+    parenthesized so callers can inline it into larger expressions without
+    a trailing operator rebinding to just the last term."""
+    return "(" + " + ".join(
         f"({fn}('{_HEX}', substr({col}, {i + 1}, 1)) - 1) * "
         f"CAST({16 ** (_KMV_HEX_DIGITS - 1 - i)} AS BIGINT)"
         for i in range(_KMV_HEX_DIGITS)
-    )
+    ) + ")"
 
 
 @query(

@@ -282,3 +282,44 @@ def dws_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ct",
         "val_sum",
     )
+
+
+@query(
+    "dws_user_retention_cohort",
+    oracle="""
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+    FROM events WHERE user_id IS NOT NULL
+), c AS (
+    SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY 1
+)
+SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', c.cohort, ud.day) AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ud JOIN c ON ud.user_id = c.user_id
+GROUP BY 1, 2
+""",
+    tags=("window-analytic",),
+)
+def dws_user_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention cohorts (beyond-reference analytics): users grouped
+    by first-active day; n_users at each day offset from their cohort day.
+
+    Scale shape: collapse to DISTINCT (user, day) FIRST — the fact stream
+    shrinks to at most users x days before anything else touches it — then
+    one groupBy(user) for the cohort anchor and a user-keyed join that
+    co-partitions with it (same key, no extra shuffle under AQE), and the
+    final small (cohort, offset) agg. Dates leave as 'yyyy-MM-dd' strings
+    (no DateType at the boundary, per the catalog contract).
+    """
+    e = T.load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    c = ud.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (
+        ud.join(c, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -170,3 +170,23 @@ def test_pack_sequences_no_global_window(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", details)
     partitioned = [s for s in specs if s.strip().startswith("bkt")]
     assert partitioned, specs  # the raw-doc window is keyed by bucket
+
+
+def test_repetition_score_is_map_only(spark):
+    """The repetition score is pure array arithmetic over the scan — no
+    exchange, no explode-generated row blowup anywhere in the plan."""
+    plan = _plan(spark, "llm_text_repetition")
+    tree = plan.split("\n\n")[0]
+    assert "Generate" not in tree  # no explode
+    assert "HashAggregate" not in tree  # no per-ngram aggregation
+    # the only allowed exchange is tables.load's small-input spread
+    assert tree.count("Exchange") <= 1
+
+
+def test_corpus_final_broadcasts_contamination(spark):
+    """The composed corpus DAG must apply decontamination as broadcast
+    joins (eval shingles in, contaminated ids out) — the big training side
+    is never shuffled for either."""
+    plan = _plan(spark, "llm_corpus_final")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

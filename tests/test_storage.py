@@ -1,0 +1,101 @@
+"""Storage-layout guards: partition pruning and shuffle-free bucketed joins.
+
+These pin the two plan properties 100 TB layouts buy — a partition-column
+predicate must prune at file-listing time, and co-bucketed tables must
+join without an Exchange — so neither can silently regress.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from gmall_flink_realtime4_spark import tables as T
+from gmall_flink_realtime4_spark.operators.storage import (
+    bucketed_join,
+    write_bucketed,
+    write_partitioned,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    docs = T.load(spark, SF, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+    # one directory per lang on disk
+    dirs = {d for d in os.listdir(path) if d.startswith("lang=")}
+    assert len(dirs) >= 3
+
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = _explain(back)
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "lang" in pf  # predicate reached the listing, not a post-scan filter
+    assert back.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    orders = T.load(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    li = T.load(spark, SF, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    for tbl in ("t_orders_b", "t_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_bucketed(orders, "t_orders_b", "o_orderkey", 8, sort_key="o_orderkey")
+    write_bucketed(li, "t_lineitem_b", "o_orderkey", 8, sort_key="o_orderkey")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at sf0.001 Catalyst would broadcast the tiny side, which hides
+        # what bucketing buys; at real scale neither side is broadcastable,
+        # so force the non-broadcast path the layout is designed for.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey").filter(
+            F.col("l_quantity") > 0
+        )
+        plan = _explain(j)
+        tree = plan.split("\n\n")[0]
+        assert "Exchange" not in tree, tree  # the whole point of bucketing
+        assert "SortMergeJoin" in tree, tree
+        # and the result is the plain join's result
+        expected = orders.join(li, "o_orderkey").filter(F.col("l_quantity") > 0)
+        assert j.count() == expected.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        for tbl in ("t_orders_b", "t_lineitem_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_bucket_pruning_on_key_predicate(spark):
+    """An equality predicate on the bucket key must scan ONE bucket, not
+    all of them (SelectedBucketsCount 1 out of n)."""
+    orders = T.load(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    spark.sql("DROP TABLE IF EXISTS t_orders_bp")
+    write_bucketed(orders, "t_orders_bp", "o_orderkey", 8)
+    auto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try:
+        # the auto heuristic drops the bucketed scan for filter-only plans
+        # (it only values output distribution); turn it off to exercise
+        # bucket PRUNING — scanning 1/n of the files on a key predicate.
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        key = orders.limit(1).collect()[0]["o_orderkey"]
+        q = spark.table("t_orders_bp").filter(F.col("o_orderkey") == key)
+        plan = _explain(q)
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        assert q.count() >= 1
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", auto)
+        spark.sql("DROP TABLE IF EXISTS t_orders_bp")

@@ -49,6 +49,9 @@ QUERIES = [
     "llm_ann_ivf",
     "llm_text_quality_score",
     "llm_multimodal_decode",
+    "llm_sample_stratified",
+    "llm_pack_sequences",
+    "llm_decontaminate",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
