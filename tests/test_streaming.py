@@ -643,3 +643,48 @@ def test_routed_batch_replay_idempotent(spark, tmp_path):
         (r["topic"], r["value"]) for r in spark.read.parquet(out).collect()
     )
     assert got == [("t_a", "r1"), ("t_a", "r3"), ("t_b", "r2")]
+
+
+def test_incremental_corpus_dedup_foreach_batch(spark, tmp_path):
+    """Streaming x LLM-pipeline twin: the nightly corpus build run
+    INCREMENTALLY — documents arrive in micro-batches, each batch applies
+    the quality gates + fingerprinting and MERGEs into the keeper table
+    (key = fp, keeper = min doc_id, enforced as order_col = -doc_id).
+    After all batches the table must equal the one-shot batch dedup —
+    regardless of arrival order, because min is arrival-insensitive."""
+    docs = T.load(spark, SF, "documents")
+
+    def prep(df):
+        return df.select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            F.length("text").alias("n_chars"),
+            F.md5(
+                F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
+            ).alias("fp"),
+            F.expr(
+                "(1000 * size(filter(split(text, ' '),"
+                " x -> x IN ('the','a','of','to','and'))))"
+                " div greatest(size(split(text, ' ')), 1)"
+            ).alias("stop_pm"),
+        ).filter(
+            (F.col("n_tokens") >= 5)
+            & (F.col("n_chars") >= 30)
+            & (F.col("stop_pm") <= 500)
+        ).withColumn("ord", -F.col("doc_id"))
+
+    expected = (
+        prep(docs).groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    )
+
+    target = str(tmp_path / "corpus_keepers")
+    _, src = stream_from_dataframe(docs, n_files=3, base_dir=str(tmp_path))
+    s = stream_parquet_source(spark, src, docs.schema)  # 3 micro-batches
+    run_foreach_batch(
+        s,
+        lambda bdf, _bid: upsert_parquet(prep(bdf), target, ["fp"], "ord"),
+        output_mode="append",
+    )
+    got = _rows(spark.read.parquet(target), ["fp", "doc_id"])
+    assert got == _rows(expected, ["fp", "doc_id"]) and got
