@@ -515,3 +515,103 @@ def llm_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) encoding — the compression half of IVF-PQ.
+# ---------------------------------------------------------------------------
+PQ_M = 8  # subspaces (64-dim vectors -> 8 x 8-dim subvectors)
+PQ_D = 8  # dims per subspace
+PQ_K = 16  # codewords per subspace (codebook = vec_id < PQ_K, seed scheme
+#            shared with llm_ann_ivf's coarse quantizer)
+
+_PQ_DIFF = (
+    "(CAST(CAST(b.embedding[b.m * {d} + jx.j] AS DOUBLE) AS DECIMAL(9,7))"
+    " - CAST(CAST(cb.cemb[b.m * {d} + jx.j] AS DOUBLE) AS DECIMAL(9,7)))"
+).format(d=PQ_D)
+
+
+@query(
+    "llm_ann_pq_encode",
+    oracle=f"""
+WITH ms AS (
+    SELECT unnest(range(0, {PQ_M})) AS m
+), jx AS (
+    SELECT unnest(range(1, {PQ_D + 1})) AS j
+), b AS (
+    SELECT vec_id, m, embedding FROM embeddings, ms
+), cb AS (
+    SELECT vec_id AS cid, m, embedding AS cemb FROM embeddings, ms
+    WHERE vec_id < {PQ_K}
+), d AS (
+    SELECT b.vec_id, b.m, cb.cid,
+           SUM({_PQ_DIFF} * {_PQ_DIFF}) AS d2
+    FROM b JOIN cb ON b.m = cb.m, jx
+    GROUP BY 1, 2, 3
+), r AS (
+    SELECT vec_id, m, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+    FROM d
+)
+SELECT vec_id,
+       string_agg(CAST(cid AS VARCHAR), '-' ORDER BY m) AS pq_code,
+       CAST(floor(1000000000.0 * CAST(SUM(d2) AS DOUBLE)) AS BIGINT)
+           AS qerr_e9
+FROM r WHERE rn = 1
+GROUP BY 1
+""",
+    tags=("llm-ann", "compression"),
+)
+def llm_ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: each vector -> {PQ_M} codeword ids
+    (one per {PQ_D}-dim subspace, codebook = the seed scheme shared with
+    llm_ann_ivf), plus the total squared reconstruction error.
+
+    The compression layer of IVF-PQ (Jegou et al. 2011): at 100 TB the
+    vector corpus is stored as M bytes/vector instead of 256, and ANN
+    rerank reads codes + a distance-table lookup. Scale shape: the
+    codebook ({PQ_M}x{PQ_K} subvectors) is BROADCAST; assignment is
+    map-only per (vector, subspace) with the {PQ_D}-dim L2 computed by
+    decimal array-fold (exact, order-independent — the DuckDB twin
+    computes the identical integer). One window for the per-subspace
+    argmin (tie-broken on cid), one (vec_id) agg for code assembly.
+    """
+    from .llm_queries import VEC_ACC, VEC_DEC
+
+    emb = T.load(spark, sf_dir, "embeddings")
+    ms = F.array([F.lit(m) for m in range(PQ_M)])
+    sub = emb.select(
+        "vec_id", F.explode(ms).alias("m"), "embedding"
+    ).withColumn("sv", F.expr(f"slice(embedding, m * {PQ_D} + 1, {PQ_D})"))
+    cb = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv"))
+    )
+
+    def dec(x):
+        return x.cast("double").cast(VEC_DEC)
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (dec(x) - dec(y)) * (dec(x) - dec(y))),
+        F.lit(0).cast(VEC_ACC),
+        lambda acc, x: (acc + x).cast(VEC_ACC),
+    )
+    cand = (
+        sub.join(F.broadcast(cb), "m")
+        .withColumn("d2", d2)
+        .select("vec_id", "m", "cid", "d2")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    best = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cid"))),
+                lambda s: s.cid.cast("string"),
+            ),
+            "-",
+        ).alias("pq_code"),
+        F.expr(
+            "cast(floor(1000000000.0 * cast(sum(d2) as double)) as bigint)"
+        ).alias("qerr_e9"),
+    )

@@ -190,3 +190,12 @@ def test_corpus_final_broadcasts_contamination(spark):
     plan = _plan(spark, "llm_corpus_final")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_codebook_broadcast_assignment_map_only(spark):
+    """PQ encoding must broadcast the (M x K subvector) codebook — the
+    per-(vector, subspace) assignment join is map-side, never a shuffle of
+    the vector corpus against the codebook."""
+    plan = _plan(spark, "llm_ann_pq_encode")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
