@@ -199,3 +199,10 @@ def test_pq_codebook_broadcast_assignment_map_only(spark):
     plan = _plan(spark, "llm_ann_pq_encode")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_adc_search_never_scans_base_vectors_at_query_time(spark):
+    """ADC candidate scoring must be codes x broadcast distance-table —
+    map-side join + one sum; the only sort-merge allowed anywhere is none."""
+    plan = _plan(spark, "llm_ann_pq_adc_recall")
+    assert "SortMergeJoin" not in plan
