@@ -323,3 +323,131 @@ def dws_user_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "dws_gap_fill_locf_daily_orders",
+    oracle="""
+WITH src AS (
+    SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS ct
+    FROM orders WHERE o_orderkey % 61 = 0
+    GROUP BY 1, 2
+), bounds AS (
+    SELECT prio, MIN(day) AS d0, MAX(day) AS d1 FROM src GROUP BY 1
+), spine AS (
+    SELECT prio, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+    FROM bounds
+), joined AS (
+    SELECT s.prio, s.day, src.ct FROM spine s
+    LEFT JOIN src ON s.prio = src.prio AND s.day = src.day
+)
+SELECT prio, strftime(day, '%Y-%m-%d') AS day,
+       CAST(last_value(ct IGNORE NULLS) OVER (
+            PARTITION BY prio ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS ct_filled,
+       CAST(CASE WHEN ct IS NULL THEN 1 ELSE 0 END AS INT) AS was_gap
+FROM joined
+""",
+    tags=("window-analytic", "timeseries"),
+)
+def dws_gap_fill_locf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward
+    (the hypertable `time_bucket_gapfill + locf` pattern): a sparse daily
+    series per order priority is densified onto a generated date spine,
+    missing days carry the last seen value, and each row reports whether
+    it was observed or filled.
+
+    Scale shape: the spine is generated PER KEY from that key's own
+    [min, max] day bounds (sequence + explode — rows appear only where
+    needed, no global calendar cross join); the LOCF window partitions by
+    key, so fill parallelism is the key cardinality. Dates leave as
+    strings per the catalog contract.
+    """
+    src = (
+        T.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 61 == 0)
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    spine = (
+        src.groupBy("prio")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "prio",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    joined = spine.join(src, ["prio", "day"], "left")
+    w = (
+        Window.partitionBy("prio")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "prio",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("ct", ignorenulls=True).over(w).cast("bigint").alias("ct_filled"),
+        F.when(F.col("ct").isNull(), 1).otherwise(0).cast("int").alias("was_gap"),
+    )
+
+
+@query(
+    "dim_scd2_user_event_intervals",
+    oracle="""
+WITH src AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM events WHERE user_id IS NOT NULL AND user_id % 997 = 0
+), iv AS (
+    SELECT user_id, event_type, ts,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts
+    FROM src
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       COALESCE(strftime(next_ts, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00')
+           AS valid_to,
+       CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+FROM iv
+""",
+    tags=("window-analytic", "scd"),
+)
+def dim_scd2_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 materialization from a change stream: each change row
+    becomes a validity interval [valid_from, valid_to) via lead() over the
+    per-key change order (tie-broken on event_id for duplicate
+    timestamps), open intervals marked current — the standard
+    slowly-changing-dimension build every warehouse runs over CDC.
+
+    Scale shape: ONE shuffle on the dimension key, one window pass —
+    the change history per key is the partition, so skew follows key
+    activity (bounded here; salting applies if a key's history explodes).
+    Timestamps leave as strings per the catalog contract.
+    """
+    src = T.load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & (F.col("user_id") % 997 == 0)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = src.select(
+        "user_id", "event_type", "ts", F.lead("ts").over(w).alias("next_ts")
+    )
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        F.when(F.col("next_ts").isNull(), 1).otherwise(0).cast("int").alias(
+            "is_current"
+        ),
+    )
