@@ -168,3 +168,139 @@ def f_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="o_orderdate",
         right_cols=["asof_orderkey", "asof_totalprice", "asof_orderdate"],
     ).drop("ts")
+
+
+@query(
+    "dq_audit_warehouse",
+    oracle="""
+SELECT 'lineitem' AS table_name, 'orphan_orderkey' AS check_name,
+       CAST(COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT)
+           AS n_violations,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem', 'duplicate_line_ids',
+       CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 8 + l_linenumber)
+            AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders', 'null_orderdate',
+       CAST(COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'events', 'null_user_id',
+       CAST(COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'part', 'price_out_of_range',
+       CAST(COUNT(CASE WHEN p_retailprice < 900 OR p_retailprice >= 1000
+                       THEN 1 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM part
+UNION ALL
+SELECT 'customer', 'orphan_nationkey',
+       CAST(COUNT(CASE WHEN n.n_nationkey IS NULL THEN 1 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+""",
+    tags=("func", "data-quality"),
+)
+def dq_audit_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly data-quality audit: one row per declared constraint with its
+    violation count — referential integrity (orphan FKs), key uniqueness,
+    null contracts, and value ranges, across five tables in one plan.
+
+    The expectation-suite shape (Great-Expectations/dbt-test family) as a
+    single engine query. Scale shape: every check is one scan + one
+    aggregate; the FK checks join against BROADCAST dims (orders at 100 TB
+    would switch to the key-sketch variant — llm_sketch_kmv_distinct's
+    machinery — or a shuffled semi join, both one line here). The
+    key-uniqueness check intentionally CATCHES the testdata's synthesized
+    duplicate lineitem ids (l_orderkey*8 + l_linenumber collides by
+    construction) — a real finding, not a tautology.
+    """
+    li = T.load(spark, sf_dir, "lineitem")
+    o = T.load(spark, sf_dir, "orders")
+    ev = T.load(spark, sf_dir, "events")
+    p = T.load(spark, sf_dir, "part")
+    c = T.load(spark, sf_dir, "customer")
+    n = T.load(spark, sf_dir, "nation")
+
+    def row(tbl, check, viol, total):
+        return (
+            F.lit(tbl).alias("table_name"),
+            F.lit(check).alias("check_name"),
+            viol.cast("bigint").alias("n_violations"),
+            total.cast("bigint").alias("n_rows"),
+        )
+
+    orphan_li = li.join(
+        F.broadcast(o.select("o_orderkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left",
+    ).agg(
+        *row(
+            "lineitem",
+            "orphan_orderkey",
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)),
+            F.count(F.lit(1)),
+        )
+    )
+    dup_li = li.agg(
+        *row(
+            "lineitem",
+            "duplicate_line_ids",
+            F.count(F.lit(1))
+            - F.countDistinct(F.col("l_orderkey") * 8 + F.col("l_linenumber")),
+            F.count(F.lit(1)),
+        )
+    )
+    null_od = o.agg(
+        *row(
+            "orders",
+            "null_orderdate",
+            F.count(F.when(F.col("o_orderdate").isNull(), 1)),
+            F.count(F.lit(1)),
+        )
+    )
+    null_uid = ev.agg(
+        *row(
+            "events",
+            "null_user_id",
+            F.count(F.when(F.col("user_id").isNull(), 1)),
+            F.count(F.lit(1)),
+        )
+    )
+    price_rng = p.agg(
+        *row(
+            "part",
+            "price_out_of_range",
+            F.count(
+                F.when(
+                    (F.col("p_retailprice") < 900)
+                    | (F.col("p_retailprice") >= 1000),
+                    1,
+                )
+            ),
+            F.count(F.lit(1)),
+        )
+    )
+    orphan_c = c.join(
+        F.broadcast(n.select("n_nationkey")),
+        c.c_nationkey == F.col("n_nationkey"),
+        "left",
+    ).agg(
+        *row(
+            "customer",
+            "orphan_nationkey",
+            F.count(F.when(F.col("n_nationkey").isNull(), 1)),
+            F.count(F.lit(1)),
+        )
+    )
+    out = orphan_li
+    for part_df in (dup_li, null_od, null_uid, price_rng, orphan_c):
+        out = out.unionByName(part_df)
+    return out
