@@ -797,3 +797,70 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_pm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification — the second-stage verifier for LSH candidates.
+# ---------------------------------------------------------------------------
+EDIT_DUP_PM = 200  # normalized edit distance <= 20% -> duplicate
+
+
+def _edit_verify_oracle() -> str:
+    from .catalog import REGISTRY
+
+    minhash = REGISTRY["llm_dedup_minhash_lsh"].oracle
+    return f"""
+WITH cand AS (
+    SELECT doc_a, doc_b FROM ({minhash})
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(lower(da.text), lower(db.text)) AS BIGINT) AS lev_dist,
+       CAST((1000 * levenshtein(lower(da.text), lower(db.text)))
+            // greatest(greatest(length(da.text), length(db.text)), 1)
+            AS BIGINT) AS lev_pm,
+       CAST((1000 * levenshtein(lower(da.text), lower(db.text)))
+            // greatest(greatest(length(da.text), length(db.text)), 1)
+            <= {EDIT_DUP_PM} AS INT) AS is_dup
+FROM cand c
+JOIN documents da ON c.doc_a = da.doc_id
+JOIN documents db ON c.doc_b = db.doc_id
+"""
+
+
+@query(
+    "llm_dedup_edit_distance_verify",
+    oracle=_edit_verify_oracle(),
+    tags=("llm-dedup",),
+)
+def llm_dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-stage near-dup VERIFICATION by normalized edit distance over
+    the MinHash-LSH candidate pairs — the character-level complement to
+    the shingle-Jaccard verifier (catches reorderings Jaccard forgives and
+    small in-word edits shingles amplify).
+
+    Scale shape: Levenshtein is O(len_a x len_b) PER PAIR — affordable
+    precisely because it runs only on the LSH candidate set (never the
+    pair space); the candidate frame is the small side, so both text
+    joins broadcast IT rather than shuffling the corpus. Both engines run
+    the identical unit-cost DP, so the distance is exact on both.
+    """
+    from .llm_scale_queries import llm_dedup_minhash_lsh
+
+    cand = llm_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    d = T.load(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("lt"), F.length("text").alias("ln"))
+    j = (
+        F.broadcast(cand)
+        .join(d.select(F.col("doc_id").alias("doc_a"), F.col("lt").alias("ta"), F.col("ln").alias("la")), "doc_a")
+        .join(d.select(F.col("doc_id").alias("doc_b"), F.col("lt").alias("tb"), F.col("ln").alias("lb")), "doc_b")
+    )
+    lev = F.levenshtein("ta", "tb")
+    pm = F.expr(
+        "cast((1000 * levenshtein(ta, tb)) div greatest(greatest(la, lb), 1) as bigint)"
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        lev.cast("bigint").alias("lev_dist"),
+        pm.alias("lev_pm"),
+        (pm <= EDIT_DUP_PM).cast("int").alias("is_dup"),
+    )
