@@ -52,6 +52,9 @@ QUERIES = [
     "llm_sample_stratified",
     "llm_pack_sequences",
     "llm_decontaminate",
+    "llm_ann_pq_encode",
+    "llm_ann_pq_adc_recall",
+    "llm_dedup_edit_distance_verify",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
