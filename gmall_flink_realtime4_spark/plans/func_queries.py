@@ -304,3 +304,55 @@ def dq_audit_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part_df in (dup_li, null_od, null_uid, price_rng, orphan_c):
         out = out.unionByName(part_df)
     return out
+
+
+@query(
+    "f_json_props_extract",
+    oracle="""
+SELECT event_type,
+       CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+           AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS max_k
+FROM events
+WHERE props IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1, 2
+""",
+    tags=("func", "json"),
+)
+def f_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-json1 on REAL driver data: extract a typed field from the
+    events.props JSON payload, bucket it, and aggregate a money-style
+    measure — the semi-structured projection every log pipeline starts
+    with (the reference does the same to topic_log via fastjson,
+    dwd_base_log family).
+
+    Scale shape: extraction is a per-row JVM expression inside the scan
+    stage (whole-stage codegen, no UDF); invalid/missing JSON is filtered
+    BEFORE the shuffle; the value sum is DECIMAL inside the agg, DOUBLE at
+    the boundary per the catalog money contract.
+    """
+    e = T.load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.filter(F.col("props").isNotNull() & k.isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(
+                "cast(cast(get_json_object(props, '$.k') as bigint) div 10"
+                " as bigint)"
+            ).alias("k_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
