@@ -1,0 +1,628 @@
+"""Round-3 corpus + OLAP operators: chunk dedup, heavy hitters, tf-idf,
+containment, bloom-prefilter join, pivot, analytic window suite.
+
+Beyond-reference extensions in the same family as ``llm_queries.py`` /
+``llm_pipeline_queries.py``: the remaining ops a 100 TB training-data
+pipeline runs (paragraph/chunk-level dedup a la C4/RefinedWeb, corpus-wide
+boilerplate n-gram mining, tf-idf term salience, asymmetric-containment
+partial-dup detection) plus generic OLAP surface the warehouse lacks
+(bloom-filter prefilter for fact-by-dim semi joins, PIVOT, the full
+analytic-window function suite).
+
+Determinism contract is the catalog's: md5 as the shared random oracle,
+exact integer arithmetic at every boundary (scores as integer ppb/per-mille,
+money summed as DECIMAL then cast DOUBLE), identical aliases both sides,
+row_number keepers over total orders.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .. import tables as T
+from .catalog import query
+from .llm_scale_queries import _hexval_sql
+
+# ---------------------------------------------------------------------------
+# Chunk-level (paragraph) exact dedup — C4/RefinedWeb-style: the corpus is
+# deduplicated at sub-document granularity, keeping the FIRST occurrence of
+# every repeated span and dropping later ones.
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 10  # "paragraph" = aligned 10-token span (testdata has no \n)
+
+
+@query(
+    "llm_chunk_dedup",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), idx AS (
+    SELECT doc_id, toks,
+           unnest(range(0, (len(toks) + {CHUNK_TOKENS - 1}) // {CHUNK_TOKENS})) AS i
+    FROM t
+), c AS (
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(
+               toks[(i*{CHUNK_TOKENS}+1):(i*{CHUNK_TOKENS}+{CHUNK_TOKENS})], ' ')
+               AS chunk_text
+    FROM idx
+), r AS (
+    SELECT doc_id, chunk_idx, chunk_text,
+           row_number() OVER (PARTITION BY chunk_text
+                              ORDER BY doc_id, chunk_idx) AS rn
+    FROM c
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(CASE WHEN rn = 1
+                     THEN len(string_split(chunk_text, ' ')) ELSE 0 END)
+            AS BIGINT) AS kept_tokens
+FROM r GROUP BY 1
+""",
+    tags=("llm-text", "dedup"),
+)
+def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (chunk-level) exact dedup: split every doc into aligned
+    10-token chunks, keep only the globally-first occurrence of each
+    repeated chunk (C4/RefinedWeb line-dedup, adapted to newline-free
+    testdata).
+
+    Keeper is row_number() over the total order (doc_id, chunk_idx) — a
+    deterministic first-occurrence rule both engines reproduce. Cost: one
+    shuffle on chunk_text (the dedup key; high-cardinality, skew-free) and
+    one on doc_id for the per-doc rollup. At 100 TB chunk_text would be
+    replaced by its hash as the shuffle key (shipping 16-byte keys, not
+    spans); semantics identical.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.expr(
+        f"(size(split(text, ' ')) + {CHUNK_TOKENS - 1}) div {CHUNK_TOKENS}"
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+        ),
+    )
+    c = d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    rn = F.row_number().over(
+        Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    )
+    r = c.withColumn("rn", rn)
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_chunks"),
+        F.sum(
+            F.when(F.col("rn") == 1, F.size(F.split("chunk_text", " "))).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared 3-gram occurrence construction (NON-distinct, unlike the jaccard
+# shingle helper) — mirrors llm_dedup_ngram_jaccard's proven index/guard.
+# ---------------------------------------------------------------------------
+_TRIGRAM_CTE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
+), g AS (
+    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram FROM idx
+)"""
+
+
+def _trigram_occurrences(d: DataFrame) -> DataFrame:
+    """Every 3-gram occurrence per doc (with multiplicity)."""
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(F.split("text", " ")) - 3, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.split(F.col("text"), " "), i + 1),
+                    F.element_at(F.split(F.col("text"), " "), i + 2),
+                    F.element_at(F.split(F.col("text"), " "), i + 3),
+                ),
+            )
+        ).alias("ngram"),
+    ).filter(F.size(F.split("ngram", " ")) == 3)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide n-gram heavy hitters — boilerplate detection (the "top
+# repeated 3-grams" report used to find headers/footers/templates).
+# ---------------------------------------------------------------------------
+HH_MIN_SUPPORT = 5
+HH_TOP_K = 50
+
+
+@query(
+    "llm_ngram_heavy_hitters",
+    oracle=f"""{_TRIGRAM_CTE}, a AS (
+    SELECT ngram,
+           CAST(COUNT(*) AS BIGINT)               AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM g GROUP BY 1 HAVING COUNT(*) >= {HH_MIN_SUPPORT}
+), r AS (
+    SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, ngram) AS rnk
+    FROM a
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, ngram, n_occurrences, n_docs
+FROM r WHERE rnk <= {HH_TOP_K}
+""",
+    tags=("llm-text", "heavy-hitters"),
+)
+def llm_ngram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-K most frequent 3-grams (occurrence + doc counts) —
+    the boilerplate-mining report.
+
+    Two-phase heavy hitters: a keyed count shuffle with map-side combine
+    does the heavy lifting, then the >= min-support filter shrinks the set
+    BEFORE the global rank, so the single-partition row_number window only
+    ever sees the (tiny) surviving head — the pattern that keeps a global
+    top-K safe when the distinct-n-gram space is billions at 100 TB.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    a = (
+        _trigram_occurrences(d)
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= HH_MIN_SUPPORT)
+    )
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+    )
+    return (
+        a.withColumn("rnk", rnk.cast("bigint"))
+        .filter(F.col("rnk") <= HH_TOP_K)
+        .select("rnk", "ngram", "n_occurrences", "n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tf-idf term salience — top terms per doc by an exact-integer tf/df score.
+# ---------------------------------------------------------------------------
+TFIDF_TOP_K = 3
+_PPB = 1_000_000_000
+
+
+@query(
+    "llm_tfidf_top_terms",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+), df AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), s AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           (tf.tf * CAST({_PPB} AS BIGINT)) // df.df AS score_ppb
+    FROM tf JOIN df USING (term)
+), r AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score_ppb DESC, term) AS rnk
+    FROM s
+)
+SELECT doc_id, term, tf, df, score_ppb, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {TFIDF_TOP_K}
+""",
+    tags=("llm-text", "tfidf"),
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per doc by an exact-integer tf-idf surrogate
+    (score = tf * 1e9 // df — monotone in tf and inversely in df; integer
+    so the cross-engine hash is stable where float ln() would not be).
+
+    Plan: explode -> (doc,term) count (one shuffle, map-side combined) ->
+    term df agg (vocabulary-sized) -> df joined back with a broadcast hint
+    (the head of a term vocabulary is always broadcastable after the df
+    agg; a trillion-token corpus still has a df table orders of magnitude
+    smaller than the fact) -> per-doc top-K via row_number over
+    (score DESC, term) — partition key doc_id is max-cardinality, so the
+    rank never single-threads.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    s = tf.join(F.broadcast(df), "term").withColumn(
+        "score_ppb", F.expr(f"(tf * CAST({_PPB} AS BIGINT)) div df")
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("score_ppb").desc(), "term")
+    )
+    return (
+        s.withColumn("rnk", rnk.cast("bigint"))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score_ppb", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment near-dup — C(A->B) = |A∩B| / |A| over 3-gram sets.
+# Catches partial duplication (doc A quoted inside doc B) that symmetric
+# Jaccard misses when |B| >> |A|.
+# ---------------------------------------------------------------------------
+CONTAIN_PM_MIN = 800  # containment >= 0.8 (per-mille, exact integer)
+
+
+@query(
+    "llm_dedup_containment",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
+), sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM idx
+), sizes AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), scored AS (
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b,
+           (1000 * i.n_common) // sa.n_sh AS contain_a_pm,
+           (1000 * i.n_common) // sb.n_sh AS contain_b_pm
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT * FROM scored
+WHERE contain_a_pm >= {CONTAIN_PM_MIN} OR contain_b_pm >= {CONTAIN_PM_MIN}
+""",
+    tags=("llm-text", "dedup"),
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment: pairs where >= 80% of EITHER doc's
+    distinct 3-grams appear in the other — the partial-duplication case
+    (quotation, header reuse, doc-inside-doc) symmetric Jaccard misses
+    when the containing doc is much larger.
+
+    Same inverted-index candidate join as ``llm_dedup_ngram_jaccard`` (no
+    cross join; pairs must share a shingle), so the known 100 TB posture
+    applies: exact baseline; the LSH generator is the scale path. The
+    per-doc size joins key on doc_id (shuffle join — doc-cardinality, NOT
+    broadcastable at scale); scores are integer per-mille, exact on both
+    engines.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.greatest(F.size(F.split("text", " ")) - 3, F.lit(0)),
+                        ),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(F.split(F.col("text"), " "), i + 1),
+                            F.element_at(F.split(F.col("text"), " "), i + 2),
+                            F.element_at(F.split(F.col("text"), " "), i + 3),
+                        ),
+                    )
+                )
+            ).alias("shingle"),
+        ).filter(F.size(F.split("shingle", " ")) == 3)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b")
+            ),
+            "doc_b",
+        )
+        .withColumn("contain_a_pm", F.expr("(1000 * n_common) div n_sh_a"))
+        .withColumn("contain_b_pm", F.expr("(1000 * n_common) div n_sh_b"))
+    )
+    return scored.filter(
+        (F.col("contain_a_pm") >= CONTAIN_PM_MIN)
+        | (F.col("contain_b_pm") >= CONTAIN_PM_MIN)
+    ).select(
+        "doc_a", "doc_b", "n_common", "n_sh_a", "n_sh_b",
+        "contain_a_pm", "contain_b_pm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter prefilter semi join — filter a huge fact by a small dim
+# predicate WITHOUT shuffling the fact: build a bloom bitset over the
+# qualifying dim keys, broadcast it, drop non-matching fact rows map-side.
+# ---------------------------------------------------------------------------
+BLOOM_M = 4096  # bits
+BLOOM_K = 3  # hash functions
+_BLOOM_SEG = "BUILDING"
+
+
+def _bloom_hx(i: int, key: str, strtype: str = "VARCHAR") -> str:
+    """md5 of hash-family member i over a key expr (strtype: DuckDB
+    spells the cast VARCHAR, Spark SQL spells it STRING)."""
+    return "md5('" + str(i) + ":' || CAST(" + key + " AS " + strtype + "))"
+
+
+def _bloom_pos(hx_col: str, fn: str) -> str:
+    """Bit position from a precomputed md5 hex column."""
+    return "(" + _hexval_sql(hx_col, fn) + " % " + str(BLOOM_M) + ")"
+
+
+_ORACLE_KEY_POS = " UNION ALL ".join(
+    "SELECT " + _bloom_pos("hx", "strpos") + " AS pos FROM (SELECT "
+    + _bloom_hx(i, "c_custkey") + " AS hx FROM keys)"
+    for i in range(BLOOM_K)
+)
+_ORACLE_ORDER_HX = ", ".join(
+    _bloom_hx(i, "o_custkey") + " AS hx" + str(i) for i in range(BLOOM_K)
+)
+_ORACLE_ORDER_POS = ", ".join(
+    _bloom_pos("hx" + str(i), "strpos") + " AS p" + str(i) for i in range(BLOOM_K)
+)
+_ORACLE_CAND = " AND ".join(
+    "p" + str(i) + " IN (SELECT pos FROM pos)" for i in range(BLOOM_K)
+)
+
+
+@query(
+    "f_bloom_prefilter_semi_join",
+    oracle=f"""
+WITH keys AS (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = '{_BLOOM_SEG}'
+), pos AS (
+    SELECT DISTINCT pos FROM ({_ORACLE_KEY_POS})
+), oh AS (
+    SELECT o_orderkey, o_custkey, {_ORACLE_ORDER_HX} FROM orders
+), op AS (
+    SELECT o_orderkey, o_custkey, {_ORACLE_ORDER_POS} FROM oh
+), f AS (
+    SELECT op.*,
+           CASE WHEN {_ORACLE_CAND} THEN 1 ELSE 0 END AS is_cand,
+           CASE WHEN o_custkey IN (SELECT c_custkey FROM keys)
+                THEN 1 ELSE 0 END AS is_true
+    FROM op
+)
+SELECT CAST(COUNT(*) AS BIGINT)      AS n_orders,
+       CAST(SUM(is_cand) AS BIGINT)  AS n_candidates,
+       CAST(SUM(is_true) AS BIGINT)  AS n_true_matches,
+       CAST(SUM(CASE WHEN is_cand = 1 AND is_true = 0 THEN 1 ELSE 0 END)
+            AS BIGINT)               AS n_false_positives,
+       CAST((1000 * SUM(CASE WHEN is_cand = 1 AND is_true = 0 THEN 1 ELSE 0 END))
+            // SUM(is_cand) AS BIGINT) AS fp_per_mille
+FROM f
+""",
+    tags=("join", "bloom"),
+)
+def f_bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prefilter for a fact-by-dim semi join, with the filter
+    built and applied INSIDE the engines (m=4096 bits, k=3 md5 hashes) so
+    both sides compute identical false positives.
+
+    The 100 TB pattern this demonstrates: qualifying dim keys -> k hashed
+    bit positions -> tiny distinct set, broadcast; the fact table is then
+    filtered map-side (k broadcast-hash membership probes, zero fact
+    shuffle) before any expensive downstream join. Bloom has no false
+    negatives by construction; the query reports the measured FP rate.
+    The summary agg is a single global reduce of four counters.
+    """
+    cust = (
+        T.load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _BLOOM_SEG)
+        .select("c_custkey")
+    )
+    pos_exprs = [
+        F.expr(_bloom_pos(_bloom_hx(i, "c_custkey", "STRING"), "instr"))
+        for i in range(BLOOM_K)
+    ]
+    pos = (
+        cust.select(F.explode(F.array(*pos_exprs)).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    keyset = cust.distinct().withColumn("is_true_m", F.lit(1))
+    o = T.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        *[
+            F.expr(
+                _bloom_pos(_bloom_hx(i, "o_custkey", "STRING"), "instr")
+            ).alias("p" + str(i))
+            for i in range(BLOOM_K)
+        ],
+    )
+    f = o
+    for i in range(BLOOM_K):
+        f = f.join(
+            F.broadcast(
+                pos.select(
+                    F.col("pos").alias("p" + str(i)), F.col("hit").alias("h" + str(i))
+                )
+            ),
+            "p" + str(i),
+            "left",
+        )
+    f = f.join(
+        F.broadcast(keyset.withColumnRenamed("c_custkey", "o_custkey")),
+        "o_custkey",
+        "left",
+    ).select(
+        F.when(
+            sum(F.col("h" + str(i)).isNotNull().cast("int") for i in range(BLOOM_K))
+            == BLOOM_K,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_cand"),
+        F.when(F.col("is_true_m").isNotNull(), 1).otherwise(0).alias("is_true"),
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("is_cand").cast("bigint").alias("n_candidates"),
+        F.sum("is_true").cast("bigint").alias("n_true_matches"),
+        F.sum(
+            F.when((F.col("is_cand") == 1) & (F.col("is_true") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_positives"),
+    ).select(
+        "n_orders",
+        "n_candidates",
+        "n_true_matches",
+        "n_false_positives",
+        F.expr("(1000 * n_false_positives) div n_candidates")
+        .cast("bigint")
+        .alias("fp_per_mille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT — wide per-day event-type matrix (explicit value list, one pass).
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "f_pivot_event_day",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       """
+    + ",\n       ".join(
+        f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS {t}_ct,\n"
+        f"       CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' "
+        f"THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS {t}_val"
+        for t in _EVENT_TYPES
+    )
+    + """
+FROM events GROUP BY 1
+""",
+    tags=("pivot",),
+)
+def f_pivot_event_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-day wide matrix of event-type counts + value sums.
+
+    Explicit pivot value list (no extra distinct-discovery pass — at 100 TB
+    an implicit pivot would scan the fact twice); Spark compiles this to a
+    single aggregation with conditional measures, one shuffle on day.
+    Values summed as DECIMAL then cast DOUBLE (exact, order-independent);
+    absent (day, type) cells are coalesced to 0 to match the oracle's
+    conditional-aggregation semantics.
+    """
+    e = T.load(spark, sf_dir, "events")
+    p = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(
+            F.count(F.lit(1)).alias("ct"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("val"),
+        )
+    )
+    return p.select(
+        "day",
+        *[
+            c
+            for t in _EVENT_TYPES
+            for c in (
+                F.coalesce(F.col(f"{t}_ct"), F.lit(0))
+                .cast("bigint")
+                .alias(f"{t}_ct"),
+                F.coalesce(F.col(f"{t}_val"), F.lit(0.0)).alias(f"{t}_val"),
+            )
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window-function suite — rank/lag/lead/ntile/running sum per
+# customer order history (the OVER-clause surface in one query).
+# ---------------------------------------------------------------------------
+@query(
+    "f_window_suite_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER w AS BIGINT)  AS rn,
+       CAST(ntile(4) OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+           AS price_quartile,
+       CAST(COALESCE(lag(o_orderkey) OVER w, -1) AS BIGINT)  AS prev_orderkey,
+       CAST(COALESCE(lead(o_orderkey) OVER w, -1) AS BIGINT) AS next_orderkey,
+       CAST(COALESCE((epoch_ms(o_orderdate)
+                      - epoch_ms(lag(o_orderdate) OVER w)) // 86400000, -1)
+            AS BIGINT) AS gap_days,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("window-analytic",),
+)
+def f_window_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic OVER-window surface in one pass: row_number, ntile,
+    lag/lead, event-time gap, and a running DECIMAL sum per customer.
+
+    One shuffle on o_custkey serves every window (same partition key;
+    Spark reuses the exchange across the sort-based window operators).
+    Orders within a frame are totally ordered by (o_orderdate, o_orderkey)
+    so every function is deterministic; the running sum is DECIMAL inside,
+    DOUBLE at the boundary.
+    """
+    o = T.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ms = F.expr("unix_millis(cast(o_orderdate as timestamp))")
+    gap = F.floor((ms - F.lag(ms).over(w)) / F.lit(86400000)).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.ntile(4).over(wp).cast("bigint").alias("price_quartile"),
+        F.coalesce(F.lag("o_orderkey").over(w), F.lit(-1))
+        .cast("bigint")
+        .alias("prev_orderkey"),
+        F.coalesce(F.lead("o_orderkey").over(w), F.lit(-1))
+        .cast("bigint")
+        .alias("next_orderkey"),
+        F.coalesce(gap, F.lit(-1)).cast("bigint").alias("gap_days"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(wrun)
+        .cast("double")
+        .alias("running_spend"),
+    )

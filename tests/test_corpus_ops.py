@@ -1,0 +1,165 @@
+"""Round-3 corpus/OLAP operators: semantics + plan guards.
+
+Correctness vs DuckDB is tools/parity.py's job; here we pin the operator
+CONTRACTS (bloom has no false negatives, chunk dedup keeps exactly one
+occurrence per distinct chunk, heavy hitters respects min-support) and the
+plan shapes that matter at 100 TB (fact filtered by broadcast probes, no
+sort-merge join of fact x bloom positions).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gmall_flink_realtime4_spark.plans.catalog import queries
+from gmall_flink_realtime4_spark.plans.corpus_ops_queries import (
+    CONTAIN_PM_MIN,
+    HH_MIN_SUPPORT,
+    HH_TOP_K,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every true dim match must survive the bloom prefilter:
+    n_candidates >= n_true_matches and fp count is exactly the surplus."""
+    row = queries()["f_bloom_prefilter_semi_join"](spark, SF).first()
+    assert row.n_candidates >= row.n_true_matches
+    assert row.n_false_positives == row.n_candidates - row.n_true_matches
+    assert row.n_orders >= row.n_candidates
+
+
+def test_bloom_prefilter_plan_is_broadcast_only(spark):
+    """The fact side must be filtered by BROADCAST probes — a sort-merge
+    join of orders x positions would shuffle the fact, defeating the
+    point of the bloom prefilter."""
+    plan = _plan(spark, "f_bloom_prefilter_semi_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # dim predicate must reach the customer scan
+    assert "c_mktsegment" in plan.split("PushedFilters")[1].split("]")[0] or (
+        "BUILDING" in plan
+    )
+
+
+def test_chunk_dedup_accounting(spark):
+    """Keeper invariant: total kept chunks == distinct chunk texts; dup +
+    kept == total; kept_tokens never exceeds the doc's token count."""
+    df = queries()["llm_chunk_dedup"](spark, SF)
+    tot = df.agg(
+        F.sum("n_chunks").alias("n"),
+        F.sum("n_dup_chunks").alias("d"),
+    ).first()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_distinct = (
+        docs.select(
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.expr("(size(split(text,' ')) + 9) div 10 - 1").cast("int"),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.split("text", " "), i * 10 + 1, 10), " "
+                    ),
+                )
+            )
+        )
+        .select("col")
+        .distinct()
+        .count()
+    )
+    assert tot.n - tot.d == n_distinct
+
+
+def test_heavy_hitters_contract(spark):
+    """Every reported n-gram meets min-support; ranks are 1..K dense and
+    ordered by (count DESC, ngram ASC)."""
+    rows = queries()["llm_ngram_heavy_hitters"](spark, SF).orderBy("rnk").collect()
+    assert 0 < len(rows) <= HH_TOP_K
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r.n_occurrences >= HH_MIN_SUPPORT for r in rows)
+    for prev, cur in zip(rows, rows[1:]):
+        assert (prev.n_occurrences, prev.ngram) >= (cur.n_occurrences, prev.ngram)
+        assert prev.n_occurrences >= cur.n_occurrences
+
+
+def test_containment_threshold_and_symmetry(spark):
+    """Reported pairs clear the per-mille threshold on at least one side,
+    and containment never exceeds 1000 (intersection <= set size)."""
+    rows = queries()["llm_dedup_containment"](spark, SF).collect()
+    for r in rows:
+        assert r.contain_a_pm >= CONTAIN_PM_MIN or r.contain_b_pm >= CONTAIN_PM_MIN
+        assert r.contain_a_pm <= 1000 and r.contain_b_pm <= 1000
+        assert r.n_common <= min(r.n_sh_a, r.n_sh_b)
+
+
+def test_tfidf_broadcasts_vocab(spark):
+    """The df (vocabulary) join must be broadcast — re-shuffling the
+    (doc,term) table against a vocab-sized frame is the wrong plan."""
+    plan = _plan(spark, "llm_tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_topk_per_doc(spark):
+    df = queries()["llm_tfidf_top_terms"](spark, SF)
+    per_doc = df.groupBy("doc_id").count()
+    assert per_doc.agg(F.max("count")).first()[0] <= 3
+
+
+def test_pivot_explicit_values_no_discovery_pass(spark):
+    """Explicit-values pivot: Spark lowers pivot to a two-phase agg (per
+    (day,type) partial, then pivot-first on day) — allowed, since phase-2
+    input is already the aggregated (tiny) matrix. What must NOT appear:
+    a distinct-discovery scan (a 3rd aggregation lineage over events) or
+    more than [load-spread repartition + the two agg exchanges]."""
+    import re
+
+    plan = _plan(spark, "f_pivot_event_day")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+    # one scan of events only
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_window_suite_reuses_one_custkey_exchange(spark):
+    """All OVER windows partition by o_custkey, so the plan must contain
+    exactly one hash exchange on o_custkey (sorts differ per window; the
+    partitioning must be reused across them)."""
+    import re
+
+    plan = _plan(spark, "f_window_suite_orders")
+    assert plan.count("hashpartitioning(o_custkey") == 1
+    # total exchanges: the load-spread repartition + the one window shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_window_suite_gap_days_matches_lag(spark):
+    """Spot-check gap_days against a manual per-customer sort."""
+    rows = (
+        queries()["f_window_suite_orders"](spark, SF)
+        .filter(F.col("o_custkey") == 1)
+        .orderBy("rn")
+        .collect()
+    )
+    if len(rows) >= 2:
+        assert rows[0].gap_days == -1
+        assert all(r.gap_days >= 0 for r in rows[1:])
+        assert all(r.prev_orderkey == p.o_orderkey for p, r in zip(rows, rows[1:]))
