@@ -80,6 +80,9 @@ GATE_PRIORITY: list[str] = [
     "f_bloom_prefilter_semi_join",
     "f_pivot_event_day",
     "f_window_suite_orders",
+    "dws_cube_event_stats",
+    "llm_split_train_val_test",
+    "llm_type_token_ratio",
 ]
 
 

@@ -626,3 +626,161 @@ def f_window_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_spend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — cross-hierarchy subtotals over (event_type, day). Complements the
+# existing ROLLUP (llm_corpus_rollup): CUBE also emits the per-day-all-types
+# marginals a rollup skips.
+# ---------------------------------------------------------------------------
+from .llm_scale_queries import _KMV_M  # noqa: E402  (shared random-oracle modulus)
+
+
+@query(
+    "dws_cube_event_stats",
+    oracle="""
+WITH e AS (
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events
+)
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(day, '<all>')        AS day,
+       CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gid,
+       COUNT(*)                      AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+FROM e
+GROUP BY CUBE (event_type, day)
+""",
+    tags=("cube",),
+)
+def dws_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (event_type, day): all four grouping combinations — detail,
+    per-type, per-day, grand total — in ONE aggregation pass.
+
+    Spark lowers cube to Expand (4 rows per input) before a single shuffle
+    with map-side partial aggregation, so the subtotal matrix costs one
+    pass over the fact, not four queries. GROUPING() disambiguates
+    cube-NULL from data-NULL (coalesced to '<all>' for hash stability).
+    """
+    e = T.load(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
+    )
+    cubed = e.cube("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("val_sum"),
+        (F.grouping("event_type") * 2 + F.grouping("day"))
+        .cast("bigint")
+        .alias("gid"),
+    )
+    return cubed.select(
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+        F.coalesce("day", F.lit("<all>")).alias("day"),
+        "gid",
+        "n_events",
+        "val_sum",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split — the reproducible 90/5/5 assignment a
+# training recipe needs (pure function of doc_id: stable across engines,
+# retries, and repartitioning).
+# ---------------------------------------------------------------------------
+SPLIT_TRAIN_PM = 900  # <900 -> train
+SPLIT_VAL_PM = 950  # [900,950) -> val; rest -> test
+
+
+@query(
+    "llm_split_train_val_test",
+    oracle=f"""
+WITH h AS (
+    SELECT lang, text,
+           {_hexval_sql("md5(CAST(doc_id AS VARCHAR) || ':split')", "strpos")} AS u
+    FROM documents
+), s AS (
+    SELECT lang, text,
+           CASE WHEN u * 1000 < {SPLIT_TRAIN_PM} * {_KMV_M} THEN 'train'
+                WHEN u * 1000 < {SPLIT_VAL_PM} * {_KMV_M} THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM s GROUP BY 1, 2
+""",
+    tags=("llm-text", "sampling"),
+)
+def llm_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split with per-(split, lang)
+    doc/token accounting.
+
+    Assignment = pure integer compare on the first 12 hex chars of
+    md5(doc_id || ':split') — no RNG state, so membership is reproducible
+    across engines/retries/partitioning AND independent of the sampling
+    hash used by ``llm_sample_stratified`` (different salt => independent
+    uniforms). Map-only assignment + one small agg shuffle.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    h = d.select(
+        "lang",
+        "text",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))).alias("hx"),
+    ).withColumn("u", F.expr(_hexval_sql("hx", "instr")))
+    split = (
+        F.when(F.col("u") * 1000 < SPLIT_TRAIN_PM * F.lit(_KMV_M), "train")
+        .when(F.col("u") * 1000 < SPLIT_VAL_PM * F.lit(_KMV_M), "val")
+        .otherwise("test")
+    )
+    return (
+        h.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Type-token ratio — per-source lexical-diversity profile (low TTR flags
+# template/boilerplate-heavy sources worth down-weighting in the mix).
+# ---------------------------------------------------------------------------
+@query(
+    "llm_type_token_ratio",
+    oracle="""
+WITH t AS (
+    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)              AS n_tokens,
+       CAST(COUNT(DISTINCT term) AS BIGINT)  AS n_types,
+       CAST((1000 * COUNT(DISTINCT term)) // COUNT(*) AS BIGINT) AS ttr_pm
+FROM t GROUP BY 1
+""",
+    tags=("llm-text",),
+)
+def llm_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source type-token ratio (distinct terms / total terms, integer
+    per-mille) — the lexical-diversity screen for boilerplate-heavy
+    sources.
+
+    One explode + one agg shuffle on source; countDistinct(term) expands
+    the aggregate input 2x (Spark's Expand) — at 100 TB the two-phase
+    distinct (`operators/skew.two_phase_distinct_count`) replaces it if
+    source cardinality is low enough to skew.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    t = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("term").cast("bigint").alias("n_types"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.expr("(1000 * n_types) div n_tokens").cast("bigint").alias("ttr_pm"),
+        )
+    )

@@ -55,6 +55,14 @@ QUERIES = [
     "llm_ann_pq_encode",
     "llm_ann_pq_adc_recall",
     "llm_dedup_edit_distance_verify",
+    # round 3
+    "llm_chunk_dedup",
+    "llm_ngram_heavy_hitters",
+    "llm_tfidf_top_terms",
+    "llm_dedup_containment",
+    "f_bloom_prefilter_semi_join",
+    "f_pivot_event_day",
+    "f_window_suite_orders",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
