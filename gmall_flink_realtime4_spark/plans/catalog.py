@@ -83,6 +83,7 @@ GATE_PRIORITY: list[str] = [
     "dws_cube_event_stats",
     "llm_split_train_val_test",
     "llm_type_token_ratio",
+    "llm_dedup_containment_lsh",
 ]
 
 

@@ -784,3 +784,148 @@ def llm_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * n_types) div n_tokens").cast("bigint").alias("ttr_pm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment over LSH candidates — the 100 TB scale path for partial-dup
+# detection: the exact inverted-index pair join (llm_dedup_containment)
+# never runs; containment is scored ONLY for MinHash-LSH candidate pairs,
+# and the corpus is pruned to candidate docs before shingling.
+# ---------------------------------------------------------------------------
+def _containment_lsh_oracle() -> str:
+    from .catalog import REGISTRY
+
+    minhash = REGISTRY["llm_dedup_minhash_lsh"].oracle
+    return f"""
+WITH cand AS (
+    SELECT doc_a, doc_b FROM ({minhash})
+), cd AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM cand
+        UNION ALL SELECT doc_b AS doc_id FROM cand
+    )
+), toks AS (
+    SELECT d.doc_id, string_split(d.text, ' ') AS t
+    FROM documents d JOIN cd ON d.doc_id = cd.doc_id
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
+), sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM idx
+), sizes AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+    SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       COALESCE(i.n_common, 0) AS n_common,
+       sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b,
+       (1000 * COALESCE(i.n_common, 0)) // sa.n_sh AS contain_a_pm,
+       (1000 * COALESCE(i.n_common, 0)) // sb.n_sh AS contain_b_pm,
+       CAST((1000 * COALESCE(i.n_common, 0)) // sa.n_sh >= {CONTAIN_PM_MIN}
+         OR (1000 * COALESCE(i.n_common, 0)) // sb.n_sh >= {CONTAIN_PM_MIN}
+            AS INT) AS is_partial_dup
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+
+
+@query(
+    "llm_dedup_containment_lsh",
+    oracle=_containment_lsh_oracle(),
+    tags=("llm-text", "dedup"),
+)
+def llm_dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment scored ONLY over the MinHash-LSH candidate
+    pairs — the scale path that replaces ``llm_dedup_containment``'s exact
+    inverted-index join at 100 TB.
+
+    Scale shape: (1) the candidate frame is LSH output (small — broadcast
+    everywhere it joins); (2) the corpus is SEMI-JOIN PRUNED to candidate
+    docs before any shingling, so shingle volume tracks candidates, not
+    corpus; (3) the intersection join runs per candidate pair, never the
+    posting-list cross space. Same integer per-mille scores as the exact
+    operator, so the two are directly comparable (the recall gauge
+    pattern of ``llm_neardup_recall``).
+    """
+    from .llm_scale_queries import llm_dedup_minhash_lsh
+
+    cand = llm_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cd = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    d = T.load(spark, sf_dir, "documents").join(F.broadcast(cd), "doc_id", "left_semi")
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.greatest(F.size(F.split("text", " ")) - 3, F.lit(0)),
+                        ),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(F.split(F.col("text"), " "), i + 1),
+                            F.element_at(F.split(F.col("text"), " "), i + 2),
+                            F.element_at(F.split(F.col("text"), " "), i + 3),
+                        ),
+                    )
+                )
+            ).alias("shingle"),
+        ).filter(F.size(F.split("shingle", " ")) == 3)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        F.broadcast(cand)
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .alias("l")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shb")).alias("r"),
+            (F.col("l.doc_b") == F.col("r.doc_b")) & (F.col("l.shingle") == F.col("r.shb")),
+        )
+        .groupBy(F.col("l.doc_a").alias("doc_a"), F.col("l.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    scored = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)).cast("bigint"))
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+            ),
+            "doc_b",
+        )
+        .withColumn("contain_a_pm", F.expr("(1000 * n_common) div n_sh_a"))
+        .withColumn("contain_b_pm", F.expr("(1000 * n_common) div n_sh_b"))
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_sh_a",
+        "n_sh_b",
+        "contain_a_pm",
+        "contain_b_pm",
+        (
+            (F.col("contain_a_pm") >= CONTAIN_PM_MIN)
+            | (F.col("contain_b_pm") >= CONTAIN_PM_MIN)
+        )
+        .cast("int")
+        .alias("is_partial_dup"),
+    )

@@ -257,3 +257,29 @@ def test_streaming_incremental_heavy_hitter_counts(spark, tmp_path):
     )
     assert merged.exceptAll(batch).count() == 0
     assert batch.exceptAll(merged).count() == 0
+
+
+def test_containment_lsh_scores_agree_with_exact(spark):
+    """For every pair both operators report, the candidate-set scorer must
+    produce the IDENTICAL shingle counts/scores as the exact inverted-index
+    operator (the two differ only in which pairs they examine)."""
+    exact = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_sh_a, r.n_sh_b)
+        for r in queries()["llm_dedup_containment"](spark, SF).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_sh_a, r.n_sh_b)
+        for r in queries()["llm_dedup_containment_lsh"](spark, SF).collect()
+    }
+    both = set(exact) & set(lsh)
+    assert both, "no overlapping pairs — candidate generator found nothing"
+    for k in both:
+        assert exact[k] == lsh[k], k
+
+
+def test_containment_lsh_prunes_corpus_before_shingling(spark):
+    """The documents scan feeding the shingle explode must be semi-join
+    pruned to candidate docs (LeftSemi in the plan) — shingling the whole
+    corpus would defeat the scale path."""
+    plan = _plan(spark, "llm_dedup_containment_lsh")
+    assert "LeftSemi" in plan
