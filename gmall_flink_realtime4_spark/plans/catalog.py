@@ -84,6 +84,8 @@ GATE_PRIORITY: list[str] = [
     "llm_split_train_val_test",
     "llm_type_token_ratio",
     "llm_dedup_containment_lsh",
+    "f_top_users_per_event_type",
+    "dq_outlier_mad_events",
 ]
 
 

@@ -929,3 +929,130 @@ def llm_dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_partial_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-K — "top N per group" (heaviest users per event type): the
+# generic grouped-rank OLAP pattern, partition-parallel by construction.
+# ---------------------------------------------------------------------------
+GROUP_TOP_K = 3
+
+
+@query(
+    "f_top_users_per_event_type",
+    oracle=f"""
+WITH a AS (
+    SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+), r AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY n_events DESC, user_id) AS rnk
+    FROM a
+)
+SELECT event_type, user_id, n_events, val_sum, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {GROUP_TOP_K}
+""",
+    tags=("window-analytic", "heavy-hitters"),
+)
+def f_top_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 heaviest users per event type — grouped top-K via a keyed
+    count then a per-group rank window.
+
+    The agg shrinks events to (type, user) rows BEFORE the rank, and the
+    window partitions on event_type, so no single-partition global sort
+    ever happens; ties break on user_id for cross-engine determinism.
+    """
+    e = T.load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    a = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("val_sum"),
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.col("n_events").desc(), "user_id")
+    )
+    return (
+        a.withColumn("rnk", rnk.cast("bigint"))
+        .filter(F.col("rnk") <= GROUP_TOP_K)
+        .select("event_type", "user_id", "n_events", "val_sum", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median/MAD robust outlier screen — the DQ op that survives skewed value
+# distributions where mean/stddev z-scores break down.
+# ---------------------------------------------------------------------------
+MAD_K = 3  # |value - median| > K * MAD -> outlier
+
+
+@query(
+    "dq_outlier_mad_events",
+    oracle=f"""
+WITH med AS (
+    SELECT event_type,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+    FROM events GROUP BY 1
+), dev AS (
+    SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+    FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+    SELECT event_type,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+    FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ANY_VALUE(d.med) AS DOUBLE) AS median_value,
+       CAST(ANY_VALUE(m.mad) AS DOUBLE) AS mad_value,
+       CAST(SUM(CASE WHEN d.adev > {MAD_K} * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST((1000 * SUM(CASE WHEN d.adev > {MAD_K} * m.mad THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS outlier_pm
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY 1
+""",
+    tags=("dq",),
+)
+def dq_outlier_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier screen: |value - median| > 3 x MAD.
+
+    Median and MAD via percentile_disc (actual data values — both engines
+    agree bit-for-bit; the deviation compare is a pure IEEE expression on
+    stored doubles, so the flag is deterministic). Exact two-pass shape:
+    per-type median agg -> broadcast join back -> per-type MAD agg ->
+    broadcast join -> one counting agg. The per-type frames are
+    group-cardinality (tiny) — always broadcast; at 100 TB the exact
+    percentile sorts swap for approx_percentile with a documented bound,
+    same topology.
+    """
+    e = T.load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    j = dev.join(F.broadcast(mad), "event_type")
+    is_out = F.when(F.col("adev") > MAD_K * F.col("mad"), 1).otherwise(0)
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.first("med").alias("median_value"),
+            F.first("mad").alias("mad_value"),
+            F.sum(is_out).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "median_value",
+            "mad_value",
+            "n_outliers",
+            F.expr("(1000 * n_outliers) div n_events")
+            .cast("bigint")
+            .alias("outlier_pm"),
+        )
+    )

@@ -283,3 +283,33 @@ def test_containment_lsh_prunes_corpus_before_shingling(spark):
     corpus would defeat the scale path."""
     plan = _plan(spark, "llm_dedup_containment_lsh")
     assert "LeftSemi" in plan
+
+
+def test_grouped_topk_contract(spark):
+    """Per-group ranks dense from 1, bounded by K, ordered by count desc."""
+    from gmall_flink_realtime4_spark.plans.corpus_ops_queries import GROUP_TOP_K
+
+    rows = queries()["f_top_users_per_event_type"](spark, SF).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1)), t
+        assert len(rs) <= GROUP_TOP_K
+        counts = [r.n_events for r in rs]
+        assert counts == sorted(counts, reverse=True), t
+
+
+def test_mad_outlier_contract(spark):
+    """Outlier counts bounded by group size; MAD and median are actual
+    data-derived values (MAD >= 0); per-type frames broadcast."""
+    rows = queries()["dq_outlier_mad_events"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_outliers <= r.n_events
+        assert r.mad_value >= 0
+        assert 0 <= r.outlier_pm <= 1000
+    plan = _plan(spark, "dq_outlier_mad_events")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
