@@ -86,6 +86,9 @@ GATE_PRIORITY: list[str] = [
     "llm_dedup_containment_lsh",
     "f_top_users_per_event_type",
     "dq_outlier_mad_events",
+    "llm_length_decile_curriculum",
+    "dq_reconcile_orders_lineitem",
+    "f_set_ops_source_overlap",
 ]
 
 

@@ -76,7 +76,13 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaced by its hash as the shuffle key (shipping 16-byte keys, not
     spans); semantics identical.
     """
-    d = T.load(spark, sf_dir, "documents")
+    return chunk_dedup(T.load(spark, sf_dir, "documents"))
+
+
+def chunk_dedup(d: DataFrame) -> DataFrame:
+    """Chunk-dedup core over any (doc_id, text) frame — see
+    ``llm_chunk_dedup`` for semantics; split out so property tests can
+    drive it with generated corpora."""
     toks = F.split(F.col("text"), " ")
     n_chunks = F.expr(
         f"(size(split(text, ' ')) + {CHUNK_TOKENS - 1}) div {CHUNK_TOKENS}"
@@ -1055,4 +1061,218 @@ def dq_outlier_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("outlier_pm"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-decile curriculum binning — equal-frequency buckets WITHOUT a
+# global ntile sort: decile boundaries from one tiny agg, assignment
+# map-side. (ntile(10) OVER () would single-partition the whole corpus.)
+# ---------------------------------------------------------------------------
+_DECILES = [i / 10 for i in range(1, 10)]
+
+
+def _decile_bounds_sql() -> str:
+    return ", ".join(
+        f"percentile_disc({q}) WITHIN GROUP (ORDER BY n_tokens) AS b{i}"
+        for i, q in enumerate(_DECILES, start=1)
+    )
+
+
+_BUCKET_SQL = "1 + " + " + ".join(
+    f"(CASE WHEN n_tokens > b{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+)
+
+
+@query(
+    "llm_length_decile_curriculum",
+    oracle=f"""
+WITH f AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), b AS (
+    SELECT {_decile_bounds_sql()} FROM f
+), assigned AS (
+    SELECT f.doc_id, f.n_tokens, CAST({_BUCKET_SQL} AS BIGINT) AS decile
+    FROM f CROSS JOIN b
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT)      AS n_docs,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM assigned GROUP BY 1
+""",
+    tags=("llm-text", "sampling"),
+)
+def llm_length_decile_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency length deciles for curriculum scheduling — the
+    scalable alternative to ``ntile(10) OVER ()`` (which would move the
+    whole corpus through ONE partition).
+
+    Shape: one global agg computes the 9 decile boundaries (9 values),
+    broadcast-cross-joined back; bucket assignment is a map-side
+    comparison ladder; the final rollup is a 10-group agg. Boundaries are
+    percentile_disc data values and ties break by `>` on both engines, so
+    membership is deterministic. Same topology at any corpus size.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    f = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    b = f.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY n_tokens)"
+            ).alias(f"b{i}")
+            for i, q in enumerate(_DECILES, start=1)
+        ]
+    )
+    assigned = f.crossJoin(F.broadcast(b)).withColumn(
+        "decile", F.expr(_BUCKET_SQL).cast("bigint")
+    )
+    return assigned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER reconciliation — the warehouse DQ report: orders vs their
+# lineitem rollup, categorized by match status.
+# ---------------------------------------------------------------------------
+@query(
+    "dq_reconcile_orders_lineitem",
+    oracle="""
+WITH lo AS (
+    SELECT l_orderkey AS okey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS li_amount,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY 1
+), o AS (
+    SELECT o_orderkey AS okey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_amount
+    FROM orders
+), j AS (
+    SELECT COALESCE(o.okey, lo.okey) AS okey, o.o_amount, lo.li_amount,
+           CASE WHEN o.okey IS NULL THEN 'lineitem_only'
+                WHEN lo.okey IS NULL THEN 'orders_only'
+                ELSE 'both' END AS status
+    FROM o FULL OUTER JOIN lo ON o.okey = lo.okey
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(o_amount), 0) AS DOUBLE)  AS orders_amount,
+       CAST(COALESCE(SUM(li_amount), 0) AS DOUBLE) AS lineitem_amount,
+       CAST(COALESCE(SUM(CASE WHEN status = 'both'
+                              THEN abs(o_amount - li_amount) END), 0)
+            AS DOUBLE) AS matched_abs_diff
+FROM j GROUP BY 1
+""",
+    tags=("dq", "join"),
+)
+def dq_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of orders against their lineitem rollup —
+    the missing-rows / amount-drift DQ report (exercises the full-outer
+    join surface; every other join type is covered elsewhere).
+
+    One lineitem agg shuffle + one full-outer shuffle join on the order
+    key (full outer can never broadcast), then a 3-group rollup. Amounts
+    are DECIMAL inside every sum, DOUBLE at the boundary.
+    """
+    li = T.load(spark, sf_dir, "lineitem")
+    o = T.load(spark, sf_dir, "orders")
+    lo = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("li_amount"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    oo = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_amount"),
+    )
+    j = oo.join(lo, "okey", "full_outer").withColumn(
+        "status",
+        F.when(F.col("o_amount").isNull(), "lineitem_only")
+        .when(F.col("li_amount").isNull(), "orders_only")
+        .otherwise("both"),
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.coalesce(F.sum("o_amount"), zero).cast("double").alias("orders_amount"),
+        F.coalesce(F.sum("li_amount"), zero).cast("double").alias("lineitem_amount"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("status") == "both",
+                    F.abs(F.col("o_amount") - F.col("li_amount")),
+                )
+            ),
+            zero,
+        )
+        .cast("double")
+        .alias("matched_abs_diff"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations — INTERSECT / EXCEPT / UNION over per-source fingerprint
+# sets (the cross-source overlap report; SURVEY §2.7 marked set ops n/a in
+# the reference — provided here for engine completeness).
+# ---------------------------------------------------------------------------
+_SETOP_SRC_A = "src0"
+_SETOP_SRC_B = "src1"
+
+
+@query(
+    "f_set_ops_source_overlap",
+    oracle=f"""
+WITH a AS (
+    SELECT DISTINCT md5(text) AS fp FROM documents WHERE source = '{_SETOP_SRC_A}'
+), b AS (
+    SELECT DISTINCT md5(text) AS fp FROM documents WHERE source = '{_SETOP_SRC_B}'
+)
+SELECT 'intersect' AS op, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT fp FROM a INTERSECT SELECT fp FROM b)
+UNION ALL
+SELECT 'a_except_b', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT fp FROM a EXCEPT SELECT fp FROM b)
+UNION ALL
+SELECT 'b_except_a', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT fp FROM b EXCEPT SELECT fp FROM a)
+UNION ALL
+SELECT 'union', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT fp FROM a UNION SELECT fp FROM b)
+""",
+    tags=("set-ops",),
+)
+def f_set_ops_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (both directions) / UNION DISTINCT over the
+    content-fingerprint sets of two sources — the cross-source duplication
+    report, and the engine's set-operation surface in one query.
+
+    Each set op is a distinct-aggregate shuffle on the fingerprint (Spark
+    plans intersect/except as aggregated joins — hash-partitioned, never
+    nested-loop); the four single-row counts union into one frame.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    a = (
+        d.filter(F.col("source") == _SETOP_SRC_A)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    b = (
+        d.filter(F.col("source") == _SETOP_SRC_B)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+
+    def labeled(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+
+    return (
+        labeled(a.intersect(b), "intersect")
+        .unionByName(labeled(a.subtract(b), "a_except_b"))
+        .unionByName(labeled(b.subtract(a), "b_except_a"))
+        .unionByName(labeled(a.union(b).distinct(), "union"))
     )

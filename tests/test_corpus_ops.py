@@ -313,3 +313,51 @@ def test_mad_outlier_contract(spark):
     plan = _plan(spark, "dq_outlier_mad_events")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decile_curriculum_balance_and_order(spark):
+    """Deciles cover all docs, are ordered by token range, and no global
+    single-partition sort appears in the plan (the ntile(10) OVER ()
+    anti-pattern this operator exists to avoid)."""
+    rows = (
+        queries()["llm_length_decile_curriculum"](spark, SF)
+        .orderBy("decile")
+        .collect()
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.max_tokens <= cur.min_tokens
+    # equal-frequency-ish: no decile may hold more than 3x its fair share
+    fair = docs.count() / 10
+    assert max(r.n_docs for r in rows) <= 3 * fair
+    import re
+
+    plan = _plan(spark, "llm_length_decile_curriculum")
+    # boundary-assignment design: no Window operator at all (ntile(10)
+    # OVER () would appear as a single-partition Window node)
+    assert not re.search(r"\(\d+\) Window", plan)
+
+
+def test_reconcile_full_outer_accounting(spark):
+    """Status partition must exactly cover the key universe: both +
+    orders_only == distinct orders; both + lineitem_only == distinct
+    lineitem order keys."""
+    import pyspark.sql.functions as FF
+
+    rows = {r.status: r for r in queries()["dq_reconcile_orders_lineitem"](spark, SF).collect()}
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n_orders = o.select("o_orderkey").distinct().count()
+    n_li_keys = li.select("l_orderkey").distinct().count()
+    both = rows["both"].n_orders if "both" in rows else 0
+    assert both + rows.get("orders_only", type("x", (), {"n_orders": 0})).n_orders == n_orders
+    li_only = rows["lineitem_only"].n_orders if "lineitem_only" in rows else 0
+    assert both + li_only == n_li_keys
+
+
+def test_set_ops_algebra(spark):
+    """|A∪B| == |A∩B| + |A\\B| + |B\\A| (inclusion-exclusion on disjoint
+    partition of the union)."""
+    rows = {r.op: r.n for r in queries()["f_set_ops_source_overlap"](spark, SF).collect()}
+    assert rows["union"] == rows["intersect"] + rows["a_except_b"] + rows["b_except_a"]

@@ -175,3 +175,60 @@ def test_flagship_dedup_net_out(spark, n_dups):
     deduped = dedup_upserts(_df(spark, rows), ["id"], order_col="ts")
     total = deduped.agg(F.sum("amount").alias("s")).collect()[0]["s"]
     assert total == 60
+
+
+# ---------------------------------------------------------------------------
+# Round-3: chunk-dedup properties over generated corpora
+# ---------------------------------------------------------------------------
+DOC = st.lists(
+    st.sampled_from(["a", "b", "c"]),  # 3-token vocab => chunk collisions
+    min_size=1,
+    max_size=35,
+)
+
+
+@given(docs=st.lists(DOC, min_size=1, max_size=12), seed=st.integers(0, 10**6))
+@settings(**PROP_SETTINGS)
+def test_chunk_dedup_accounting_property(spark, docs, seed):
+    """For ANY corpus: sum(n_chunks) - sum(n_dup_chunks) == global distinct
+    chunk count; per-doc n_chunks == ceil(tokens/10); kept_tokens <= doc
+    tokens. Row order / partitioning must not change the result."""
+    import math
+
+    from gmall_flink_realtime4_spark.plans.corpus_ops_queries import (
+        CHUNK_TOKENS,
+        chunk_dedup,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    rng = random.Random(seed)
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in chunk_dedup(df).collect()}
+    out2 = {
+        r.doc_id: r
+        for r in chunk_dedup(
+            spark.createDataFrame(shuffled, "doc_id long, text string").repartition(7)
+        ).collect()
+    }
+    assert {k: (v.n_chunks, v.n_dup_chunks, v.kept_tokens) for k, v in out.items()} == {
+        k: (v.n_chunks, v.n_dup_chunks, v.kept_tokens) for k, v in out2.items()
+    }
+
+    # accounting against a pure-python oracle
+    def chunks_of(toks):
+        return [
+            " ".join(toks[i * CHUNK_TOKENS : (i + 1) * CHUNK_TOKENS])
+            for i in range(math.ceil(len(toks) / CHUNK_TOKENS))
+        ]
+
+    all_chunks = [c for toks in docs for c in chunks_of(toks)]
+    assert sum(r.n_chunks for r in out.values()) == len(all_chunks)
+    assert sum(r.n_chunks - r.n_dup_chunks for r in out.values()) == len(
+        set(all_chunks)
+    )
+    for i, toks in enumerate(docs):
+        assert out[i].n_chunks == math.ceil(len(toks) / CHUNK_TOKENS)
+        assert out[i].kept_tokens <= len(toks)

@@ -63,6 +63,15 @@ QUERIES = [
     "f_bloom_prefilter_semi_join",
     "f_pivot_event_day",
     "f_window_suite_orders",
+    "dws_cube_event_stats",
+    "llm_split_train_val_test",
+    "llm_type_token_ratio",
+    "llm_dedup_containment_lsh",
+    "f_top_users_per_event_type",
+    "dq_outlier_mad_events",
+    "llm_length_decile_curriculum",
+    "dq_reconcile_orders_lineitem",
+    "f_set_ops_source_overlap",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
