@@ -89,6 +89,7 @@ GATE_PRIORITY: list[str] = [
     "llm_length_decile_curriculum",
     "dq_reconcile_orders_lineitem",
     "f_set_ops_source_overlap",
+    "llm_dup_span_coverage",
 ]
 
 

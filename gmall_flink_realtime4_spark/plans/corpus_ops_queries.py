@@ -1276,3 +1276,91 @@ def f_set_ops_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(labeled(b.subtract(a), "b_except_a"))
         .unionByName(labeled(a.union(b).distinct(), "union"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span coverage — sliding-window near-verbatim detection (the
+# suffix-array-dedup stand-in from "Deduplicating Training Data Makes
+# Language Models Better": how much of each doc is covered by token spans
+# that also appear elsewhere in the corpus).
+# ---------------------------------------------------------------------------
+SPAN_TOKENS = 8  # window length; sliding (unlike llm_chunk_dedup's aligned)
+
+
+@query(
+    "llm_dup_span_coverage",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), idx AS (
+    SELECT doc_id, tk,
+           unnest(range(1, greatest(len(tk) - {SPAN_TOKENS - 2}, 1))) AS i
+    FROM t
+), w AS (
+    SELECT doc_id, i,
+           md5(array_to_string(tk[i:(i+{SPAN_TOKENS - 1})], ' ')) AS h
+    FROM idx
+), freq AS (
+    SELECT h,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM w GROUP BY 1
+)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN f.n_docs > 1 OR f.n_occ > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_windows,
+       CAST((1000 * SUM(CASE WHEN f.n_docs > 1 OR f.n_occ > 1 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS dup_coverage_pm
+FROM w JOIN freq f ON w.h = f.h
+GROUP BY 1
+""",
+    tags=("llm-text", "dedup"),
+)
+def llm_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span coverage: the fraction of SLIDING 8-token
+    windows whose content also occurs elsewhere (another doc, or again in
+    the same doc) — the scalable stand-in for suffix-array substring dedup
+    (Lee et al. 2022): coverage ~1000 means the doc is assembled from
+    repeated material even when no aligned chunk or full-doc hash matches.
+
+    Shape: sliding windows hashed to md5 (16-byte keys cross the shuffle,
+    never the spans), one (hash) count shuffle with map-side combine, then
+    the frequency frame joins BACK on the hash — at 100 TB that join stays
+    a hash shuffle join keyed on the window hash; the per-doc rollup is
+    the second and last shuffle. Window count is ~tokens-per-doc, so work
+    is linear in corpus tokens.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    # guard BEFORE sequence(): Spark's sequence(1, 0) auto-steps DOWN to
+    # [1, 0] instead of being empty, so short docs must be filtered out
+    # (the oracle's range(1, greatest(len-6, 1)) is empty for them).
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - (SPAN_TOKENS - 1)),
+        lambda i: F.md5(F.array_join(F.slice(tk, i, SPAN_TOKENS), " ")),
+    )
+    w = d.filter(F.size(tk) >= SPAN_TOKENS).select(
+        "doc_id", F.explode(spans).alias("h")
+    )
+    freq = w.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    dup = F.when((F.col("n_docs") > 1) | (F.col("n_occ") > 1), 1).otherwise(0)
+    return (
+        w.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(dup).cast("bigint").alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.expr("(1000 * n_dup_windows) div n_windows")
+            .cast("bigint")
+            .alias("dup_coverage_pm"),
+        )
+    )

@@ -361,3 +361,28 @@ def test_set_ops_algebra(spark):
     partition of the union)."""
     rows = {r.op: r.n for r in queries()["f_set_ops_source_overlap"](spark, SF).collect()}
     assert rows["union"] == rows["intersect"] + rows["a_except_b"] + rows["b_except_a"]
+
+
+def test_dup_span_coverage_contract(spark):
+    """Coverage bounded [0,1000]; window count == tokens - 7 for docs with
+    >= 8 tokens; exact-duplicate docs must show full coverage."""
+    import pyspark.sql.functions as FF
+
+    rows = {r.doc_id: r for r in queries()["llm_dup_span_coverage"](spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    for d in docs:
+        n_tok = len(d.text.split(" "))
+        if n_tok < 8:
+            assert d.doc_id not in rows
+            continue
+        r = rows[d.doc_id]
+        assert r.n_windows == n_tok - 7
+        assert 0 <= r.dup_coverage_pm <= 1000
+    # any pair of identical texts must both be fully covered
+    by_text = {}
+    for d in docs:
+        by_text.setdefault(d.text, []).append(d.doc_id)
+    for text, ids in by_text.items():
+        if len(ids) > 1 and len(text.split(" ")) >= 8:
+            for i in ids:
+                assert rows[i].dup_coverage_pm == 1000, i

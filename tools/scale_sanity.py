@@ -72,6 +72,7 @@ QUERIES = [
     "llm_length_decile_curriculum",
     "dq_reconcile_orders_lineitem",
     "f_set_ops_source_overlap",
+    "llm_dup_span_coverage",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
