@@ -90,6 +90,7 @@ GATE_PRIORITY: list[str] = [
     "dq_reconcile_orders_lineitem",
     "f_set_ops_source_overlap",
     "llm_dup_span_coverage",
+    "llm_embedding_covariance",
 ]
 
 

@@ -1364,3 +1364,83 @@ def llm_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_coverage_pm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance sufficient statistics — the PCA/whitening prep step:
+# the upper-triangle Gram matrix + per-dim sums as ONE mergeable aggregate.
+# ---------------------------------------------------------------------------
+from .llm_queries import VEC_ACC, VEC_DEC  # noqa: E402  (shared decimal ladder)
+
+_COV_E9 = "CAST(floor(1000000000.0 * CAST({} AS DOUBLE)) AS BIGINT)"
+
+
+@query(
+    "llm_embedding_covariance",
+    oracle=f"""
+WITH ix AS (
+    SELECT unnest(range(1, 65)) AS i
+), jx AS (
+    SELECT unnest(range(1, 65)) AS j
+), terms AS (
+    SELECT ix.i, jx.j,
+           CAST(CAST(e.embedding[ix.i] AS DOUBLE) AS {VEC_DEC})
+             * CAST(CAST(e.embedding[jx.j] AS DOUBLE) AS {VEC_DEC}) AS pxy,
+           CAST(CAST(e.embedding[ix.i] AS DOUBLE) AS {VEC_DEC}) AS px,
+           CAST(CAST(e.embedding[jx.j] AS DOUBLE) AS {VEC_DEC}) AS py
+    FROM embeddings e, ix, jx
+    WHERE jx.j >= ix.i
+)
+SELECT i, j,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_COV_E9.format("SUM(pxy)")} AS sxy_e9,
+       {_COV_E9.format("SUM(px)")}  AS sx_e9,
+       {_COV_E9.format("SUM(py)")}  AS sy_e9
+FROM terms GROUP BY 1, 2
+""",
+    tags=("llm-similarity", "linear-algebra"),
+)
+def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance sufficient statistics over the embedding
+    column: per (i, j<=i..D) the exact-decimal Σx_i·x_j, Σx_i, Σx_j and
+    count — everything PCA / whitening / Mahalanobis needs, computed as
+    one distributive aggregate (partial sums merge associatively, so
+    map-side combine reduces every partition to D(D+1)/2 rows before the
+    single 2,080-group shuffle).
+
+    The declarative pair explode amplifies rows D(D+1)/2 x — that IS the
+    cost of second-moment statistics; at 100 TB the same sufficient
+    statistics would fold per-partition via an Arrow mapInPandas numpy
+    X^T X (one BLAS call per batch) and merge the partials — the shuffle
+    topology (2,080 groups) is identical, so this oracle-matched form is
+    the semantics contract for that kernel. Sums are exact DECIMAL, scaled
+    to integer e9 at the boundary.
+    """
+    emb = T.load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+
+    def dec(col):
+        return col.cast("double").cast(VEC_DEC)
+
+    pair_terms = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(64)),
+                lambda j: F.struct(
+                    i.cast("bigint").alias("i"),
+                    j.cast("bigint").alias("j"),
+                    (dec(F.element_at(e, i)) * dec(F.element_at(e, j))).alias("pxy"),
+                    dec(F.element_at(e, i)).alias("px"),
+                    dec(F.element_at(e, j)).alias("py"),
+                ),
+            ),
+        )
+    )
+    t = emb.select(F.explode(pair_terms).alias("t")).select("t.*")
+    return t.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(_COV_E9.format("SUM(pxy)")).alias("sxy_e9"),
+        F.expr(_COV_E9.format("SUM(px)")).alias("sx_e9"),
+        F.expr(_COV_E9.format("SUM(py)")).alias("sy_e9"),
+    )

@@ -386,3 +386,17 @@ def test_dup_span_coverage_contract(spark):
         if len(ids) > 1 and len(text.split(" ")) >= 8:
             for i in ids:
                 assert rows[i].dup_coverage_pm == 1000, i
+
+
+def test_embedding_covariance_contract(spark):
+    """Exactly D(D+1)/2 rows; diagonal second moments are non-negative;
+    n is the corpus size everywhere; sx on the diagonal equals sy."""
+    rows = queries()["llm_embedding_covariance"](spark, SF).collect()
+    assert len(rows) == 64 * 65 // 2
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    for r in rows:
+        assert r.n == n_vecs
+        assert 1 <= r.i <= r.j <= 64
+        if r.i == r.j:
+            assert r.sxy_e9 >= 0
+            assert r.sx_e9 == r.sy_e9

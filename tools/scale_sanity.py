@@ -73,6 +73,7 @@ QUERIES = [
     "dq_reconcile_orders_lineitem",
     "f_set_ops_source_overlap",
     "llm_dup_span_coverage",
+    "llm_embedding_covariance",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
