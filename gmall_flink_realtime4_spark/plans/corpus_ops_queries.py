@@ -1331,7 +1331,13 @@ def llm_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the second and last shuffle. Window count is ~tokens-per-doc, so work
     is linear in corpus tokens.
     """
-    d = T.load(spark, sf_dir, "documents")
+    return dup_span_coverage(T.load(spark, sf_dir, "documents"))
+
+
+def dup_span_coverage(d: DataFrame) -> DataFrame:
+    """Dup-span core over any (doc_id, text) frame — see
+    ``llm_dup_span_coverage`` for semantics; split out so property tests
+    drive the same code path with generated corpora."""
     tk = F.split(F.col("text"), " ")
     # guard BEFORE sequence(): Spark's sequence(1, 0) auto-steps DOWN to
     # [1, 0] instead of being empty, so short docs must be filtered out
@@ -1370,7 +1376,7 @@ def llm_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding covariance sufficient statistics — the PCA/whitening prep step:
 # the upper-triangle Gram matrix + per-dim sums as ONE mergeable aggregate.
 # ---------------------------------------------------------------------------
-from .llm_queries import VEC_ACC, VEC_DEC  # noqa: E402  (shared decimal ladder)
+from .llm_queries import VEC_DEC  # noqa: E402  (shared decimal ladder)
 
 _COV_E9 = "CAST(floor(1000000000.0 * CAST({} AS DOUBLE)) AS BIGINT)"
 

@@ -400,3 +400,77 @@ def test_embedding_covariance_contract(spark):
         if r.i == r.j:
             assert r.sxy_e9 >= 0
             assert r.sx_e9 == r.sy_e9
+
+
+def test_streaming_incremental_chunk_keeper_merge(spark, tmp_path):
+    """Incremental chunk-dedup keeper: documents arrive in micro-batches in
+    NON-doc_id order; each batch MERGEs its chunks into a keeper table with
+    a first-occurrence (min (doc_id, chunk_idx)) rule. Final keeper state
+    must equal the one-shot batch keeper — including the case where a
+    later batch carries the SMALLER key and must replace the stored row."""
+    import pyspark.sql.functions as FF
+
+    from gmall_flink_realtime4_spark.plans.corpus_ops_queries import CHUNK_TOKENS
+    from gmall_flink_realtime4_spark.sinks.factories import upsert_parquet
+    from gmall_flink_realtime4_spark.streaming.runner import stream_parquet_source
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "src")
+    # batch files by doc_id % 3 — chunk keepers can arrive in any batch
+    for i in range(3):
+        docs.filter(FF.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    keeper_path = str(tmp_path / "keeper")
+
+    tk = FF.split(FF.col("text"), " ")
+    n_chunks = FF.expr(
+        f"(size(split(text, ' ')) + {CHUNK_TOKENS - 1}) div {CHUNK_TOKENS}"
+    )
+    chunk_arr = FF.transform(
+        FF.sequence(FF.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: FF.array_join(FF.slice(tk, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "),
+    )
+
+    def chunks_of(df):
+        return df.select(
+            "doc_id", FF.posexplode(chunk_arr).alias("chunk_idx", "chunk_text")
+        ).select(
+            FF.md5("chunk_text").alias("ck"),
+            "doc_id",
+            "chunk_idx",
+            # min (doc_id, chunk_idx) == max of the negated composite
+            (-(FF.col("doc_id") * 1_000_000 + FF.col("chunk_idx"))).alias("neg_ord"),
+        )
+
+    def per_batch(batch_df, batch_id):
+        # per-batch local min first (one keeper row per chunk), then MERGE
+        w_local = chunks_of(batch_df)
+        local = (
+            w_local.groupBy("ck")
+            .agg(FF.max(FF.struct("neg_ord", "doc_id", "chunk_idx")).alias("s"))
+            .select("ck", "s.doc_id", "s.chunk_idx", "s.neg_ord")
+        )
+        upsert_parquet(local, keeper_path, ["ck"], "neg_ord")
+
+    stream = stream_parquet_source(spark, src, docs.schema)
+    q = stream.writeStream.foreachBatch(per_batch).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = {
+        r.ck: (r.doc_id, r.chunk_idx)
+        for r in spark.read.parquet(keeper_path).collect()
+    }
+    batch_keeper = {
+        r.ck: (r.doc_id, r.chunk_idx)
+        for r in chunks_of(docs)
+        .groupBy("ck")
+        .agg(FF.max(FF.struct("neg_ord", "doc_id", "chunk_idx")).alias("s"))
+        .select("ck", "s.doc_id", "s.chunk_idx")
+        .collect()
+    }
+    assert streamed == batch_keeper

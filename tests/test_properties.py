@@ -232,3 +232,46 @@ def test_chunk_dedup_accounting_property(spark, docs, seed):
     for i, toks in enumerate(docs):
         assert out[i].n_chunks == math.ceil(len(toks) / CHUNK_TOKENS)
         assert out[i].kept_tokens <= len(toks)
+
+
+DOC_SHORT = st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=20)
+
+
+@given(docs=st.lists(DOC_SHORT, min_size=1, max_size=10))
+@settings(**PROP_SETTINGS)
+def test_dup_span_coverage_property(spark, docs):
+    """For ANY corpus: docs with < 8 tokens are absent; window count is
+    tokens-7; a doc duplicated verbatim under a different id is fully
+    covered; coverage matches a pure-python span-frequency oracle."""
+    from gmall_flink_realtime4_spark.plans import corpus_ops_queries as C
+
+    rows_in = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    # append a verbatim duplicate of the first doc with >= 8 tokens, if any
+    long_ids = [i for i, toks in enumerate(docs) if len(toks) >= 8]
+    if long_ids:
+        rows_in.append((10_000, rows_in[long_ids[0]][1]))
+
+    df = spark.createDataFrame(rows_in, "doc_id long, text string")
+    out = {r.doc_id: r for r in C.dup_span_coverage(df).collect()}
+
+    # python oracle
+    from collections import Counter
+
+    def windows(text):
+        t = text.split(" ")
+        return [
+            " ".join(t[i : i + C.SPAN_TOKENS])
+            for i in range(len(t) - C.SPAN_TOKENS + 1)
+        ]
+
+    counts = Counter(wd for _, text in rows_in for wd in windows(text))
+    for doc_id, text in rows_in:
+        ws = windows(text)
+        if not ws:
+            assert doc_id not in out
+            continue
+        r = out[doc_id]
+        assert r.n_windows == len(ws)
+        assert r.n_dup_windows == sum(1 for wd in ws if counts[wd] > 1)
+    if long_ids:
+        assert out[10_000].n_dup_windows == out[10_000].n_windows
