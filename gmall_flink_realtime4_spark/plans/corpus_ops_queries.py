@@ -94,17 +94,27 @@ def chunk_dedup(d: DataFrame) -> DataFrame:
         ),
     )
     c = d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
-    rn = F.row_number().over(
-        Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    # Keeper = global min (doc_id, chunk_idx) per chunk — computed as a
+    # COMBINABLE min(struct) aggregate, NOT row_number() over a chunk_text
+    # window: a hot chunk (boilerplate repeated millions of times at
+    # 100 TB) would single-thread the window sort, while min(struct)
+    # reduces every partition's hot-key rows to ONE row map-side. The
+    # join back on chunk_text is AQE-skew-splittable (windows are not).
+    keeper = c.groupBy("chunk_text").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("k")
     )
-    r = c.withColumn("rn", rn)
+    r = c.join(keeper, "chunk_text").withColumn(
+        "is_keeper",
+        (F.col("doc_id") == F.col("k.doc_id"))
+        & (F.col("chunk_idx") == F.col("k.chunk_idx")),
+    )
     return r.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        F.sum(F.when(~F.col("is_keeper"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_dup_chunks"),
         F.sum(
-            F.when(F.col("rn") == 1, F.size(F.split("chunk_text", " "))).otherwise(0)
+            F.when(F.col("is_keeper"), F.size(F.split("chunk_text", " "))).otherwise(0)
         )
         .cast("bigint")
         .alias("kept_tokens"),

@@ -474,3 +474,30 @@ def test_streaming_incremental_chunk_keeper_merge(spark, tmp_path):
         .collect()
     }
     assert streamed == batch_keeper
+
+
+def test_chunk_dedup_no_window_skew_hazard(spark):
+    """The keeper must be a combinable min(struct) aggregate, never a
+    row_number window partitioned on chunk_text (a hot boilerplate chunk
+    would single-thread the sort with zero map-side combine); and a
+    deliberately hot-keyed corpus must still produce the exact first-
+    occurrence accounting."""
+    import re
+
+    import pyspark.sql.functions as FF
+
+    from gmall_flink_realtime4_spark.plans.corpus_ops_queries import chunk_dedup
+
+    plan = _plan(spark, "llm_chunk_dedup")
+    assert not re.search(r"\(\d+\) Window", plan)
+    assert re.search(r"partial_min", plan)  # map-side combine on the keeper
+
+    # hot-key stress: one 10-token chunk repeated across 2,000 docs
+    hot = " ".join(["h"] * 10)
+    rows = [(i, hot + " tail" + str(i)) for i in range(2000)]
+    out = {r.doc_id: r for r in chunk_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()}
+    # doc 0 keeps the hot chunk; everyone else's first chunk is a dup
+    assert out[0].n_dup_chunks == 0
+    assert all(out[i].n_dup_chunks == 1 for i in range(1, 2000))
