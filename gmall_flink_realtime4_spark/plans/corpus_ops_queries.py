@@ -984,11 +984,26 @@ def f_top_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("val_sum"),
     )
+    # Two-phase top-K: event_type has tiny cardinality, so a single rank
+    # window partitioned on it would sort EVERY distinct user of a type in
+    # one task. Phase 1 ranks within (type, salt-of-user) — 32-way
+    # parallel, each partition sees ~1/32 of the users; the global top-K
+    # is necessarily inside the union of per-salt top-Ks. Phase 2 ranks
+    # the surviving 32*K rows per type — constant-size input at any scale.
+    salted = a.withColumn("salt", F.pmod(F.xxhash64("user_id"), F.lit(32)))
+    w_local = Window.partitionBy("event_type", "salt").orderBy(
+        F.col("n_events").desc(), "user_id"
+    )
+    cand = (
+        salted.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= GROUP_TOP_K)
+        .drop("lr", "salt")
+    )
     rnk = F.row_number().over(
         Window.partitionBy("event_type").orderBy(F.col("n_events").desc(), "user_id")
     )
     return (
-        a.withColumn("rnk", rnk.cast("bigint"))
+        cand.withColumn("rnk", rnk.cast("bigint"))
         .filter(F.col("rnk") <= GROUP_TOP_K)
         .select("event_type", "user_id", "n_events", "val_sum", "rnk")
     )

@@ -286,7 +286,14 @@ def test_containment_lsh_prunes_corpus_before_shingling(spark):
 
 
 def test_grouped_topk_contract(spark):
-    """Per-group ranks dense from 1, bounded by K, ordered by count desc."""
+    """Per-group ranks dense from 1, bounded by K, ordered by count desc;
+    plan must show the TWO-phase rank (salted local window before the
+    per-type global one — the low-cardinality-partition skew fix)."""
+    import re
+
+    plan = _plan(spark, "f_top_users_per_event_type")
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2
+    assert "salt" in plan
     from gmall_flink_realtime4_spark.plans.corpus_ops_queries import GROUP_TOP_K
 
     rows = queries()["f_top_users_per_event_type"](spark, SF).collect()
