@@ -56,6 +56,11 @@ def main() -> None:
     spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
+    # full untimed rep of the first headline query: whole-stage codegen,
+    # broadcast machinery, and shuffle services all JIT on someone — make it
+    # this throwaway rep, not HEADLINE[0]'s first timed rep (r03 charged
+    # ~3 s of JVM warm-up to dws_trade_sku_order_window).
+    qs[HEADLINE[0]](spark, sf_dir).count()
 
     # best-of-N: damp ambient-load noise (co-tenants swing wall-clock ±40%)
     # and one-time codegen compile; the min is the plan's actual cost on

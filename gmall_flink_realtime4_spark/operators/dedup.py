@@ -173,3 +173,86 @@ def first_today_bounded_state(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def first_today_tws(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    ttl_hours: int = 36,
+) -> DataFrame:
+    """A8/W4 streaming on the Spark 4 ``transformWithStateInPandas``
+    engine — same semantics as ``first_today_bounded_state`` (first event
+    per (key, day), keyed last-day state, event-time TTL eviction) WITHOUT
+    its two caveats: ``eventTimeColumnName`` re-exposes the output's event
+    time to the engine, so the watermark survives the operator, downstream
+    windowed aggs need no re-declared watermark, and the global-watermark
+    correctness guard (checkCorrectness) stays ON.
+
+    Timer discipline: transformWithState timers ACCUMULATE (unlike
+    GroupState.setTimeoutTimestamp which replaces), so each batch deletes
+    the key's previous timer before registering the new horizon —
+    otherwise a stale early timer would evict live state and re-emit
+    duplicate (key, day) rows.
+
+    Reference parity: keyed ValueState lastVisitDate + StateTtlConfig
+    (DwsUserUserLoginWindow.java:73-107), like the applyInPandasWithState
+    twin; kept alongside it because transformWithState requires the RocksDB
+    state store provider AND the protobuf wheel for its state protocol —
+    this sandbox ships neither requirement beyond pyspark itself
+    (google.protobuf absent), so the e2e tests skip here and run wherever
+    protobuf is installed (tests/test_streaming.py::test_first_today_tws_*).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    schema = df.schema
+    ttl_ms = ttl_hours * 3600 * 1000
+
+    class FirstToday(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._last = handle.getValueState("last_day", "last_day string")
+
+        def handleInputRows(self, key_t, rows, timer_values):
+            import pandas as pd  # noqa: F811 (worker-side import)
+
+            last_day = self._last.get()[0] if self._last.exists() else None
+            last_event_ms = 0
+            for pdf in rows:
+                pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+                ts = pd.to_datetime(pdf[ts_col])
+                days = ts.dt.strftime("%Y-%m-%d")
+                last_event_ms = max(
+                    last_event_ms, int(ts.iloc[-1].value // 1_000_000)
+                )
+                keep = []
+                for j in range(len(pdf)):
+                    d = days.iloc[j]
+                    if d != last_day:
+                        keep.append(j)
+                        last_day = d
+                if keep:
+                    yield pdf.iloc[keep]
+            self._last.update((last_day,))
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            wm = timer_values.getCurrentWatermarkInMs()
+            self._handle.registerTimer(max(wm, last_event_ms) + ttl_ms)
+
+        def handleExpiredTimer(self, key_t, timer_values, expired_timer_info):
+            self._last.clear()
+            yield from ()
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=FirstToday(),
+        outputStructType=schema,
+        outputMode="Append",
+        timeMode="EventTime",
+        eventTimeColumnName=ts_col,
+    )

@@ -44,53 +44,56 @@ REGISTRY: dict[str, QuerySpec] = {}
 # dict order). With >50 registered queries we rotate which ones occupy the
 # gated prefix each round so every query accumulates a driver-verified row:
 # names listed here come first (in this order), the rest follow in
-# registration order. Round 3 prefix = the 12 queries with no driver row in
-# r01 or r02, then the 10 whose only row is the stale r01 one, then any
-# queries new this round.
+# registration order. Round 4 prefix = the 40 queries whose freshest driver
+# row is CORRECTNESS_r02 (rotated out of the r03 gate), then any queries new
+# this round (40 + new <= 50 keeps every name inside the gated prefix).
 GATE_PRIORITY: list[str] = [
-    # never driver-gated (absent from CORRECTNESS_r01 and _r02)
-    "dws_session_window_events",
-    "llm_decontaminate",
-    "f_range_band_join",
-    "llm_text_repetition",
-    "llm_corpus_final",
-    "llm_ann_pq_encode",
-    "llm_ann_pq_adc_recall",
-    "llm_dedup_edit_distance_verify",
-    "dws_time_hierarchy_rollup",
-    "dws_user_retention_cohort",
-    "dws_gap_fill_locf_daily_orders",
-    "dim_scd2_user_event_intervals",
-    # gated in r01 only (rotated out of the prefix by round-2 additions)
-    "dwd_base_log_page",
-    "dwd_base_log_start",
-    "dwd_base_log_err",
-    "dwd_base_log_display",
-    "dwd_base_log_action",
-    "dim_app_router",
-    "dim_app_materialize",
-    "dws_sliding_window_events",
-    "llm_corpus_rollup",
-    "dws_user_event_funnel",
-    # new in round 3 (need their first driver row)
-    "llm_chunk_dedup",
-    "llm_ngram_heavy_hitters",
-    "llm_tfidf_top_terms",
-    "llm_dedup_containment",
-    "f_bloom_prefilter_semi_join",
-    "f_pivot_event_day",
-    "f_window_suite_orders",
-    "dws_cube_event_stats",
-    "llm_split_train_val_test",
-    "llm_type_token_ratio",
-    "llm_dedup_containment_lsh",
-    "f_top_users_per_event_type",
-    "dq_outlier_mad_events",
-    "llm_length_decile_curriculum",
-    "dq_reconcile_orders_lineitem",
-    "f_set_ops_source_overlap",
-    "llm_dup_span_coverage",
-    "llm_embedding_covariance",
+    # freshest row is r02 — rotate back into the gate (reference dwd/dws)
+    "dwd_base_db_router",
+    "dwd_interaction_comment_info",
+    "dwd_trade_cart_add",
+    "dwd_trade_order_cancel_detail",
+    "dwd_trade_order_detail",
+    "dwd_trade_order_pay_suc_detail",
+    "dwd_trade_order_refund",
+    "dws_trade_cart_add_uu_window",
+    "dws_trade_order_window",
+    "dws_trade_payment_suc_window",
+    "dws_trade_province_order_window",
+    "dws_trade_sku_order_window",
+    "dws_trade_trademark_category_user_refund_window",
+    "dws_traffic_home_detail_page_view_window",
+    "dws_traffic_source_keyword_page_view_window",
+    "dws_traffic_vc_ch_ar_is_new_page_view_window",
+    "dws_user_user_login_window",
+    "dws_user_user_register_window",
+    "p1_json_parse_validity_filter",
+    "f_asof_join_latest_order",
+    "f_conditional_cast_math",
+    "f_date_formats",
+    "f_json_props_extract",
+    "dq_audit_warehouse",
+    # freshest row is r02 — LLM/scale ops
+    "llm_ann_ivf",
+    "llm_ann_ivf_recall",
+    "llm_ann_ivf_trained_recall",
+    "llm_dedup_clusters",
+    "llm_dedup_embedding_cells",
+    "llm_dedup_embedding_cosine",
+    "llm_dedup_simhash",
+    "llm_dedup_simhash_pairs",
+    "llm_embedding_kmeans_step",
+    "llm_multimodal_decode",
+    "llm_multimodal_frame_sample",
+    "llm_neardup_recall",
+    "llm_pack_sequences",
+    "llm_sample_stratified",
+    "llm_sketch_histogram_quantiles",
+    "llm_sketch_kmv_distinct",
+    # new in round 4 (need their first driver row) — keep <= 10
+    "llm_sketch_kmv_union",
+    "llm_multimodal_pixel_stats",
+    "dq_null_profile",
 ]
 
 

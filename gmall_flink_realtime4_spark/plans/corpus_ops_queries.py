@@ -69,12 +69,15 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated chunk (C4/RefinedWeb line-dedup, adapted to newline-free
     testdata).
 
-    Keeper is row_number() over the total order (doc_id, chunk_idx) — a
-    deterministic first-occurrence rule both engines reproduce. Cost: one
-    shuffle on chunk_text (the dedup key; high-cardinality, skew-free) and
-    one on doc_id for the per-doc rollup. At 100 TB chunk_text would be
-    replaced by its hash as the shuffle key (shipping 16-byte keys, not
-    spans); semantics identical.
+    Keeper is the global min(struct(doc_id, chunk_idx)) per chunk — a
+    COMBINABLE aggregate (map-side partial min collapses a hot chunk to one
+    row per partition), joined back on chunk_text to tag keepers; the
+    deterministic first-occurrence rule both engines reproduce, without a
+    row_number() window that would single-thread on hot boilerplate. Cost:
+    one map-combined shuffle on chunk_text (the dedup key), one
+    AQE-skew-splittable join back, one doc_id rollup. At 100 TB chunk_text
+    would be replaced by its hash as the shuffle key (shipping 16-byte
+    keys, not spans); semantics identical.
     """
     return chunk_dedup(T.load(spark, sf_dir, "documents"))
 
@@ -440,8 +443,10 @@ SELECT CAST(COUNT(*) AS BIGINT)      AS n_orders,
        CAST(SUM(is_true) AS BIGINT)  AS n_true_matches,
        CAST(SUM(CASE WHEN is_cand = 1 AND is_true = 0 THEN 1 ELSE 0 END)
             AS BIGINT)               AS n_false_positives,
-       CAST((1000 * SUM(CASE WHEN is_cand = 1 AND is_true = 0 THEN 1 ELSE 0 END))
-            // SUM(is_cand) AS BIGINT) AS fp_per_mille
+       CAST(CASE WHEN SUM(is_cand) = 0 THEN 0
+                 ELSE (1000 * SUM(CASE WHEN is_cand = 1 AND is_true = 0
+                                       THEN 1 ELSE 0 END)) // SUM(is_cand)
+            END AS BIGINT) AS fp_per_mille
 FROM f
 """,
     tags=("join", "bloom"),
@@ -522,7 +527,11 @@ def f_bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_candidates",
         "n_true_matches",
         "n_false_positives",
-        F.expr("(1000 * n_false_positives) div n_candidates")
+        # zero-candidate guard mirrored in the oracle's CASE WHEN: DuckDB
+        # `//` raises on division by zero while Spark `div` returns NULL —
+        # guard both sides identically so failure modes can't diverge.
+        F.when(F.col("n_candidates") == 0, F.lit(0))
+        .otherwise(F.expr("(1000 * n_false_positives) div n_candidates"))
         .cast("bigint")
         .alias("fp_per_mille"),
     )
@@ -870,9 +879,29 @@ def llm_dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator, so the two are directly comparable (the recall gauge
     pattern of ``llm_neardup_recall``).
     """
+    return containment_lsh(spark, sf_dir, persist=True)
+
+
+def containment_lsh(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> DataFrame:
+    """Containment-over-LSH core. ``persist=True`` (production) cuts the
+    fan-out re-derivation with localCheckpoint; ``persist=False`` keeps the
+    full lineage visible so plan tests can assert the semi-join prune that
+    checkpointing hides from explain()."""
     from .llm_scale_queries import llm_dedup_minhash_lsh
 
-    cand = llm_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    def _persist(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if persist else df
+
+    # The candidate frame fans out to THREE consumers (semi-join prune,
+    # intersection join, final score join). Without persistence each
+    # consumer re-derives the whole 16-Exchange minhash pipeline — at
+    # 100 TB that is several full corpus re-scans (r03 plan census showed
+    # 92 Exchanges / 44 scans for this one query). The frame is tiny
+    # (candidate pairs only), so localCheckpoint it once: lineage is cut,
+    # every consumer reads the materialized blocks.
+    cand = _persist(llm_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"))
     cd = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -898,8 +927,14 @@ def llm_dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
             ).alias("shingle"),
-        ).filter(F.size(F.split("shingle", " ")) == 3)
+        )
+        .filter(F.size(F.split("shingle", " ")) == 3)
     )
+    # the shingle frame also fans out (sizes + both sides of the
+    # intersection join); it is candidate-pruned — proportional to the
+    # LSH candidate set, not the corpus — so materializing it caps the
+    # query at ONE documents scan instead of one per consumer
+    sh = _persist(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         F.broadcast(cand)
@@ -1212,11 +1247,16 @@ def dq_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     oo = o.select(
         F.col("o_orderkey").alias("okey"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("o_amount"),
+        F.lit(1).alias("o_present"),
     )
+    # status derives from SIDE PRESENCE markers (lit(1) carried through the
+    # full outer join), mirroring the oracle's `o.okey IS NULL` logic — NOT
+    # from amount nullity, which would mislabel a legitimately-NULL
+    # o_totalprice as 'lineitem_only'.
     j = oo.join(lo, "okey", "full_outer").withColumn(
         "status",
-        F.when(F.col("o_amount").isNull(), "lineitem_only")
-        .when(F.col("li_amount").isNull(), "orders_only")
+        F.when(F.col("o_present").isNull(), "lineitem_only")
+        .when(F.col("n_lines").isNull(), "orders_only")
         .otherwise("both"),
     )
     zero = F.lit(0).cast("decimal(18,2)")
@@ -1474,4 +1514,62 @@ def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_COV_E9.format("SUM(pxy)")).alias("sxy_e9"),
         F.expr(_COV_E9.format("SUM(px)")).alias("sx_e9"),
         F.expr(_COV_E9.format("SUM(py)")).alias("sy_e9"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling — the one-pass null/distinct report every ingest DQ
+# gate runs before a table is admitted to the warehouse.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@query(
+    "dq_null_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+    tags=("dq", "profiling"),
+)
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null-count + exact distinct-count profile of ``orders``,
+    emitted long-form (col_name, n_rows, n_null, n_distinct).
+
+    ONE aggregation pass: Spark plans the N exact distincts as a single
+    Expand (xN row multiply, each replica keyed by one column) feeding one
+    map-combined shuffle — versus the naive N separate scans the oracle
+    spells. The null counts ride the same pass free. At extreme
+    cardinality you'd swap exact distincts for the mergeable KMV sketch
+    (``llm_sketch_kmv_distinct``) — same plan shape, bounded state. The
+    long-form stack happens AFTER aggregation (6 rows), costing nothing.
+    """
+    o = T.load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"null_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+    prof = o.agg(*aggs)
+    stack = "stack({}, {}) as (col_name, n_null, n_distinct)".format(
+        len(_PROFILE_COLS),
+        ", ".join(f"'{c}', null_{c}, dist_{c}" for c in _PROFILE_COLS),
+    )
+    return prof.select(F.expr(stack), "n_rows").select(
+        "col_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
     )

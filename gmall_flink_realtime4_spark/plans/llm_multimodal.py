@@ -1,22 +1,31 @@
 """Multimodal-column operators: opaque binary payloads + Pandas-UDF decode.
 
 A 100 TB training-data pipeline carries image/audio/video as opaque
-``binary`` columns with typed metadata. The Spark-side plumbing here is
-real — binary column, ``mapInPandas`` over Arrow batches, explicit output
-schema, 1->N frame fan-out — while the codec itself is stubbed: the
-container has no image/audio libs, so ``_decode_real`` raises
-NotImplementedError and the pipeline falls back to a deterministic fake
-feature extractor (documented, oracle-matched). Swapping in a real decoder
-changes ONE function, not the plan.
+``binary`` columns with typed metadata. The Spark-side plumbing is real —
+binary column, ``mapInPandas`` over Arrow batches, explicit output schema,
+1->N frame fan-out — and so is the codec for container formats that need
+no system libraries: ``_decode_real`` parses PPM (P6) and BMP image
+headers and RIFF/WAV audio chunks in pure Python. Payloads that aren't a
+recognized container (and media types with no pure-Python parser, e.g.
+video) fall back to ``_decode_fake``, a deterministic feature extractor
+the DuckDB oracle reproduces. Swapping in a richer decoder (PIL/libav)
+still changes ONE function, not the plan.
 
-The ``media`` frame derives from ``documents``: payload = utf-8 bytes of
-``text`` standing in for encoded media; media_type cycles
-image/audio/video by doc_id.
+The ``media`` frame derives from ``documents``: media_type cycles
+image/audio/video by doc_id. Image rows carry a REAL PPM container
+(ASCII header + the text bytes as the pixel plane) so the registered
+query exercises the real parse path end-to-end while staying
+oracle-expressible; audio/video rows carry raw utf-8 text bytes and
+exercise the fallback. BMP and WAV parsing is exercised by binary
+fixtures in tests (their headers are little-endian binary — not
+constructible in portable SQL, so they stay out of the oracle-gated
+payload).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -40,29 +49,143 @@ def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The binary column is the contract: downstream operators must treat it
     as opaque (no string ops), exactly how parquet would carry real jpeg/
-    wav/mp4 payloads. Partitioning note: at scale, media rows are wide —
-    keep ``spark.sql.files.maxPartitionBytes`` sized so one Arrow batch of
-    payloads fits executor memory.
+    wav/mp4 payloads. Image rows are a valid binary PPM (P6): ASCII
+    header carrying deterministic dimensions, text bytes as the pixel
+    plane — built with JVM-side string expressions (codegen, no Python)
+    so the oracle can reproduce the exact payload. Partitioning note: at
+    scale, media rows are wide — keep ``spark.sql.files.maxPartitionBytes``
+    sized so one Arrow batch of payloads fits executor memory.
     """
     d = T.load(spark, sf_dir, "documents")
+    iw = (F.lit(16) + F.octet_length("text") % 64).cast("bigint")
+    ih = (
+        F.lit(16)
+        + (
+            F.expr(f"instr('{_HEX}', substr(md5(encode(text, 'utf-8')), 1, 1))")
+            - 1
+        )
+        * 4
+    ).cast("bigint")
+    ppm = F.concat(
+        F.lit("P6\n"),
+        iw.cast("string"),
+        F.lit(" "),
+        ih.cast("string"),
+        F.lit("\n255\n"),
+        F.col("text"),
+    )
     return d.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video")
         .alias("media_type"),
-        F.encode("text", "utf-8").alias("media_bytes"),
+        F.encode(
+            F.when(F.col("doc_id") % 3 == 0, ppm).otherwise(F.col("text")),
+            "utf-8",
+        ).alias("media_bytes"),
     )
 
 
+def _parse_ppm(b: bytes) -> dict:
+    """Binary pixmap (PPM P6): ASCII header ``P6 <w> <h> <maxval>`` with
+    whitespace separators and '#' comments, then the raw RGB plane."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not ppm")
+    toks: list[bytes] = []
+    i, n = 2, len(b)
+    while len(toks) < 3 and i < n:
+        c = b[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":  # comment runs to end of line
+            while i < n and b[i : i + 1] != b"\n":
+                i += 1
+        else:
+            j = i
+            while j < n and not b[j : j + 1].isspace():
+                j += 1
+            toks.append(b[i:j])
+            i = j
+    if len(toks) < 3 or not all(t.isdigit() for t in toks):
+        raise ValueError("bad ppm header")
+    w, h, maxval = (int(t) for t in toks)
+    if not (0 < w and 0 < h and 0 < maxval < 65536):
+        raise ValueError("bad ppm dims")
+    return {"width": w, "height": h, "n_frames": 1}
+
+
+def _parse_bmp(b: bytes) -> dict:
+    """Windows bitmap with a BITMAPINFOHEADER; validates magic, the
+    declared file size, and the 40-byte info-header size so arbitrary
+    'BM...'-prefixed bytes can't mis-parse."""
+    if len(b) < 54 or not b.startswith(b"BM"):
+        raise ValueError("not bmp")
+    (file_size,) = struct.unpack_from("<I", b, 2)
+    (hdr_size,) = struct.unpack_from("<I", b, 14)
+    if file_size != len(b) or hdr_size != 40:
+        raise ValueError("bad bmp header")
+    w, h = struct.unpack_from("<ii", b, 18)
+    if w <= 0 or h == 0:
+        raise ValueError("bad bmp dims")
+    return {"width": int(w), "height": abs(int(h)), "n_frames": 1}
+
+
+def _parse_wav(b: bytes) -> dict:
+    """RIFF/WAVE PCM: validates the RIFF size against the actual payload
+    length, then walks chunks for ``fmt `` and ``data``. Feature mapping
+    into the shared decode schema: width=channels, height=bits/sample,
+    n_frames=sample frames (data bytes / block align)."""
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not wav")
+    (riff_size,) = struct.unpack_from("<I", b, 4)
+    if riff_size != len(b) - 8:
+        raise ValueError("bad riff size")
+    i, fmt, data_len = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (sz,) = struct.unpack_from("<I", b, i + 4)
+        if cid == b"fmt " and sz >= 16:
+            fmt = struct.unpack_from("<HHIIHH", b, i + 8)
+        elif cid == b"data":
+            data_len = sz
+        i += 8 + sz + (sz % 2)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("missing wav chunks")
+    _, channels, _, _, block_align, bits = fmt
+    if channels <= 0 or block_align <= 0:
+        raise ValueError("bad wav fmt")
+    return {
+        "width": int(channels),
+        "height": int(bits),
+        "n_frames": int(data_len // block_align),
+    }
+
+
+_PARSERS: dict[str, tuple] = {
+    "image": (_parse_ppm, _parse_bmp),
+    "audio": (_parse_wav,),
+    "video": (),  # no pure-Python mp4/mkv parser — always falls back
+}
+
+
 def _decode_real(payload: bytes, media_type: str) -> dict:
-    """The real codec hook. Container has no PIL/librosa/av — callers fall
-    back to ``_decode_fake``. Replace this body to plug in real decoding."""
-    try:
-        import PIL.Image  # noqa: F401  (not installed in this container)
-    except ImportError as exc:
-        raise NotImplementedError("no media codecs in container") from exc
-    raise NotImplementedError("real decode not wired")
+    """Pure-Python container decode: tries each parser registered for the
+    declared media type; every parser validates strictly enough that
+    non-container bytes cannot mis-parse (magic + size/structure checks).
+    Raises NotImplementedError when no parser accepts the payload — the
+    caller falls back to the deterministic fake."""
+    for parse in _PARSERS.get(media_type, ()):
+        try:
+            meta = parse(payload)
+        except (ValueError, struct.error):
+            continue
+        return {
+            "byte_len": len(payload),
+            "content_md5": hashlib.md5(payload).hexdigest(),
+            **meta,
+        }
+    raise NotImplementedError(f"no pure-python parser accepted {media_type}")
 
 
 def _decode_fake(payload: bytes, media_type: str) -> dict:
@@ -138,20 +261,35 @@ def sample_frames(media: DataFrame) -> DataFrame:
 
 _META_SQL = f"""
 m AS (
-    SELECT doc_id,
+    SELECT doc_id, text,
            CASE CAST(doc_id % 3 AS INT)
                 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
            END AS media_type,
-           octet_length(encode(text)) AS byte_len,
-           md5(text) AS content_md5
+           16 + octet_length(encode(text)) % 64 AS iw,
+           16 + (strpos('{_HEX}', substr(md5(text), 1, 1)) - 1) * 4 AS ih
     FROM documents
-), meta AS (
-    SELECT doc_id, media_type, byte_len, content_md5,
-           16 + byte_len % 64 AS width,
-           16 + (strpos('{_HEX}', substr(content_md5, 1, 1)) - 1) * 4 AS height,
-           CASE WHEN media_type = 'video' THEN 1 + byte_len % 4 ELSE 1 END
-               AS n_frames
+), p AS (
+    -- image rows are a real PPM container: ASCII header + text as pixels
+    SELECT doc_id, media_type, iw, ih,
+           CASE WHEN media_type = 'image'
+                THEN 'P6' || chr(10) || CAST(iw AS VARCHAR) || ' '
+                     || CAST(ih AS VARCHAR) || chr(10) || '255' || chr(10)
+                     || text
+                ELSE text END AS payload
     FROM m
+), meta AS (
+    SELECT doc_id, media_type,
+           octet_length(encode(payload)) AS byte_len,
+           md5(payload) AS content_md5,
+           CASE WHEN media_type = 'image' THEN iw
+                ELSE 16 + octet_length(encode(payload)) % 64 END AS width,
+           CASE WHEN media_type = 'image' THEN ih
+                ELSE 16 + (strpos('{_HEX}', substr(md5(payload), 1, 1)) - 1) * 4
+           END AS height,
+           CASE WHEN media_type = 'video'
+                THEN 1 + octet_length(encode(payload)) % 4 ELSE 1 END
+               AS n_frames
+    FROM p
 )"""
 
 
@@ -165,7 +303,9 @@ FROM meta
     tags=("llm-multimodal",),
 )
 def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media decode via mapInPandas (stubbed codec, real plumbing)."""
+    """Binary media decode via mapInPandas. Image rows exercise the REAL
+    pure-Python PPM parse (header-derived width/height); audio/video rows
+    exercise the deterministic fallback."""
     return decode_meta(media_frame(spark, sf_dir))
 
 
@@ -186,3 +326,90 @@ FROM fr
 def llm_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: data-dependent 1->N fan-out inside mapInPandas."""
     return sample_frames(media_frame(spark, sf_dir))
+
+
+PIXEL_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, n_plane_bytes bigint,"
+    " pixel_sum bigint, pixel_mean_milli bigint"
+)
+
+
+def pixel_stats(media: DataFrame) -> DataFrame:
+    """Real pixel-plane feature extraction: parse the PPM header, slice the
+    raw plane, reduce it with numpy (vectorized byte arithmetic per Arrow
+    batch — the shape every image-statistics / embedding-preprocess op at
+    scale takes). Integer sum + integer-milli mean keep the output exact
+    and engine-portable."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media_bytes"]):
+                b = bytes(payload)
+                meta = _parse_ppm(b)  # header-derived dims (real parse)
+                # plane starts after the single whitespace byte that
+                # terminates the maxval token
+                toks_seen, i, n = 0, 2, len(b)
+                while toks_seen < 3 and i < n:
+                    c = b[i : i + 1]
+                    if c.isspace():
+                        i += 1
+                    elif c == b"#":
+                        while i < n and b[i : i + 1] != b"\n":
+                            i += 1
+                    else:
+                        while i < n and not b[i : i + 1].isspace():
+                            i += 1
+                        toks_seen += 1
+                plane = np.frombuffer(b, dtype=np.uint8, offset=i + 1)
+                s = int(plane.sum(dtype=np.int64))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "n_plane_bytes": len(plane),
+                        "pixel_sum": s,
+                        "pixel_mean_milli": (1000 * s) // len(plane)
+                        if len(plane)
+                        else 0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[c.split()[0] for c in PIXEL_SCHEMA.split(",")])
+
+    return media.mapInPandas(fn, schema=PIXEL_SCHEMA)
+
+
+@query(
+    "llm_multimodal_pixel_stats",
+    oracle=f"""
+WITH m AS (
+    SELECT doc_id, text,
+           16 + octet_length(encode(text)) % 64 AS iw,
+           16 + (strpos('{_HEX}', substr(md5(text), 1, 1)) - 1) * 4 AS ih
+    FROM documents WHERE CAST(doc_id % 3 AS INT) = 0
+)
+SELECT doc_id,
+       CAST(iw AS BIGINT) AS width,
+       CAST(ih AS BIGINT) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_plane_bytes,
+       CAST(list_sum([ascii(c) for c in string_split(text, '')]) AS BIGINT)
+           AS pixel_sum,
+       CAST((1000 * list_sum([ascii(c) for c in string_split(text, '')]))
+            // octet_length(encode(text)) AS BIGINT) AS pixel_mean_milli
+FROM m
+""",
+    tags=("llm-multimodal",),
+)
+def llm_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image pixel statistics computed from the DECODED plane of the
+    real PPM containers (header parse + numpy byte reduction inside
+    mapInPandas). The oracle reproduces the numbers from the payload
+    construction rule (plane == utf-8 text bytes; testdata is ASCII, so
+    byte values == character codes) — proving the decode read exactly the
+    bytes the container carries. Map-only plan: scan -> Arrow batch ->
+    one output row per image; no shuffle at any scale."""
+    return pixel_stats(
+        media_frame(spark, sf_dir).filter(F.col("media_type") == "image")
+    )

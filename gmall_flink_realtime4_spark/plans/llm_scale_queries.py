@@ -974,6 +974,9 @@ def llm_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)
         .select("vec_a", "vec_b")
+        # consumed once per measured method — localCheckpoint so the
+        # broadcast anchors x base scoring pass runs once, not twice
+        .localCheckpoint(eager=True)
     )
 
     def measure(found: DataFrame, method: str) -> DataFrame:
@@ -1178,6 +1181,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # register layouts differ per implementation).
 # ---------------------------------------------------------------------------
 KMV_K = 64
+KMV_SALT = 16  # k-min fold fanout: buckets per group in the partial agg
 _KMV_HEX_DIGITS = 12  # 48-bit hash value: fits BIGINT exactly
 _KMV_M = 16 ** _KMV_HEX_DIGITS
 
@@ -1198,6 +1202,37 @@ def _hexval_sql(col: str, fn: str) -> str:
         f"CAST({16 ** (_KMV_HEX_DIGITS - 1 - i)} AS BIGINT)"
         for i in range(_KMV_HEX_DIGITS)
     ) + ")"
+
+
+def _kmv_group_sketch(e) -> DataFrame:
+    """Per-event_type KMV sketch via the k-min partial-aggregate fold:
+    hashes salted by their own leading hex digit into ``KMV_SALT`` buckets
+    (partitioning the hash space, so bucket k-mins merge losslessly and
+    bucket distinct counts are disjoint); each (group, salt) bucket folds
+    its distinct hashes to one sorted k-prefix via map-side-combinable
+    collect_set; the per-group merge sorts at most salt x k values.
+    Returns (event_type, n = exact distinct-hash count, kmin_all)."""
+    h = e.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("hx")
+    )
+    salted = h.withColumn(
+        "salt", F.expr(f"instr('{_HEX}', substr(hx, 1, 1)) % {KMV_SALT}")
+    )
+    partial = (
+        salted.groupBy("event_type", "salt")
+        .agg(F.array_sort(F.collect_set("hx")).alias("hs"))
+        .select(
+            "event_type",
+            F.slice("hs", 1, KMV_K).alias("kmin"),
+            F.size("hs").cast("bigint").alias("n_bucket"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n_bucket").alias("n"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("kmin"))), 1, KMV_K
+        ).alias("kmin_all"),
+    )
 
 
 @query(
@@ -1240,26 +1275,30 @@ def llm_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the k-th smallest hash as a fraction of hash space (Bar-Yossef et al.
     2002, the theta-sketch ancestor). md5 makes the estimate DETERMINISTIC
     and engine-portable — the DuckDB oracle computes the identical number,
-    which no HLL implementation guarantees. Scale shape: the (group, hash)
-    dedup is one map-side-combined shuffle; the per-group k-th order
-    statistic is a distributed sort of DISTINCT hashes only. At
-    production scale the k-smallest set folds into a partial aggregate
-    (collect k-min per partition, merge); the window form here keeps the
-    plan oracle-matchable.
+    which no HLL implementation guarantees.
+
+    Scale shape — the k-min PARTIAL-AGGREGATE FOLD (r04, replacing the
+    r02 per-group distinct-sort window, which single-threads on a hot
+    event_type): hashes are salted by their own leading bits into
+    ``KMV_SALT`` buckets; each (group, salt) bucket folds its distinct
+    hashes to ONE sorted k-prefix array via a map-side-combinable
+    collect_set (buffer = bucket-local distinct set — sized by the salt
+    fanout, never the group); the per-group merge then sorts at most
+    salt x k values. Two shuffles total — (group, salt) then the tiny
+    (group) merge — and no Window anywhere in the plan. The bucket
+    distinct counts sum to the exact distinct-hash count n because the
+    salt partitions the hash space.
     """
     e = T.load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    h = e.select(
-        "event_type", F.md5(F.col("user_id").cast("string")).alias("hx")
-    ).distinct()
-    w = Window.partitionBy("event_type").orderBy("hx")
-    wn = Window.partitionBy("event_type")
-    r = h.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
-    )
-    kth = r.filter(F.col("rn") == F.least(F.col("n"), F.lit(KMV_K))).select(
+    merged = _kmv_group_sketch(e)
+    kth = merged.select(
         "event_type",
         "n",
-        F.expr(_hexval_sql("hx", "instr")).alias("v"),
+        F.expr(
+            _hexval_sql(
+                f"element_at(kmin_all, cast(least(n, {KMV_K}) as int))", "instr"
+            )
+        ).alias("v"),
     )
     exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("ex")
@@ -1272,6 +1311,86 @@ def llm_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kmv_estimate", est.cast("bigint"))
         .select(
             "event_type",
+            F.col("ex").cast("bigint").alias("exact_distinct"),
+            "kmv_estimate",
+            F.expr("cast((1000 * abs(kmv_estimate - ex)) div ex as bigint)").alias(
+                "err_permille"
+            ),
+        )
+    )
+
+
+@query(
+    "llm_sketch_kmv_union",
+    oracle=f"""
+WITH h AS (
+    SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS hx
+    FROM events WHERE user_id IS NOT NULL
+), r AS (
+    SELECT hx, row_number() OVER (ORDER BY hx) AS rn, COUNT(*) OVER () AS n
+    FROM h
+), kth AS (
+    SELECT n, {_hexval_sql("hx", "strpos")} AS v
+    FROM r WHERE rn = LEAST(n, {KMV_K})
+), exact AS (
+    SELECT COUNT(DISTINCT user_id) AS ex
+    FROM events WHERE user_id IS NOT NULL
+)
+SELECT CAST(e.ex AS BIGINT) AS exact_distinct,
+       CAST(CASE WHEN k.n < {KMV_K} THEN k.n
+                 ELSE ({KMV_K - 1} * {_KMV_M}) // k.v END AS BIGINT)
+           AS kmv_estimate,
+       CAST((1000 * abs(CASE WHEN k.n < {KMV_K} THEN k.n
+                 ELSE ({KMV_K - 1} * {_KMV_M}) // k.v END - e.ex)) // e.ex
+            AS BIGINT) AS err_permille
+FROM exact e, kth k
+""",
+    tags=("llm-text", "sketch"),
+)
+def llm_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch UNION: the global distinct-user estimate computed by
+    MERGING the per-event_type sketches — never re-scanning raw keys —
+    then gauged against the exact global distinct.
+
+    This is the property that makes KMV/theta sketches the 100 TB answer
+    to COUNT(DISTINCT) across rollup levels: union(sketch_a, sketch_b) =
+    k smallest of (kmin_a ∪ kmin_b), because every one of the global k
+    smallest hashes is necessarily inside its own group's k-min set. The
+    merge input here is G x k values (G = event types), sorted once on
+    the driver-side-sized single row — and crucially the union DEDUPS the
+    hash multiset (one user active in several types appears in several
+    sketches). The oracle computes the identical estimate from the raw
+    key universe; exact equality of the two paths is the mergeability
+    proof. When the merged set holds fewer than k values it IS the exact
+    union (every group sketch was exhaustive), so the estimate is exact.
+    """
+    e = T.load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_type = _kmv_group_sketch(e).select("kmin_all")
+    merged = per_type.agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmin_all")))),
+            1,
+            KMV_K,
+        ).alias("km")
+    ).select(
+        F.size("km").cast("bigint").alias("m"),
+        F.expr(
+            _hexval_sql(
+                f"element_at(km, cast(least(size(km), {KMV_K}) as int))", "instr"
+            )
+        ).alias("v"),
+        F.lit(1).alias("jk"),
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("ex")).withColumn(
+        "jk", F.lit(1)
+    )
+    est = F.when(F.col("m") < KMV_K, F.col("m")).otherwise(
+        F.expr(f"({KMV_K - 1} * {_KMV_M}) div v")
+    )
+    return (
+        exact.join(merged, "jk")  # 1-row x 1-row equi join on a constant key
+        .withColumn("kmv_estimate", est.cast("bigint"))
+        .select(
             F.col("ex").cast("bigint").alias("exact_distinct"),
             "kmv_estimate",
             F.expr("cast((1000 * abs(kmv_estimate - ex)) div ex as bigint)").alias(
@@ -1479,7 +1598,13 @@ def llm_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cos_e9(tdot, F.col("n2"), F.col("cn2")).alias("ce9"),
     )
     wt = Window.partitionBy("vec_id").orderBy(F.col("ce9").desc(), F.col("cell"))
-    tranked = tscore.withColumn("rn", F.row_number().over(wt))
+    # tranked feeds BOTH the full assignment and the probe list; without
+    # persistence the whole Lloyd step + trained-scoring scan re-derives
+    # per consumer. Skinny frame (vec_id, cell, score, rn — no vectors),
+    # so localCheckpoint is cheaper than one repeated corpus scan.
+    tranked = tscore.withColumn("rn", F.row_number().over(wt)).localCheckpoint(
+        eager=True
+    )
     tassign = tranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("neighbor_vec_id"), "cell"
     )

@@ -97,8 +97,9 @@ def test_heavy_hitters_contract(spark):
     assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
     assert all(r.n_occurrences >= HH_MIN_SUPPORT for r in rows)
     for prev, cur in zip(rows, rows[1:]):
-        assert (prev.n_occurrences, prev.ngram) >= (cur.n_occurrences, prev.ngram)
-        assert prev.n_occurrences >= cur.n_occurrences
+        # strict ordering on (-count, ngram): count DESC, ngram ASC tiebreak
+        # (ngram is the group key, so no two rows can compare equal)
+        assert (-prev.n_occurrences, prev.ngram) < (-cur.n_occurrences, cur.ngram)
 
 
 def test_containment_threshold_and_symmetry(spark):
@@ -280,9 +281,21 @@ def test_containment_lsh_scores_agree_with_exact(spark):
 def test_containment_lsh_prunes_corpus_before_shingling(spark):
     """The documents scan feeding the shingle explode must be semi-join
     pruned to candidate docs (LeftSemi in the plan) — shingling the whole
-    corpus would defeat the scale path."""
-    plan = _plan(spark, "llm_dedup_containment_lsh")
-    assert "LeftSemi" in plan
+    corpus would defeat the scale path. Asserted on the persist=False
+    lineage: the production localCheckpoint hides the prune from
+    explain() (test_plans pins the checkpoint itself)."""
+    import contextlib
+    import io
+
+    from gmall_flink_realtime4_spark.plans.corpus_ops_queries import (
+        containment_lsh,
+    )
+
+    df = containment_lsh(spark, SF, persist=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "LeftSemi" in buf.getvalue()
 
 
 def test_grouped_topk_contract(spark):

@@ -108,3 +108,37 @@ def test_stratified_sample_partitioning_invariant(spark):
         for r in q(spark, sf).repartition(7).collect()
     }
     assert base == again and base
+
+
+def test_kmv_union_equals_single_global_sketch(spark):
+    """Mergeability invariant: merging the per-event_type k-min sketches
+    must give the IDENTICAL estimate as one sketch built over the global
+    key stream — the property that lets 100 TB rollups reuse leaf sketches
+    instead of re-scanning raw keys."""
+    import pyspark.sql.functions as FF
+
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
+        KMV_K,
+        _KMV_M,
+        _hexval_sql,
+        _kmv_group_sketch,
+    )
+
+    union_row = queries()["llm_sketch_kmv_union"](spark, SF).collect()[0]
+
+    e = (
+        T.load(spark, SF, "events")
+        .filter(FF.col("user_id").isNotNull())
+        .withColumn("event_type", FF.lit("_all"))
+    )
+    g = _kmv_group_sketch(e).select(
+        "n",
+        FF.expr(
+            _hexval_sql(
+                f"element_at(kmin_all, cast(least(n, {KMV_K}) as int))", "instr"
+            )
+        ).alias("v"),
+    ).collect()[0]
+    direct = g.n if g.n < KMV_K else ((KMV_K - 1) * _KMV_M) // g.v
+    assert union_row.kmv_estimate == direct

@@ -129,12 +129,17 @@ def test_time_rollup_single_expand_single_shuffle(spark):
     assert "Union" not in plan
 
 
-def test_kmv_sketch_dedups_before_rank(spark):
-    """KMV must aggregate (group, hash) distinct BEFORE the per-group
-    order statistic — the rank never sees duplicate hashes."""
+def test_kmv_sketch_is_partial_agg_fold_no_window(spark):
+    """KMV's k-th order statistic must come from the salted k-min
+    partial-aggregate fold (collect per bucket, slice to k, merge) — a
+    per-group distinct-sort Window would single-thread on a hot
+    event_type at scale."""
     plan = _plan(spark, "llm_sketch_kmv_distinct")
-    assert "row_number" in plan
-    assert plan.count("HashAggregate") >= 2  # distinct is an aggregate
+    assert "row_number" not in plan
+    assert "Window" not in plan
+    # partial + merge aggregation levels (collect_set plans as
+    # ObjectHashAggregate; the exact-count side uses HashAggregate)
+    assert plan.count("ObjectHashAggregate") + plan.count("HashAggregate") >= 2
 
 
 def test_range_band_join_is_hash_not_nested_loop(spark):
@@ -206,3 +211,55 @@ def test_adc_search_never_scans_base_vectors_at_query_time(spark):
     map-side join + one sum; the only sort-merge allowed anywhere is none."""
     plan = _plan(spark, "llm_ann_pq_adc_recall")
     assert "SortMergeJoin" not in plan
+
+
+def test_containment_lsh_candidates_materialized_once(spark):
+    """llm_dedup_containment_lsh fans its LSH candidate frame out to three
+    consumers; the frame must be localCheckpoint'ed so the minhash pipeline
+    runs ONCE (r03 census: 92 Exchanges / 44 scans without it). Guard: the
+    final plan reads the checkpoint (ExistingRDD) and scans `documents`
+    only for the shingle pass — at most 2 parquet scans of documents."""
+    plan = _plan(spark, "llm_dedup_containment_lsh")
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    n_doc_scans = plan.count("documents.parquet")
+    assert n_doc_scans <= 2, f"{n_doc_scans} documents scans (expected <= 2)"
+
+
+def test_scale_sanity_covers_whole_registry():
+    """Every registered query must have a scale-sanity row — a query
+    without one has never been watched growing, which is how scale
+    regressions hide."""
+    from tools.scale_sanity import QUERIES as SCALE_QUERIES
+
+    missing = sorted(set(queries()) - set(SCALE_QUERIES))
+    assert not missing, f"queries with no scale_sanity coverage: {missing}"
+    unknown = sorted(set(SCALE_QUERIES) - set(queries()))
+    assert not unknown, f"scale_sanity names not in registry: {unknown}"
+
+
+def test_null_profile_single_pass(spark):
+    """The 6-column profile must be ONE scan + one Expand-based aggregation
+    — not six passes like the oracle spells."""
+    plan = _plan(spark, "dq_null_profile")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Expand") == 1
+    assert plan.count("orders.parquet") == 1
+
+
+def test_pixel_stats_map_only(spark):
+    """Pixel statistics is scan -> Arrow batch -> one row per image: no
+    aggregation shuffle anywhere (the only allowed exchange is
+    tables.load's small-input spread)."""
+    plan = _plan(spark, "llm_multimodal_pixel_stats")
+    tree = plan.split("\n\n")[0]
+    assert "MapInPandas" in tree
+    assert "HashAggregate" not in tree
+    assert tree.count("Exchange") <= 1
+
+
+def test_kmv_union_no_window(spark):
+    """The sketch union must stay in the fold world: no row_number /
+    Window over the hash universe."""
+    plan = _plan(spark, "llm_sketch_kmv_union")
+    assert "Window" not in plan
+    assert "row_number" not in plan

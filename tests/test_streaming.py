@@ -10,6 +10,8 @@ sink (K3/K5). Watermark late-row semantics (W1/W3) get a dedicated test.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import sys
 
@@ -688,3 +690,138 @@ def test_incremental_corpus_dedup_foreach_batch(spark, tmp_path):
     )
     got = _rows(spark.read.parquet(target), ["fp", "doc_id"])
     assert got == _rows(expected, ["fp", "doc_id"]) and got
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf wheel for its state
+    protocol; this sandbox ships pyspark 4.1.2 without it, so the port is
+    code-complete but its e2e tests skip here (they run wherever protobuf
+    is installed)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _tws_available(),
+    reason="google.protobuf not installed (transformWithState state protocol)",
+)
+def test_first_today_tws_stream_parity(spark, tmp_path):
+    """A8/W4 on the Spark 4 transformWithState engine: same (key, day)
+    first-visit universe as the batch min-ts keeper."""
+    from gmall_flink_realtime4_spark.operators.dedup import (
+        first_today,
+        first_today_tws,
+    )
+
+    e = _events(spark)
+    batch = first_today(e, "user_id", "ts")
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, e.schema, max_files_per_trigger=1000)
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov, None)
+    spark.conf.set(
+        prov,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        streamed = run_to_memory(
+            first_today_tws(
+                s.withWatermark("ts", "1 hour"), "user_id", "ts", ttl_hours=36
+            ),
+            output_mode="append",
+            stages=_stage_writes(src, time_slices(e, 3, "ts")),
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(prov)
+        else:
+            spark.conf.set(prov, prev)
+
+    def key(df):
+        return sorted(
+            (r[0], r[1])
+            for r in df.select(
+                "user_id", F.date_format("ts", "yyyy-MM-dd")
+            ).collect()
+        )
+
+    assert key(streamed) == key(batch)
+    assert streamed.count() == batch.count()
+
+
+@pytest.mark.skipif(
+    not _tws_available(),
+    reason="google.protobuf not installed (transformWithState state protocol)",
+)
+def test_first_today_tws_chained_window_agg_no_escape_hatch(spark, tmp_path):
+    """The transformWithState port's whole point: eventTimeColumnName keeps
+    the watermark alive through the stateful op, so the chained tumbling
+    agg needs NO re-declared watermark and the checkCorrectness guard
+    stays ON (the applyInPandasWithState twin needs both escape hatches)."""
+    from gmall_flink_realtime4_spark.operators.dedup import (
+        first_today,
+        first_today_tws,
+    )
+    from gmall_flink_realtime4_spark.operators.windows import tumble
+
+    e = _events(spark)
+    batch = tumble(
+        first_today(e, "user_id", "ts"),
+        "ts",
+        "1 day",
+        aggs=[F.count(F.lit(1)).alias("uu_ct")],
+    )
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, e.schema, max_files_per_trigger=1000)
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov, None)
+    spark.conf.set(
+        prov,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    check = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    assert spark.conf.get(check) != "false"  # guard stays ON end-to-end
+    try:
+        firsts = first_today_tws(
+            s.withWatermark("ts", "1 hour"), "user_id", "ts", ttl_hours=48
+        )
+        streamed_df = tumble(
+            firsts,
+            "ts",
+            "1 day",
+            aggs=[F.count(F.lit(1)).alias("uu_ct")],
+            # no watermark re-declaration: it survived the stateful op
+        )
+        stages = _stage_writes(src, time_slices(e, 3, "ts") + [_flush_row(spark)])
+        got = run_to_memory(streamed_df, output_mode="append", stages=stages)
+    finally:
+        if prev is None:
+            spark.conf.unset(prov)
+        else:
+            spark.conf.set(prov, prev)
+    cols = ["stt", "uu_ct"]
+    assert _rows(got.filter(F.col("stt") < "2025-01-01"), cols) == _rows(
+        batch, cols
+    )
+
+
+def test_first_today_tws_constructs(spark, tmp_path):
+    """Construction-only check (like the Kafka factories): the
+    transformWithState plan must build against a streaming source with the
+    input schema preserved — full e2e runs where protobuf is available."""
+    from gmall_flink_realtime4_spark.operators.dedup import first_today_tws
+
+    e = _events(spark)
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, e.schema)
+    out = first_today_tws(
+        s.withWatermark("ts", "1 hour"), "user_id", "ts", ttl_hours=36
+    )
+    assert out.isStreaming
+    assert set(out.columns) == set(e.columns)

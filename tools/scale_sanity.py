@@ -15,7 +15,8 @@ a degenerate duplicate pile:
 - embeddings: vec_id shifts; query set stays replica-0 (fixed query budget
   over a growing base — the ANN serving pattern).
 
-Usage: python tools/scale_sanity.py [N] [out_md]
+Usage: python tools/scale_sanity.py [N] [query ...]
+(with query names given, only those run — for re-measuring a changed plan)
 """
 
 from __future__ import annotations
@@ -74,6 +75,63 @@ QUERIES = [
     "f_set_ops_source_overlap",
     "llm_dup_span_coverage",
     "llm_embedding_covariance",
+    # round 4: full registry coverage — every registered query gets a x-N row
+    "dwd_base_db_router",
+    "dwd_interaction_comment_info",
+    "dwd_trade_cart_add",
+    "dwd_trade_order_cancel_detail",
+    "dwd_trade_order_pay_suc_detail",
+    "dwd_trade_order_refund",
+    "dws_trade_cart_add_uu_window",
+    "dws_trade_order_window",
+    "dws_trade_payment_suc_window",
+    "dws_trade_trademark_category_user_refund_window",
+    "dws_traffic_home_detail_page_view_window",
+    "dws_traffic_source_keyword_page_view_window",
+    "dws_traffic_vc_ch_ar_is_new_page_view_window",
+    "dws_user_user_login_window",
+    "dws_user_user_register_window",
+    "p1_json_parse_validity_filter",
+    "f_asof_join_latest_order",
+    "f_conditional_cast_math",
+    "f_date_formats",
+    "f_json_props_extract",
+    "dq_audit_warehouse",
+    "llm_ann_ivf_recall",
+    "llm_ann_ivf_trained_recall",
+    "llm_dedup_embedding_cells",
+    "llm_embedding_kmeans_step",
+    "llm_multimodal_frame_sample",
+    "llm_neardup_recall",
+    "llm_sketch_histogram_quantiles",
+    "llm_sketch_kmv_distinct",
+    "llm_dedup_ngram_jaccard",
+    "llm_text_token_count",
+    "llm_text_langid",
+    "llm_text_length_quantiles",
+    "llm_corpus_prepare",
+    "llm_text_fingerprint",
+    "f_range_band_join",
+    "llm_text_repetition",
+    "llm_corpus_final",
+    "dwd_base_log_start",
+    "dwd_base_log_err",
+    "dwd_base_log_display",
+    "dwd_base_log_action",
+    "dim_app_router",
+    "dim_app_materialize",
+    "dws_sliding_window_events",
+    "llm_corpus_rollup",
+    "dws_user_event_funnel",
+    "dws_session_window_events",
+    "dws_time_hierarchy_rollup",
+    "dws_user_retention_cohort",
+    "dws_gap_fill_locf_daily_orders",
+    "dim_scd2_user_event_intervals",
+    # new in round 4
+    "llm_sketch_kmv_union",
+    "llm_multimodal_pixel_stats",
+    "dq_null_profile",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
@@ -142,8 +200,12 @@ def main() -> None:
         print(f"# replicating sf0.1 x{n} -> {scaled}", file=sys.stderr)
         replicate(spark, n, scaled)
     qs = queries()
+    missing = sorted(set(qs) - set(QUERIES))
+    if missing:  # registry drift: a query with no scale row is invisible
+        print(f"# WARNING not scale-covered: {missing}", file=sys.stderr)
+    run_list = [a for a in sys.argv[2:] if a in qs] or QUERIES
     results = {}
-    for name in QUERIES:
+    for name in run_list:
         t0 = time.perf_counter()
         cnt = qs[name](spark, scaled).count()
         dt = round(time.perf_counter() - t0, 2)
