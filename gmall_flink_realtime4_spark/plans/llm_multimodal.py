@@ -5,11 +5,11 @@ A 100 TB training-data pipeline carries image/audio/video as opaque
 binary column, ``mapInPandas`` over Arrow batches, explicit output schema,
 1->N frame fan-out — and so is the codec for container formats that need
 no system libraries: ``_decode_real`` parses PPM (P6) and BMP image
-headers and RIFF/WAV audio chunks in pure Python. Payloads that aren't a
-recognized container (and media types with no pure-Python parser, e.g.
-video) fall back to ``_decode_fake``, a deterministic feature extractor
-the DuckDB oracle reproduces. Swapping in a richer decoder (PIL/libav)
-still changes ONE function, not the plan.
+headers, RIFF/WAV audio chunks, and ISO-BMFF (MP4) box structure in pure
+Python. Payloads that aren't a recognized container fall back to
+``_decode_fake``, a deterministic feature extractor the DuckDB oracle
+reproduces. Swapping in a richer decoder (PIL/libav) still changes ONE
+function, not the plan.
 
 The ``media`` frame derives from ``documents``: media_type cycles
 image/audio/video by doc_id. Image rows carry a REAL PPM container
@@ -162,10 +162,76 @@ def _parse_wav(b: bytes) -> dict:
     }
 
 
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for ISO-BMFF boxes in
+    b[start:end); validates size chaining exactly to the range end."""
+    i = start
+    while i < end:
+        if i + 8 > end:
+            raise ValueError("truncated mp4 box header")
+        (size,) = struct.unpack_from(">I", b, i)
+        btype = b[i + 4 : i + 8]
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                raise ValueError("truncated mp4 largesize")
+            (size,) = struct.unpack_from(">Q", b, i + 8)
+            payload = i + 16
+        else:
+            payload = i + 8
+        if size < payload - i or i + size > end:
+            raise ValueError("bad mp4 box size")
+        yield btype, payload, i + size
+        i += size
+    if i != end:
+        raise ValueError("mp4 boxes do not chain to end")
+
+
+def _mp4_find(b: bytes, start: int, end: int, *path: bytes):
+    """Descend a container-box path; returns (payload_start, payload_end)."""
+    for depth, want in enumerate(path):
+        found = None
+        for btype, ps, pe in _mp4_boxes(b, start, end):
+            if btype == want:
+                found = (ps, pe)
+                break
+        if found is None:
+            raise ValueError(f"mp4 missing box {want!r}")
+        start, end = found
+        # container boxes whose payload is itself a box sequence need no
+        # skip; full boxes (tkhd/stsz) are handled by the caller
+    return start, end
+
+
+def _parse_mp4(b: bytes) -> dict:
+    """Minimal ISO-BMFF (MP4) metadata parse: validates the ftyp leader and
+    exact top-level box chaining, then reads moov/trak/tkhd for the track
+    dimensions (16.16 fixed point) and .../stbl/stsz for the sample count.
+    Strict enough that arbitrary bytes cannot mis-parse (magic + size
+    chain + version checks)."""
+    if len(b) < 16:
+        raise ValueError("not mp4")
+    boxes = list(_mp4_boxes(b, 0, len(b)))
+    if boxes[0][0] != b"ftyp":
+        raise ValueError("not mp4 (no ftyp leader)")
+    tk_s, tk_e = _mp4_find(b, 0, len(b), b"moov", b"trak", b"tkhd")
+    if tk_e - tk_s < 84 or b[tk_s] != 0:  # version-0 tkhd is 84 bytes
+        raise ValueError("bad tkhd")
+    w_fixed, h_fixed = struct.unpack_from(">II", b, tk_e - 8)
+    mvs, mve = _mp4_find(b, 0, len(b), b"moov", b"trak", b"mdia", b"minf",
+                         b"stbl", b"stsz")
+    if mve - mvs < 12:
+        raise ValueError("bad stsz")
+    sample_size, sample_count = struct.unpack_from(">II", b, mvs + 4)
+    w, h = w_fixed >> 16, h_fixed >> 16
+    if w <= 0 or h <= 0:
+        raise ValueError("bad mp4 dims")
+    return {"width": w, "height": h, "n_frames": int(sample_count)}
+
+
 _PARSERS: dict[str, tuple] = {
     "image": (_parse_ppm, _parse_bmp),
     "audio": (_parse_wav,),
-    "video": (),  # no pure-Python mp4/mkv parser — always falls back
+    "video": (_parse_mp4,),  # binary container: exercised by test fixtures
 }
 
 

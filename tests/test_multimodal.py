@@ -19,6 +19,7 @@ from gmall_flink_realtime4_spark.plans.llm_multimodal import (
     _decode_fake,
     _decode_real,
     _parse_bmp,
+    _parse_mp4,
     _parse_ppm,
     _parse_wav,
     _safe_decode,
@@ -52,6 +53,38 @@ def make_wav(channels: int, rate: int, bits: int, n_samples: int) -> bytes:
 
 def make_ppm(w: int, h: int) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + bytes(w * h * 3)
+
+
+def _box(t: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + t + payload
+
+
+def make_mp4(w: int, h: int, n_samples: int) -> bytes:
+    """Minimal valid ISO-BMFF: ftyp + moov(trak(tkhd + mdia/minf/stbl/stsz))
+    + mdat. tkhd v0 carries 16.16 fixed-point dims; stsz the sample count."""
+    tkhd = _box(b"tkhd", bytes(76) + struct.pack(">II", w << 16, h << 16))
+    stsz = _box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n_samples) + bytes(4 * n_samples),
+    )
+    mdia = _box(b"mdia", _box(b"minf", _box(b"stbl", stsz)))
+    moov = _box(b"moov", _box(b"trak", tkhd + mdia))
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov + _box(b"mdat", bytes(32))
+
+
+def test_parse_mp4_box_walk():
+    got = _parse_mp4(make_mp4(640, 360, 24))
+    assert got == {"width": 640, "height": 360, "n_frames": 24}
+    # truncation breaks the size chain
+    with pytest.raises(ValueError):
+        _parse_mp4(make_mp4(640, 360, 24)[:-5])
+    # no ftyp leader
+    with pytest.raises(ValueError):
+        _parse_mp4(_box(b"moov", bytes(16)) + bytes(8))
+    # arbitrary text can never satisfy the chain + magic
+    with pytest.raises(ValueError):
+        _parse_mp4(b"some plain text payload that is long enough here")
 
 
 def test_parse_ppm_header_and_comments():
@@ -92,6 +125,7 @@ def test_decode_real_dispatch_and_fallback():
     assert _decode_real(make_ppm(20, 10), "image")["width"] == 20
     assert _decode_real(make_bmp(20, 10), "image")["width"] == 20
     assert _decode_real(make_wav(1, 8000, 8, 5), "audio")["n_frames"] == 5
+    assert _decode_real(make_mp4(320, 240, 10), "video")["n_frames"] == 10
     # non-container bytes -> NotImplementedError -> _safe_decode falls back
     with pytest.raises(NotImplementedError):
         _decode_real(b"hello world", "audio")
@@ -134,6 +168,7 @@ def test_binary_containers_through_spark_plumbing(spark):
         (1, "image", make_bmp(33, 21)),
         (2, "audio", make_wav(2, 22050, 16, 77)),
         (3, "video", b"\x00\x01notacontainer"),  # exercises fallback
+        (4, "video", make_mp4(1280, 720, 30)),
     ]
     df = spark.createDataFrame(
         fixtures, "doc_id bigint, media_type string, media_bytes binary"
@@ -141,6 +176,7 @@ def test_binary_containers_through_spark_plumbing(spark):
     got = {r.doc_id: r for r in decode_meta(df).collect()}
     assert (got[1].width, got[1].height, got[1].n_frames) == (33, 21, 1)
     assert (got[2].width, got[2].height, got[2].n_frames) == (2, 16, 77)
+    assert (got[4].width, got[4].height, got[4].n_frames) == (1280, 720, 30)
     fake = _decode_fake(fixtures[2][2], "video")
     assert (got[3].width, got[3].height, got[3].n_frames) == (
         fake["width"],
