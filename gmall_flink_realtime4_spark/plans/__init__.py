@@ -9,6 +9,7 @@ from . import catalog  # noqa: F401
 
 def load_all() -> None:
     """Import every query-defining module (registration side effects)."""
+    from . import analytics_ext_queries  # noqa: F401
     from . import corpus_ops_queries  # noqa: F401
     from . import dwd_queries  # noqa: F401
     from . import dws_queries  # noqa: F401

@@ -263,3 +263,76 @@ def test_kmv_union_no_window(spark):
     plan = _plan(spark, "llm_sketch_kmv_union")
     assert "Window" not in plan
     assert "row_number" not in plan
+
+
+def test_mix_domains_rates_broadcast(spark):
+    """The per-source rate table (a handful of rows) must broadcast to the
+    sampling scan — shuffling the corpus against it would be a full extra
+    shuffle at 100 TB. The count pass is localCheckpoint'ed (ExistingRDD),
+    so documents is scanned at most twice (count pass + sample pass)."""
+    plan = _plan(spark, "llm_mix_domains")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("documents.parquet") <= 2
+
+
+def test_rare_token_ratio_freq_materialized(spark):
+    """The vocab frequency table feeds both the scalar threshold and the
+    per-doc join; it must be localCheckpoint'ed (ExistingRDD in the plan)
+    so the token explode runs once per consumer path, bounding documents
+    scans at 2 (freq derivation happens pre-checkpoint)."""
+    plan = _plan(spark, "llm_text_rare_token_ratio")
+    assert "ExistingRDD" in plan
+    assert plan.count("documents.parquet") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_checksum_partition_single_map_combined_pass(spark):
+    """The table fingerprint is ONE scan + one map-combined shuffle on
+    source — two HashAggregate phases, one parquet scan, no joins."""
+    plan = _plan(spark, "dq_checksum_partition")
+    tree = plan.split("\n\n")[0]
+    assert plan.count("documents.parquet") == 1
+    assert tree.count("HashAggregate") >= 2
+    assert "Join" not in tree
+
+
+def test_anomaly_zscore_stats_broadcast_no_window(spark):
+    """Sufficient statistics (|event_types| rows) broadcast back to the
+    daily frame; no Window anywhere (a per-type Window over all days would
+    serialize on hot types); partial aggregation before the daily shuffle."""
+    plan = _plan(spark, "dws_event_anomaly_zscore")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in tree
+    assert tree.count("HashAggregate") >= 2
+
+
+def test_unpivot_is_generate_over_pivot(spark):
+    """stack() compiles to a Generate over the pivoted row — the fact table
+    is scanned ONCE (the pivot's pass); unpivoting must not trigger a
+    second pass over events."""
+    plan = _plan(spark, "f_unpivot_event_day")
+    tree = plan.split("\n\n")[0]
+    assert "Generate" in tree
+    assert plan.count("events.parquet") == 1
+
+
+def test_referential_integrity_no_cartesian_dims_broadcast(spark):
+    """Every FK probe is an equi left join on the key; dim-sized parents
+    (nation/region/supplier/part/customer at test sf) broadcast. No
+    cartesian degeneration on any of the 7 probes."""
+    plan = _plan(spark, "dq_referential_integrity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_path_transitions_window_keyed_by_user(spark):
+    """The lag() window must partition by user_id (maximum-cardinality key
+    -> scales out; an unpartitioned window would serialize the corpus) and
+    the transition count must be map-combined."""
+    plan = _plan(spark, "dws_user_path_transitions")
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree
+    assert "windowspecdefinition(user_id" in plan
+    assert tree.count("HashAggregate") >= 2

@@ -132,6 +132,13 @@ QUERIES = [
     "llm_sketch_kmv_union",
     "llm_multimodal_pixel_stats",
     "dq_null_profile",
+    "llm_mix_domains",
+    "llm_text_rare_token_ratio",
+    "dq_checksum_partition",
+    "dws_event_anomaly_zscore",
+    "f_unpivot_event_day",
+    "dq_referential_integrity",
+    "dws_user_path_transitions",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
