@@ -227,6 +227,44 @@ _CK_HV = _hexval_sql("hx", "instr")
 _CK_HV_ORA = _hexval_sql("md5(text || ':' || CAST(doc_id AS VARCHAR))", "strpos")
 
 
+def checksum_partials(df: DataFrame) -> DataFrame:
+    """Mergeable per-source checksum partials over a documents-shaped frame:
+    (source, n_rows, n_chars_total, s) where ``s`` is the DECIMAL(38,0) sum
+    of 48-bit row digests. Commutative + associative, so partials from any
+    row partitioning (micro-batches included) fold to the same totals."""
+    return (
+        df.withColumn(
+            "hx",
+            F.md5(F.concat(F.col("text"), F.lit(":"), F.col("doc_id").cast("string"))),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+            F.sum(F.expr(_CK_HV).cast("decimal(38,0)")).alias("s"),
+        )
+    )
+
+
+def checksum_finalize(partials: DataFrame) -> DataFrame:
+    """Fold checksum partials (possibly several rows per source) to the
+    final fingerprint frame."""
+    return (
+        partials.groupBy("source")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("n_chars_total").cast("bigint").alias("n_chars_total"),
+            F.sum("s").cast("decimal(38,0)").alias("s"),
+        )
+        .select(
+            "source",
+            "n_rows",
+            "n_chars_total",
+            F.expr("CAST(s % 1000000000000000 AS BIGINT)").alias("content_checksum"),
+        )
+    )
+
+
 @query(
     "dq_checksum_partition",
     oracle=f"""
@@ -242,23 +280,7 @@ GROUP BY 1
 def dq_checksum_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source order-independent content checksum (migration audit)."""
     d = T.load(spark, sf_dir, "documents")
-    return (
-        d.withColumn(
-            "hx", F.md5(F.concat(F.col("text"), F.lit(":"), F.col("doc_id").cast("string")))
-        )
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
-            F.sum(F.expr(_CK_HV).cast("decimal(38,0)")).alias("s"),
-        )
-        .select(
-            "source",
-            "n_rows",
-            "n_chars_total",
-            F.expr("CAST(s % 1000000000000000 AS BIGINT)").alias("content_checksum"),
-        )
-    )
+    return checksum_finalize(checksum_partials(d))
 
 
 # ---------------------------------------------------------------------------
@@ -308,9 +330,12 @@ FROM daily d JOIN stats s ON d.event_type = s.event_type
 def dws_event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily event-count anomaly detection via per-type z-scores."""
     e = T.load(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    daily = (
+        e.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+        .localCheckpoint()  # types x days rows; feeds stats AND the join —
+        # without it the fact aggregation runs twice (2 full scans)
+    )
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.sum("ct").cast("bigint").alias("s1"),

@@ -305,7 +305,10 @@ def test_anomaly_zscore_stats_broadcast_no_window(spark):
     tree = plan.split("\n\n")[0]
     assert "BroadcastHashJoin" in plan
     assert "Window" not in tree
-    assert tree.count("HashAggregate") >= 2
+    # the daily frame is localCheckpoint'ed: stats + join both read it,
+    # so the fact is aggregated ONCE (one events scan, not two)
+    assert "ExistingRDD" in plan
+    assert plan.count("events.parquet") <= 1
 
 
 def test_unpivot_is_generate_over_pivot(spark):

@@ -275,3 +275,70 @@ def test_dup_span_coverage_property(spark, docs):
         assert r.n_dup_windows == sum(1 for wd in ws if counts[wd] > 1)
     if long_ids:
         assert out[10_000].n_dup_windows == out[10_000].n_windows
+
+
+# ---------------------------------------------------------------------------
+# dq_checksum_partition core: the fingerprint's whole value proposition is
+# (a) invariance to row order / partitioning / batch boundaries and
+# (b) sensitivity to any row-level change. Both tested as properties.
+# ---------------------------------------------------------------------------
+DOC_ROW = st.tuples(
+    st.integers(0, 50),  # doc_id (collisions on purpose — identity is in md5)
+    st.text(alphabet="abc :", min_size=0, max_size=12),
+    st.sampled_from(["s1", "s2"]),
+)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, s, len(t)) for (i, t, s) in rows],
+        "doc_id long, text string, source string, n_chars long",
+    )
+
+
+def _cks(df):
+    from gmall_flink_realtime4_spark.plans.analytics_ext_queries import (
+        checksum_finalize,
+        checksum_partials,
+    )
+
+    return sorted(
+        (r.source, r.n_rows, r.content_checksum)
+        for r in checksum_finalize(checksum_partials(df)).collect()
+    )
+
+
+@given(rows=st.lists(DOC_ROW, min_size=1, max_size=20), seed=st.integers(0, 10**6))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_checksum_order_and_split_invariant(spark, rows, seed):
+    """Shuffled row order, different partition counts, and two-batch
+    partial-fold all yield the identical fingerprint."""
+    from gmall_flink_realtime4_spark.plans.analytics_ext_queries import (
+        checksum_finalize,
+        checksum_partials,
+    )
+
+    rng = random.Random(seed)
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    base = _cks(_docs_df(spark, rows))
+    assert _cks(_docs_df(spark, shuffled).repartition(7)) == base
+    cut = rng.randint(0, len(rows))
+    merged = checksum_finalize(
+        checksum_partials(_docs_df(spark, rows[:cut])).unionByName(
+            checksum_partials(_docs_df(spark, rows[cut:]))
+        )
+    )
+    assert sorted((r.source, r.n_rows, r.content_checksum) for r in merged.collect()) == base
+
+
+@given(rows=st.lists(DOC_ROW, min_size=2, max_size=20), seed=st.integers(0, 10**6))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_checksum_detects_dropped_row(spark, rows, seed):
+    """Dropping any single row changes its source's fingerprint (count or
+    digest-sum) — a silent loss cannot checksum-match."""
+    rng = random.Random(seed)
+    victim = rng.randrange(len(rows))
+    base = _cks(_docs_df(spark, rows))
+    dropped = _cks(_docs_df(spark, rows[:victim] + rows[victim + 1 :]))
+    assert dropped != base

@@ -825,3 +825,42 @@ def test_first_today_tws_constructs(spark, tmp_path):
     )
     assert out.isStreaming
     assert set(out.columns) == set(e.columns)
+
+
+def test_incremental_checksum_partials_merge(spark, tmp_path):
+    """Streaming x DQ twin: the per-source content checksum run
+    INCREMENTALLY — documents arrive in micro-batches, each batch appends
+    its mergeable partials (count / chars / DECIMAL digest-sum), and the
+    fold of all partials must equal the one-shot batch fingerprint. This
+    is the property that makes the migration checksum computable as a
+    continuously-maintained aggregate (commutative + associative digests:
+    arrival order and batch boundaries cannot matter)."""
+    from gmall_flink_realtime4_spark.plans.analytics_ext_queries import (
+        checksum_finalize,
+        checksum_partials,
+    )
+
+    docs = T.load(spark, SF, "documents")
+    expected = _rows(
+        checksum_finalize(checksum_partials(docs)),
+        ["source", "n_rows", "n_chars_total", "content_checksum"],
+    )
+
+    target = str(tmp_path / "checksum_partials")
+    _, src = stream_from_dataframe(docs, n_files=3, base_dir=str(tmp_path))
+    s = stream_parquet_source(spark, src, docs.schema)  # 3 micro-batches
+    run_foreach_batch(
+        s,
+        lambda bdf, _bid: checksum_partials(bdf)
+        .write.mode("append")
+        .parquet(target),
+        output_mode="append",
+    )
+    partials = spark.read.parquet(target)
+    # >1 partial row per source proves the fold actually merged something
+    assert partials.count() > docs.select("source").distinct().count()
+    got = _rows(
+        checksum_finalize(partials),
+        ["source", "n_rows", "n_chars_total", "content_checksum"],
+    )
+    assert got == expected and got
