@@ -130,7 +130,11 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
             for i in range(MINHASH_K)
         ]
-    )
+    # one row per doc (K hex signatures). The band frame is self-joined, so
+    # without materialization the shingle explode + K-way min-agg runs once
+    # per join SIDE and once more per verify consumer — 8 documents scans in
+    # the r4 census. Checkpointing the signatures caps the corpus at 2 scans.
+    ).localCheckpoint()
     bands = mh.select(
         "doc_id",
         F.explode(
@@ -159,9 +163,22 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared_bands"))
+        # LSH-recall-sized (tiny vs corpus); feeds the verify join AND the
+        # final score join — materialize so the band self-join runs once.
+        .localCheckpoint()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa, sb2 = sh.alias("sa"), sh.alias("sb")
+    # exact verify touches only candidate docs: semi-join prune the shingle
+    # frame BEFORE the intersection join (same pattern as containment-LSH),
+    # then materialize the pruned shingles — sizes and both intersection
+    # sides read the pruned frame, so the corpus is never re-scanned.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(cand_ids, "doc_id", "left_semi").localCheckpoint()
+    sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa, sb2 = sh_cand.alias("sa"), sh_cand.alias("sb")
     inter = (
         cand.select("doc_a", "doc_b")
         .join(sa, F.col("sa.doc_id") == F.col("doc_a"))

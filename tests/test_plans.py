@@ -339,3 +339,16 @@ def test_path_transitions_window_keyed_by_user(spark):
     assert "Window" in tree
     assert "windowspecdefinition(user_id" in plan
     assert tree.count("HashAggregate") >= 2
+
+
+def test_minhash_lsh_corpus_derived_once(spark):
+    """The minhash signature/candidate/pruned-shingle frames are
+    localCheckpoint'ed: the final plan reads checkpoints (ExistingRDD) and
+    never re-scans documents (r4 census before: 8 scans / 16 Exchanges —
+    the shingle explode + 12-way min-agg re-ran per join side and per
+    verify consumer)."""
+    plan = _plan(spark, "llm_dedup_minhash_lsh")
+    assert "ExistingRDD" in plan
+    assert plan.count("documents.parquet") == 0
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 10
