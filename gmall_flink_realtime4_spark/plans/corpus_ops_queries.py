@@ -1316,18 +1316,23 @@ def f_set_ops_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each set op is a distinct-aggregate shuffle on the fingerprint (Spark
     plans intersect/except as aggregated joins — hash-partitioned, never
-    nested-loop); the four single-row counts union into one frame.
+    nested-loop); the four single-row counts union into one frame. Each
+    input set feeds all four ops, so both are localCheckpoint'ed — without
+    that the source filter + distinct re-derives per consumer (8 documents
+    scans / 20 Exchanges in the r4 census; now 2 scans).
     """
     d = T.load(spark, sf_dir, "documents")
     a = (
         d.filter(F.col("source") == _SETOP_SRC_A)
         .select(F.md5("text").alias("fp"))
         .distinct()
+        .localCheckpoint()
     )
     b = (
         d.filter(F.col("source") == _SETOP_SRC_B)
         .select(F.md5("text").alias("fp"))
         .distinct()
+        .localCheckpoint()
     )
 
     def labeled(df: DataFrame, op: str) -> DataFrame:

@@ -122,9 +122,15 @@ def run_foreach_batch(
     streaming_df: DataFrame,
     batch_fn,
     output_mode: str = "update",
+    stages=None,
 ) -> None:
     """foreachBatch runner (W5 config-rejoin / K3-K5 merge sinks live in
-    batch_fn; see sinks.upsert_parquet)."""
+    batch_fn; see sinks.upsert_parquet). ``stages`` (optional) mirrors
+    run_to_memory: callables that each append more input to the source,
+    drained between stages so stage boundaries ARE micro-batch boundaries —
+    required for ORDER-SENSITIVE state (e.g. the per-user last-event state
+    behind incremental path transitions), where round-robin file splits
+    would deliver history out of order."""
     qname = f"fb_{uuid.uuid4().hex[:12]}"
     query = (
         streaming_df.writeStream.foreachBatch(batch_fn)
@@ -136,6 +142,9 @@ def run_foreach_batch(
         .start()
     )
     try:
+        for stage in stages or ():
+            stage()
+            query.processAllAvailable()
         query.processAllAvailable()
     finally:
         query.stop()

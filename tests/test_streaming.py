@@ -864,3 +864,72 @@ def test_incremental_checksum_partials_merge(spark, tmp_path):
         ["source", "n_rows", "n_chars_total", "content_checksum"],
     )
     assert got == expected and got
+
+
+def test_incremental_path_transitions_state_table(spark, tmp_path):
+    """Streaming twin of dws_user_path_transitions: events arrive in
+    event-time-ordered micro-batches; a per-user LAST-EVENT state table
+    (upsert_parquet, keeper = max (ts, event_id)) seeds each batch's lag()
+    so transitions crossing batch boundaries are still counted. After all
+    batches, accumulated transitions == the one-shot batch matrix. This is
+    W4-style keyed state expressed as the foreachBatch/MERGE pattern the
+    repo uses for all retract-free state."""
+    from pyspark.sql import Window
+
+    e = _events(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    expected = _rows(
+        e.withColumn("prev_et", F.lag("event_type").over(w))
+        .groupBy(
+            F.coalesce("prev_et", F.lit("_start")).alias("prev_event_type"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n")),
+        ["prev_event_type", "event_type", "n"],
+    )
+
+    state = str(tmp_path / "user_last_event")
+    trans = str(tmp_path / "transitions")
+
+    def batch_fn(bdf, _bid):
+        sp = bdf.sparkSession
+        ev = bdf.withColumn("is_state", F.lit(0))
+        if os.path.exists(state):
+            prev = (
+                sp.read.parquet(state).drop("ord").withColumn("is_state", F.lit(1))
+            )
+            un = ev.unionByName(prev)
+        else:
+            un = ev
+        wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        tr = (
+            un.withColumn("prev_et", F.lag("event_type").over(wb))
+            .filter(F.col("is_state") == 0)  # state rows seed, never emit
+            .select(
+                F.coalesce("prev_et", F.lit("_start")).alias("prev_event_type"),
+                "event_type",
+            )
+        )
+        tr.write.mode("append").parquet(trans)
+        upsert_parquet(
+            un.drop("is_state").withColumn("ord", F.struct("ts", "event_id")),
+            state,
+            ["user_id"],
+            "ord",
+        )
+
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, e.schema, max_files_per_trigger=1000)
+    eo = e.withColumn("__ord", F.struct("ts", "event_id"))
+    slices = [df.drop("__ord") for df in time_slices(eo, 3, "__ord")]
+    run_foreach_batch(
+        s, batch_fn, output_mode="append", stages=_stage_writes(src, slices)
+    )
+
+    got = _rows(
+        spark.read.parquet(trans)
+        .groupBy("prev_event_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n")),
+        ["prev_event_type", "event_type", "n"],
+    )
+    assert got == expected and got
