@@ -648,6 +648,66 @@ def _cos_e9(dot: Column, n2a: Column, n2b: Column) -> Column:
     )
 
 
+def _topcells(embn: DataFrame, cent: DataFrame, nprobe: int, dot=None) -> DataFrame:
+    """Map-only top-``nprobe`` coarse-quantizer assignment.
+
+    The crossJoin + row_number form materializes N x K scored rows and
+    shuffle-sorts them through a ``Window.partitionBy(vec_id)``; under the
+    sqrt(N)-centroid scale rule that is an N^1.5-row SHUFFLE (465 M rows at
+    sf0.1 x10 — the bulk of embedding_cells' 254 s measurement, and pure
+    overhead: the scores are already grouped by vector when produced). Here
+    the K centroids collapse into ONE broadcast array row; each vector
+    computes its K scores and ranks them IN-ROW —
+    ``reverse(array_sort(struct(ce9, -cid)))`` reproduces the oracle's
+    ``ce9 DESC, cid ASC`` order exactly — keeping the top ``nprobe``. No
+    scored-row materialization, no Window, no Exchange: assignment is pure
+    map-side compute at any corpus size, the plan shape a 1000-executor
+    cluster wants.
+
+    ``cent`` must expose (cid, ce, cn2); ``dot(embedding, ce)`` defaults to
+    the exact-decimal ``_dot``. Returns ``embn``'s rows plus ``_top``:
+    array<struct<ce9, negcid>> of length <= nprobe (cell id = -negcid).
+    """
+    dot = dot or _dot
+    cent_arr = cent.agg(F.collect_list(F.struct("cid", "ce", "cn2")).alias("_cents"))
+    return (
+        embn.crossJoin(F.broadcast(cent_arr))
+        .withColumn(
+            "_top",
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.transform(
+                            "_cents",
+                            lambda c: F.struct(
+                                _cos_e9(
+                                    dot(F.col("embedding"), c["ce"]),
+                                    F.col("n2"),
+                                    c["cn2"],
+                                ).alias("ce9"),
+                                (-c["cid"]).alias("negcid"),
+                            ),
+                        )
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+        )
+        .drop("_cents")
+    )
+
+
+def _top_cell(col: str = "_top") -> Column:
+    """The argmax cell id from a ``_topcells`` result (rank-1 assignment)."""
+    return -F.element_at(col, 1)["negcid"]
+
+
+def _probe_cells(col: str = "_top") -> Column:
+    """All probed cell ids from a ``_topcells`` result, rank order."""
+    return F.transform(col, lambda s: -s["negcid"])
+
+
 def _ivf_recall_oracle() -> str:
     brute = REGISTRY["llm_ann_cosine_topk"].oracle
     ivf = _ivf_oracle()
@@ -694,19 +754,11 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ce"),
         F.col("n2").alias("cn2"),
     )
-    bscore = embn.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        _cos_e9(
-            _dot(F.col("embedding"), F.col("ce")), F.col("n2"), F.col("cn2")
-        ).alias("ce9"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("ce9").desc(), F.col("cid"))
-    ranked = bscore.withColumn("rn", F.row_number().over(w))
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", F.col("cid").alias("cell"))
-    probes = (
-        ranked.filter((F.col("vec_id") < ANN_N_QUERIES) & (F.col("rn") <= IVF_NPROBE))
-        .select(F.col("vec_id").alias("query_vec_id"), F.col("cid").alias("cell"))
+    top = _topcells(embn, cent, IVF_NPROBE)
+    assign = top.select("vec_id", _top_cell().alias("cell"))
+    probes = top.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.explode(_probe_cells()).alias("cell"),
     )
     cand = probes.join(assign, "cell").filter(
         F.col("vec_id") != F.col("query_vec_id")
@@ -885,36 +937,36 @@ def llm_dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ce"),
         F.col("n2").alias("cn2"),
     )
-    bscore = embn.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        _cos_e9(
-            _dot(F.col("embedding"), F.col("ce")), F.col("n2"), F.col("cn2")
-        ).alias("ce9"),
+    # Map-only top-nprobe assignment (no N x K row shuffle — _topcells),
+    # checkpointed WITH the vector payload so (a) the sqrt(N) x D dots run
+    # once, not once per join side, and (b) the cell join carries the
+    # embeddings along: each pair is scored IN the join projection and
+    # immediately threshold-filtered, so the ~N^1.5 within-cell pair space
+    # exists only transiently inside the join operator — it is never
+    # shuffled and never joined back against the corpus (the old plan
+    # shuffled every candidate pair through TWO vec_id join-backs). The
+    # only remaining exchange is the embeddings, once, keyed by cell —
+    # balanced by construction (cells hold ~sqrt(N) vectors).
+    top = (
+        _topcells(embn, cent, CELLS_NPROBE)
+        .select("vec_id", "embedding", "n2", _probe_cells().alias("cells"))
+        .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("ce9").desc(), F.col("cid"))
-    ranked = bscore.withColumn("rn", F.row_number().over(w))
-    assign = ranked.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("vec_b"), F.col("cid").alias("cell")
-    )
-    probes = ranked.filter(F.col("rn") <= CELLS_NPROBE).select(
-        F.col("vec_id").alias("vec_a"), F.col("cid").alias("cell")
-    )
-    cand = probes.join(assign, "cell").filter(F.col("vec_a") < F.col("vec_b"))
-    ea = embn.select(
+    pa = top.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         F.col("n2").alias("na2"),
+        F.explode("cells").alias("cell"),
     )
-    eb = embn.select(
+    ab = top.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
         F.col("n2").alias("nb2"),
+        F.element_at("cells", 1).alias("cell"),
     )
-    scored = (
-        cand.select("vec_a", "vec_b")
-        .join(ea, "vec_a")
-        .join(eb, "vec_b")
+    return (
+        pa.join(ab, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
@@ -922,8 +974,8 @@ def llm_dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _dot(F.col("ea"), F.col("eb")), F.col("na2"), F.col("nb2")
             ).alias("cos_sim_e9"),
         )
+        .filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)
     )
-    return scored.filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)
 
 
 def _neardup_recall_oracle() -> str:
@@ -1097,19 +1149,12 @@ def llm_embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ce"),
         F.col("n2").alias("cn2"),
     )
-    # norms fused into the assignment scan — one pass, no norm joins
-    bscore = embn.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        _cos_e9(_dot(F.col("embedding"), F.col("ce")), F.col("n2"), F.col("cn2")).alias("ce9"),
+    # norms fused into the assignment scan; map-only argmax (_topcells) —
+    # the assignment never leaves the projection, so the Lloyd step is
+    # exactly one scan + the (cell, dim) aggregation shuffle
+    mem = _topcells(embn, cent, 1).select(
+        _top_cell().alias("cell"), "embedding"
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("ce9").desc(), F.col("cid"))
-    assign = (
-        bscore.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"))
-    )
-    mem = assign.join(emb, "vec_id").select("cell", "embedding")
     comp = mem.select(
         "cell", F.posexplode("embedding").alias("pos", "val")
     )
@@ -1589,23 +1634,15 @@ def llm_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ce"),
         F.col("n2").alias("cn2"),
     )
-    bscore0 = embn.crossJoin(F.broadcast(cent0)).select(
-        "vec_id",
-        "cid",
-        _cos_e9(
-            _dot(F.col("embedding"), F.col("ce")), F.col("n2"), F.col("cn2")
-        ).alias("ce9"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("ce9").desc(), F.col("cid"))
-    assign0 = (
-        bscore0.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"))
-    )
-    # one Lloyd step: per-cell exact component sums (scale-free centroid)
+    # one Lloyd step: map-only argmax assignment (_topcells — embedding
+    # rides along, so no join-back), then per-cell exact component sums
+    # (scale-free centroid)
     comp = (
-        assign0.join(emb, "vec_id")
-        .select("cell", F.posexplode("embedding").alias("pos", "val"))
+        _topcells(embn, cent0, 1)
+        .select(
+            _top_cell().alias("cell"),
+            F.posexplode("embedding").alias("pos", "val"),
+        )
         .groupBy("cell", "pos")
         .agg(
             F.sum(F.col("val").cast("double").cast(VEC_DEC))
@@ -1620,34 +1657,36 @@ def llm_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("carr"),
         F.sum(F.col("m") * F.col("m")).alias("cn2"),
     )
-    tdot = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("carr"),
-            lambda x, y: x.cast("double").cast(VEC_DEC) * y,
-        ),
-        F.lit(0).cast(VEC_ACC),
-        lambda acc, x: (acc + x).cast(VEC_ACC),
+    def _tdot(e: Column, ce: Column) -> Column:
+        # trained centroids are exact decimals (CENT_DEC), so the trained
+        # dot skips the VEC_DEC re-cast on the centroid side
+        return F.aggregate(
+            F.zip_with(e, ce, lambda x, y: x.cast("double").cast(VEC_DEC) * y),
+            F.lit(0).cast(VEC_ACC),
+            lambda acc, x: (acc + x).cast(VEC_ACC),
+        )
+
+    cent1r = cent1.select(
+        F.col("cell").alias("cid"), F.col("carr").alias("ce"), "cn2"
     )
-    tscore = embn.crossJoin(F.broadcast(cent1)).select(
-        "vec_id",
-        "cell",
-        _cos_e9(tdot, F.col("n2"), F.col("cn2")).alias("ce9"),
+    # map-only trained scoring (_topcells, custom decimal dot); ttop feeds
+    # BOTH the full assignment and the probe list; without persistence the
+    # whole Lloyd step + trained-scoring scan re-derives per consumer.
+    # Skinny frame (vec_id, cells — no vectors), so localCheckpoint is
+    # cheaper than one repeated corpus scan.
+    ttop = (
+        _topcells(embn, cent1r, IVF_NPROBE, dot=_tdot)
+        .select("vec_id", _probe_cells().alias("cells"))
+        .localCheckpoint(eager=True)
     )
-    wt = Window.partitionBy("vec_id").orderBy(F.col("ce9").desc(), F.col("cell"))
-    # tranked feeds BOTH the full assignment and the probe list; without
-    # persistence the whole Lloyd step + trained-scoring scan re-derives
-    # per consumer. Skinny frame (vec_id, cell, score, rn — no vectors),
-    # so localCheckpoint is cheaper than one repeated corpus scan.
-    tranked = tscore.withColumn("rn", F.row_number().over(wt)).localCheckpoint(
-        eager=True
+    tassign = ttop.select(
+        F.col("vec_id").alias("neighbor_vec_id"),
+        F.element_at("cells", 1).alias("cell"),
     )
-    tassign = tranked.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("neighbor_vec_id"), "cell"
+    tprobes = ttop.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.explode("cells").alias("cell"),
     )
-    tprobes = tranked.filter(
-        (F.col("vec_id") < ANN_N_QUERIES) & (F.col("rn") <= IVF_NPROBE)
-    ).select(F.col("vec_id").alias("query_vec_id"), "cell")
     tcand = tprobes.join(tassign, "cell").filter(
         F.col("neighbor_vec_id") != F.col("query_vec_id")
     ).select("query_vec_id", "neighbor_vec_id")

@@ -142,3 +142,65 @@ def test_kmv_union_equals_single_global_sketch(spark):
     ).collect()[0]
     direct = g.n if g.n < KMV_K else ((KMV_K - 1) * _KMV_M) // g.v
     assert union_row.kmv_estimate == direct
+
+
+def test_topcells_matches_window_rank_reference(spark):
+    """_topcells (map-only in-row top-nprobe assignment) must reproduce the
+    crossJoin + row_number reference EXACTLY — including score ties across
+    cells, where the oracle order is ce9 DESC, cid ASC. Random vectors with
+    few distinct component values force genuine ce9 collisions."""
+    import random
+
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window as W
+
+    from gmall_flink_realtime4_spark.plans.llm_queries import _dot
+    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
+        _cos_e9,
+        _probe_cells,
+        _topcells,
+    )
+
+    rng = random.Random(42)
+    dim, n_vec, n_cent, nprobe = 4, 60, 7, 3
+    rows = [
+        (i, [float(rng.choice((0.0, 0.5, 1.0))) for _ in range(dim)])
+        for i in range(n_vec)
+    ]
+    # zero vectors break cosine (div by zero) on both forms identically,
+    # but keep the fixture clean: ensure at least one nonzero component
+    rows = [(i, v if any(v) else [1.0] + v[1:]) for i, v in rows]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    embn = emb.select(
+        "vec_id", "embedding", _dot(FF.col("embedding"), FF.col("embedding")).alias("n2")
+    )
+    cent = embn.filter(FF.col("vec_id") < n_cent).select(
+        FF.col("vec_id").alias("cid"),
+        FF.col("embedding").alias("ce"),
+        FF.col("n2").alias("cn2"),
+    )
+
+    got = {
+        r["vec_id"]: r["cells"]
+        for r in _topcells(embn, cent, nprobe)
+        .select("vec_id", _probe_cells().alias("cells"))
+        .collect()
+    }
+
+    bscore = embn.crossJoin(FF.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        _cos_e9(_dot(FF.col("embedding"), FF.col("ce")), FF.col("n2"), FF.col("cn2")).alias("ce9"),
+    )
+    w = W.partitionBy("vec_id").orderBy(FF.col("ce9").desc(), FF.col("cid"))
+    ref_rows = (
+        bscore.withColumn("rn", FF.row_number().over(w))
+        .filter(FF.col("rn") <= nprobe)
+        .orderBy("vec_id", "rn")
+        .collect()
+    )
+    ref: dict = {}
+    for r in ref_rows:
+        ref.setdefault(r["vec_id"], []).append(r["cid"])
+
+    assert got == ref

@@ -101,23 +101,49 @@ def test_neardup_candidate_joins_are_equi(spark):
         ), name
 
 
-def test_ivf_norms_fused_single_embeddings_scan_stage(spark):
-    """The fused-norms IVF assignment must not re-join a separate norms
-    frame: every join that feeds the assignment rank (post-order node ids
-    below the first Window) must be the broadcast centroid cross — norm
-    equi-joins there would mean norms are computed in a second pass."""
+def test_ivf_assignment_is_map_only(spark):
+    """The IVF coarse-quantizer assignment must be MAP-ONLY (_topcells):
+    centroids collapse to one broadcast array row (exactly two
+    BroadcastNestedLoopJoins, one per assignment consumer) and the
+    argmax/top-nprobe is ranked in-row — the only real Window left is the
+    final per-query top-k rank. A Window.partitionBy(vec_id) here would
+    shuffle N x K scored rows (N^1.5 under the sqrt(N)-centroid rule).
+    Norms stay fused in the same projection: no sort-merge norm joins."""
     import re
 
     plan = _plan(spark, "llm_ann_ivf")
-    nodes = {
-        int(n): name
-        for name, n in re.findall(r"(\w+)[^\n(]*\((\d+)\)", plan.split("\n\n")[0])
-    }
-    first_window = min(n for n, name in nodes.items() if name == "Window")
-    pre_rank_joins = [
-        name for n, name in nodes.items() if n < first_window and "Join" in name
-    ]
-    assert pre_rank_joins == ["BroadcastNestedLoopJoin"], pre_rank_joins
+    tree = plan.split("\n\n")[0]
+    real_windows = re.findall(r"\bWindow \(", tree)
+    assert len(real_windows) == 1, tree
+    assert tree.count("BroadcastNestedLoopJoin") == 2
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_cells_pair_space_never_shuffles(spark):
+    """llm_dedup_embedding_cells at the sqrt(N)-centroid scale rule: the
+    within-cell pair space (~N^1.5 rows) must exist only INSIDE the cell
+    join — scored in the join projection and threshold-filtered, never
+    exchanged, never joined back against the corpus. The checkpointed
+    assignment means the final plan has NO parquet scan, NO Window, and
+    exactly one Exchange (the embeddings keyed by cell)."""
+    plan = _plan(spark, "llm_dedup_embedding_cells")
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "Scan parquet" not in tree
+    assert tree.count("Exchange") <= 2  # cell key (+ AQE final coalesce)
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_step_assignment_is_map_only(spark):
+    """The Lloyd-step assignment must be the same map-only _topcells shape:
+    no Window, no assign->embeddings join-back (the vector rides along in
+    the projection) — one scan feeds the (cell, dim) aggregation."""
+    plan = _plan(spark, "llm_embedding_kmeans_step")
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert tree.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in tree and "BroadcastHashJoin" not in tree, pre_rank_joins
 
 
 def test_time_rollup_single_expand_single_shuffle(spark):
