@@ -116,9 +116,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     before building the plan (the driver passes its own SparkSession)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
+            # kwargs pass through so keyword-only variants (e.g. a query's
+            # compress_exact=False twin) stay callable through the registry
             apply_runtime_confs(spark)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, **kwargs)
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

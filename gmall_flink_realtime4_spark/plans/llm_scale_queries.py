@@ -901,7 +901,9 @@ WHERE cos_sim_e9 >= {NEARDUP_THRESHOLD_E9}
 """,
     tags=("llm-dedup", "llm-similarity"),
 )
-def llm_dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_dedup_embedding_cells(
+    spark: SparkSession, sf_dir: str, *, compress_exact: bool = True
+) -> DataFrame:
     """Embedding similar-pair mining via centroid cells — the SemDeDup
     cluster-then-dedup pattern (Abbas et al. 2023): quantize every vector
     to its nearest centroid (the IVF coarse quantizer, broadcast + fused
@@ -922,6 +924,23 @@ def llm_dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-recall contract for corpus dedup; see
     llm_embedding_kmeans_step for training the centroids rather than
     seeding them.
+
+    ``compress_exact`` (default, the production form) runs SemDeDup's
+    step 0 first: byte-identical vectors share their assignment and every
+    pairwise score, so mining runs on one REPRESENTATIVE per distinct
+    vector and the result expands back through group membership — cost
+    drops by the duplicate-factor SQUARED wherever exact dups exist (a
+    crawl corpus always has them; the x10 scale replicas model exactly
+    this). Semantics are pair-for-pair identical: candidacy is a function
+    of probe/home cells (identical per group), scores are the same
+    expression on the same values, and the a<b emission rule — pair
+    (x, y), x<y is emitted iff home(y) is probed by x — is preserved by
+    tracking BOTH directed rep-level candidacies (x<y inside a rep pair
+    does not imply rep_a<rep_b). Equality with the uncompressed twin is
+    pinned by test_cells_exact_compression_matches_uncompressed on
+    dup-heavy synthetic data; the uncompressed path remains for corpora
+    known dup-free (it scores each undirected candidate once, vs up to
+    twice for the directed rep form).
     """
     import math
 
@@ -937,45 +956,121 @@ def llm_dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ce"),
         F.col("n2").alias("cn2"),
     )
-    # Map-only top-nprobe assignment (no N x K row shuffle — _topcells),
-    # checkpointed WITH the vector payload so (a) the sqrt(N) x D dots run
-    # once, not once per join side, and (b) the cell join carries the
-    # embeddings along: each pair is scored IN the join projection and
-    # immediately threshold-filtered, so the ~N^1.5 within-cell pair space
-    # exists only transiently inside the join operator — it is never
-    # shuffled and never joined back against the corpus (the old plan
-    # shuffled every candidate pair through TWO vec_id join-backs). The
-    # only remaining exchange is the embeddings, once, keyed by cell —
-    # balanced by construction (cells hold ~sqrt(N) vectors).
+    if not compress_exact:
+        # Map-only top-nprobe assignment (no N x K row shuffle —
+        # _topcells), checkpointed WITH the vector payload so (a) the
+        # sqrt(N) x D dots run once, not once per join side, and (b) the
+        # cell join carries the embeddings along: each pair is scored IN
+        # the join projection and immediately threshold-filtered, so the
+        # ~N^1.5 within-cell pair space exists only transiently inside
+        # the join operator — never shuffled, never joined back against
+        # the corpus. The only exchange is the embeddings, once, keyed by
+        # cell — balanced by construction (cells hold ~sqrt(N) vectors).
+        top = (
+            _topcells(embn, cent, CELLS_NPROBE)
+            .select("vec_id", "embedding", "n2", _probe_cells().alias("cells"))
+            .localCheckpoint(eager=True)
+        )
+        pa = top.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("ea"),
+            F.col("n2").alias("na2"),
+            F.explode("cells").alias("cell"),
+        )
+        ab = top.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("eb"),
+            F.col("n2").alias("nb2"),
+            F.element_at("cells", 1).alias("cell"),
+        )
+        return (
+            pa.join(ab, "cell")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select(
+                "vec_a",
+                "vec_b",
+                _cos_e9(
+                    _dot(F.col("ea"), F.col("eb")), F.col("na2"), F.col("nb2")
+                ).alias("cos_sim_e9"),
+            )
+            .filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)
+        )
+    # --- SemDeDup step 0: collapse byte-identical vectors --------------
+    # groups keyed by the embedding value itself (Spark normalizes -0.0
+    # in grouping keys; both engines' dots agree regardless); rep = min
+    # member id, members sorted for deterministic expansion order.
+    grouped = (
+        embn.groupBy("embedding", "n2")
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.sort_array(F.collect_list("vec_id")).alias("members"),
+        )
+        .localCheckpoint(eager=True)
+    )
     top = (
-        _topcells(embn, cent, CELLS_NPROBE)
+        _topcells(grouped.select("vec_id", "embedding", "n2"), cent, CELLS_NPROBE)
         .select("vec_id", "embedding", "n2", _probe_cells().alias("cells"))
         .localCheckpoint(eager=True)
     )
+    # DIRECTED rep-level candidates: (rep_a -> rep_b) exists iff rep_b's
+    # home cell is probed by rep_a — the emission rule needs both
+    # directions because member order within a rep pair can go either
+    # way. Scored in the join projection, thresholded BEFORE expansion.
     pa = top.select(
-        F.col("vec_id").alias("vec_a"),
+        F.col("vec_id").alias("rep_a"),
         F.col("embedding").alias("ea"),
         F.col("n2").alias("na2"),
         F.explode("cells").alias("cell"),
     )
     ab = top.select(
-        F.col("vec_id").alias("vec_b"),
+        F.col("vec_id").alias("rep_b"),
         F.col("embedding").alias("eb"),
         F.col("n2").alias("nb2"),
         F.element_at("cells", 1).alias("cell"),
     )
-    return (
+    cand = (
         pa.join(ab, "cell")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(F.col("rep_a") != F.col("rep_b"))
         .select(
-            "vec_a",
-            "vec_b",
+            "rep_a",
+            "rep_b",
             _cos_e9(
                 _dot(F.col("ea"), F.col("eb")), F.col("na2"), F.col("nb2")
             ).alias("cos_sim_e9"),
         )
         .filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)
     )
+    # Cross-group expansion: directed (rep_a -> rep_b) emits every
+    # (x in A, y in B) with x < y — the two directions partition the
+    # member-pair space, so no dedup is needed.
+    ga = grouped.select(F.col("vec_id").alias("rep_a"), F.col("members").alias("ma"))
+    gb = grouped.select(F.col("vec_id").alias("rep_b"), F.col("members").alias("mb"))
+    cross = (
+        cand.join(ga, "rep_a")
+        .join(gb, "rep_b")
+        .select("cos_sim_e9", F.explode("ma").alias("vec_a"), "mb")
+        .select("cos_sim_e9", "vec_a", F.explode("mb").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "cos_sim_e9")
+    )
+    # Within-group pairs: identical vectors always share their home cell
+    # (home is probed), so every member pair is a candidate; the score is
+    # the SAME expression the pair join would compute (dot(e,e) == n2 by
+    # construction), so floor/NULL behavior matches the uncompressed twin
+    # bit-for-bit (zero-norm vectors drop identically on both paths).
+    within = (
+        grouped.filter(F.size("members") >= 2)
+        .select(
+            _cos_e9(F.col("n2"), F.col("n2"), F.col("n2")).alias("cos_sim_e9"),
+            F.explode("members").alias("vec_a"),
+            F.col("members").alias("mb"),
+        )
+        .select("cos_sim_e9", "vec_a", F.explode("mb").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)
+        .select("vec_a", "vec_b", "cos_sim_e9")
+    )
+    return cross.unionByName(within)
 
 
 def _neardup_recall_oracle() -> str:

@@ -204,3 +204,45 @@ def test_topcells_matches_window_rank_reference(spark):
         ref.setdefault(r["vec_id"], []).append(r["cid"])
 
     assert got == ref
+
+
+def test_cells_exact_compression_matches_uncompressed(spark, tmp_path):
+    """SemDeDup step-0 (exact-duplicate compression) must be pair-for-pair
+    IDENTICAL to the uncompressed cell miner — including scores — on data
+    where duplicate groups straddle the rep-id order both ways (the
+    directed-emission subtlety: x<y inside a rep pair does not imply
+    rep_a<rep_b). 64-dim vectors from a tiny value alphabet force dup
+    groups AND cross-cell near-ties."""
+    import random
+
+    import pandas as pd
+
+    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
+        llm_dedup_embedding_cells,
+    )
+
+    rng = random.Random(7)
+    dim, n_distinct, copies = 64, 24, 5
+    base = [
+        [float(rng.choice((0.25, 0.5, 1.0))) for _ in range(dim)]
+        for _ in range(n_distinct)
+    ]
+    rows = []
+    # interleave copies so group member ids straddle other groups' ids
+    for c in range(copies):
+        for g, v in enumerate(base):
+            rows.append({"vec_id": c * n_distinct + g, "embedding": v, "label": g})
+    pd.DataFrame(rows).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    sf = str(tmp_path)
+
+    comp = sorted(
+        tuple(r) for r in llm_dedup_embedding_cells(spark, sf).collect()
+    )
+    ref = sorted(
+        tuple(r)
+        for r in llm_dedup_embedding_cells(
+            spark, sf, compress_exact=False
+        ).collect()
+    )
+    assert len(ref) > 0  # dup copies guarantee within-group pairs
+    assert comp == ref

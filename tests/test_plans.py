@@ -124,14 +124,16 @@ def test_embedding_cells_pair_space_never_shuffles(spark):
     """llm_dedup_embedding_cells at the sqrt(N)-centroid scale rule: the
     within-cell pair space (~N^1.5 rows) must exist only INSIDE the cell
     join — scored in the join projection and threshold-filtered, never
-    exchanged, never joined back against the corpus. The checkpointed
-    assignment means the final plan has NO parquet scan, NO Window, and
-    exactly one Exchange (the embeddings keyed by cell)."""
+    exchanged, never joined back against the corpus. With SemDeDup step-0
+    compression the checkpointed rep assignment means the final plan has
+    NO parquet scan, NO Window, and only the rep-level exchanges: the
+    cell join plus the two thresholded-candidate membership-expansion
+    joins (candidate-count-sized, never pair-space-sized)."""
     plan = _plan(spark, "llm_dedup_embedding_cells")
     tree = plan.split("\n\n")[0]
     assert "Window" not in tree
     assert "Scan parquet" not in tree
-    assert tree.count("Exchange") <= 2  # cell key (+ AQE final coalesce)
+    assert tree.count("Exchange") <= 4
     assert "CartesianProduct" not in plan
 
 
