@@ -502,7 +502,9 @@ WHERE CAST(floor(1000000000.0 * CAST(p.dot AS DOUBLE)
 """,
     tags=("llm-dedup", "llm-similarity"),
 )
-def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, *, compress_exact: bool = True
+) -> DataFrame:
     """Embedding near-dup pairs: multi-probe sign-LSH, exact cosine inside.
 
     Bucket = sign bits of the first NEARDUP_SIGN_DIMS dimensions
@@ -518,6 +520,13 @@ def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (small) candidate set, where the fused n2 rides along. Bucket is the
     shuffle key; exact cosine (decimal dot, scaled BIGINT) is computed
     only on candidates.
+
+    ``compress_exact`` (default) is SemDeDup step 0, as in
+    llm_dedup_embedding_cells — but SIMPLER here because flip-one-bit
+    candidacy is symmetric (hamming(sig_x, sig_y) <= 1 reads the same
+    from both sides), so undirected rep pairs suffice and each is scored
+    once; expansion emits least/greatest member pairs. Output is
+    pair-for-pair identical (same equality test as cells).
     """
     emb = T.load(spark, sf_dir, "embeddings")
     embn = emb.select(
@@ -525,7 +534,19 @@ def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         _dot(F.col("embedding"), F.col("embedding")).alias("n2"),
     )
-    bk = emb.select("vec_id", _sign_bucket_col().alias("bucket"))
+    if compress_exact:
+        grouped = (
+            embn.groupBy("embedding", "n2")
+            .agg(
+                F.min("vec_id").alias("vec_id"),
+                F.sort_array(F.collect_list("vec_id")).alias("members"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        embn = grouped.select("vec_id", "embedding", "n2")
+        bk = embn.select("vec_id", _sign_bucket_col().alias("bucket"))
+    else:
+        bk = emb.select("vec_id", _sign_bucket_col().alias("bucket"))
     n = NEARDUP_SIGN_DIMS
     probe_keys = F.array(
         F.col("bucket"),
@@ -564,7 +585,39 @@ def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos_sim_e9"),
         )
     )
-    return scored.filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)
+    pairs = scored.filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)
+    if not compress_exact:
+        return pairs
+    # symmetric candidacy → undirected rep pairs expand to ALL member
+    # pairs (least/greatest ordering); identical vectors always share a
+    # bucket, so every within-group pair is a candidate with the same
+    # score expression the pair join computes (dot(e,e) == n2).
+    ga = grouped.select(F.col("vec_id").alias("vec_a"), F.col("members").alias("ma"))
+    gb = grouped.select(F.col("vec_id").alias("vec_b"), F.col("members").alias("mb"))
+    cross = (
+        pairs.join(ga, "vec_a")
+        .join(gb, "vec_b")
+        .select("cos_sim_e9", F.explode("ma").alias("u"), "mb")
+        .select("cos_sim_e9", "u", F.explode("mb").alias("v"))
+        .select(
+            F.least("u", "v").alias("vec_a"),
+            F.greatest("u", "v").alias("vec_b"),
+            "cos_sim_e9",
+        )
+    )
+    within = (
+        grouped.filter(F.size("members") >= 2)
+        .select(
+            _cos_e9(F.col("n2"), F.col("n2"), F.col("n2")).alias("cos_sim_e9"),
+            F.explode("members").alias("vec_a"),
+            F.col("members").alias("mb"),
+        )
+        .select("cos_sim_e9", "vec_a", F.explode("mb").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)
+        .select("vec_a", "vec_b", "cos_sim_e9")
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------

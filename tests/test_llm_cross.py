@@ -206,20 +206,10 @@ def test_topcells_matches_window_rank_reference(spark):
     assert got == ref
 
 
-def test_cells_exact_compression_matches_uncompressed(spark, tmp_path):
-    """SemDeDup step-0 (exact-duplicate compression) must be pair-for-pair
-    IDENTICAL to the uncompressed cell miner — including scores — on data
-    where duplicate groups straddle the rep-id order both ways (the
-    directed-emission subtlety: x<y inside a rep pair does not imply
-    rep_a<rep_b). 64-dim vectors from a tiny value alphabet force dup
-    groups AND cross-cell near-ties."""
+def _dup_heavy_embeddings(tmp_path):
     import random
 
     import pandas as pd
-
-    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
-        llm_dedup_embedding_cells,
-    )
 
     rng = random.Random(7)
     dim, n_distinct, copies = 64, 24, 5
@@ -233,7 +223,21 @@ def test_cells_exact_compression_matches_uncompressed(spark, tmp_path):
         for g, v in enumerate(base):
             rows.append({"vec_id": c * n_distinct + g, "embedding": v, "label": g})
     pd.DataFrame(rows).to_parquet(tmp_path / "embeddings.parquet", index=False)
-    sf = str(tmp_path)
+    return str(tmp_path)
+
+
+def test_cells_exact_compression_matches_uncompressed(spark, tmp_path):
+    """SemDeDup step-0 (exact-duplicate compression) must be pair-for-pair
+    IDENTICAL to the uncompressed cell miner — including scores — on data
+    where duplicate groups straddle the rep-id order both ways (the
+    directed-emission subtlety: x<y inside a rep pair does not imply
+    rep_a<rep_b). 64-dim vectors from a tiny value alphabet force dup
+    groups AND cross-cell near-ties."""
+    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
+        llm_dedup_embedding_cells,
+    )
+
+    sf = _dup_heavy_embeddings(tmp_path)
 
     comp = sorted(
         tuple(r) for r in llm_dedup_embedding_cells(spark, sf).collect()
@@ -245,4 +249,27 @@ def test_cells_exact_compression_matches_uncompressed(spark, tmp_path):
         ).collect()
     )
     assert len(ref) > 0  # dup copies guarantee within-group pairs
+    assert comp == ref
+
+
+def test_cosine_exact_compression_matches_uncompressed(spark, tmp_path):
+    """Same equality pin for the sign-LSH generator: symmetric flip-one-bit
+    candidacy means undirected rep pairs expand with least/greatest member
+    ordering — the result must still match the uncompressed miner exactly
+    on dup-heavy interleaved data."""
+    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
+        llm_dedup_embedding_cosine,
+    )
+
+    sf = _dup_heavy_embeddings(tmp_path)
+    comp = sorted(
+        tuple(r) for r in llm_dedup_embedding_cosine(spark, sf).collect()
+    )
+    ref = sorted(
+        tuple(r)
+        for r in llm_dedup_embedding_cosine(
+            spark, sf, compress_exact=False
+        ).collect()
+    )
+    assert len(ref) > 0
     assert comp == ref
