@@ -342,3 +342,54 @@ def test_checksum_detects_dropped_row(spark, rows, seed):
     base = _cks(_docs_df(spark, rows))
     dropped = _cks(_docs_df(spark, rows[:victim] + rows[victim + 1 :]))
     assert dropped != base
+
+
+# --- SemDeDup step-0 compression: the directed-expansion contract --------
+# The compressed embedding_cells miner tracks BOTH directed rep-level
+# candidacies because member order inside a rep pair can straddle the rep
+# order either way. Hypothesis drives random group sizes AND a random
+# id-to-vector permutation (the adversarial part); the property is exact
+# pair-set equality with the uncompressed miner, scores included.
+VEC_VALS = (0.25, 0.5, 1.0)
+
+
+@given(data=st.data())
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_cells_compression_equality_property(spark, tmp_path_factory, data):
+    import pandas as pd
+
+    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
+        llm_dedup_embedding_cells,
+    )
+
+    dim = 16
+    n_groups = data.draw(st.integers(1, 5), label="n_groups")
+    base = [
+        data.draw(
+            st.lists(
+                st.sampled_from(VEC_VALS), min_size=dim, max_size=dim
+            ),
+            label=f"vec{g}",
+        )
+        for g in range(n_groups)
+    ]
+    mults = [data.draw(st.integers(1, 4), label=f"mult{g}") for g in range(n_groups)]
+    slots = [g for g, m in enumerate(mults) for _ in range(m)]
+    perm = data.draw(st.permutations(slots), label="perm")
+    rows = [
+        {"vec_id": i, "embedding": [float(x) for x in base[g]], "label": g}
+        for i, g in enumerate(perm)
+    ]
+    sf = tmp_path_factory.mktemp("cellsprop")
+    pd.DataFrame(rows).to_parquet(sf / "embeddings.parquet", index=False)
+
+    comp = sorted(
+        tuple(r) for r in llm_dedup_embedding_cells(spark, str(sf)).collect()
+    )
+    ref = sorted(
+        tuple(r)
+        for r in llm_dedup_embedding_cells(
+            spark, str(sf), compress_exact=False
+        ).collect()
+    )
+    assert comp == ref
