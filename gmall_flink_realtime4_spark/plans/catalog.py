@@ -47,6 +47,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 # registration order. Round 4 prefix = the 40 queries whose freshest driver
 # row is CORRECTNESS_r02 (rotated out of the r03 gate), then any queries new
 # this round (40 + new <= 50 keeps every name inside the gated prefix).
+#
+# ROUND-5 ROTATION RECIPE (do this first next round): replace this list
+# with the 50 queries whose freshest driver row is CORRECTNESS_r03 —
+# i.e. ``[k for k in queries() if k not in CORRECTNESS_r04]`` — then any
+# queries new in round 5 (so keep new registrations <= 0 spare slots; the
+# r03-fresh set is exactly 50, so adding a new query means bumping one
+# r03-fresh query to round 6 — prefer bumping one that is also covered by
+# a streaming/property test).
 GATE_PRIORITY: list[str] = [
     # freshest row is r02 — rotate back into the gate (reference dwd/dws)
     "dwd_base_db_router",
