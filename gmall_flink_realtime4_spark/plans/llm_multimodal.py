@@ -9,7 +9,12 @@ headers, RIFF/WAV audio chunks, and ISO-BMFF (MP4) box structure in pure
 Python. Payloads that aren't a recognized container fall back to
 ``_decode_fake``, a deterministic feature extractor the DuckDB oracle
 reproduces. Swapping in a richer decoder (PIL/libav) still changes ONE
-function, not the plan.
+function, not the plan. Beyond metadata decode, the sample-level
+primitives the pipeline brief names are real too: ``resize_image``
+(nearest-neighbor over the decoded RGB plane, binary in -> valid P6 out),
+``pixel_stats`` (image feature extraction) and ``audio_stats`` (PCM
+peak/RMS from the WAV data chunk) — all numpy-per-Arrow-batch map-only
+operators with row-level ok/NULL error channels.
 
 The ``media`` frame derives from ``documents``: media_type cycles
 image/audio/video by doc_id. Image rows carry a REAL PPM container
@@ -414,21 +419,9 @@ def pixel_stats(media: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["media_bytes"]):
                 b = bytes(payload)
                 meta = _parse_ppm(b)  # header-derived dims (real parse)
-                # plane starts after the single whitespace byte that
-                # terminates the maxval token
-                toks_seen, i, n = 0, 2, len(b)
-                while toks_seen < 3 and i < n:
-                    c = b[i : i + 1]
-                    if c.isspace():
-                        i += 1
-                    elif c == b"#":
-                        while i < n and b[i : i + 1] != b"\n":
-                            i += 1
-                    else:
-                        while i < n and not b[i : i + 1].isspace():
-                            i += 1
-                        toks_seen += 1
-                plane = np.frombuffer(b, dtype=np.uint8, offset=i + 1)
+                plane = np.frombuffer(
+                    b, dtype=np.uint8, offset=_ppm_plane_offset(b)
+                )
                 s = int(plane.sum(dtype=np.int64))
                 rows.append(
                     {
@@ -479,3 +472,185 @@ def llm_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pixel_stats(
         media_frame(spark, sf_dir).filter(F.col("media_type") == "image")
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, ok boolean, src_width bigint, src_height bigint,"
+    " width bigint, height bigint, media_bytes binary"
+)
+
+
+def _ppm_plane_offset(b: bytes) -> int:
+    """Offset of the raw RGB plane inside a P6 container: after the third
+    header token's single terminating whitespace byte (comments allowed,
+    same tokenizer as ``_parse_ppm``)."""
+    toks_seen, i, n = 0, 2, len(b)
+    while toks_seen < 3 and i < n:
+        c = b[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while i < n and b[i : i + 1] != b"\n":
+                i += 1
+        else:
+            while i < n and not b[i : i + 1].isspace():
+                i += 1
+            toks_seen += 1
+    return i + 1
+
+
+def resize_image(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor image resize — binary in, binary out.
+
+    The third multimodal primitive the pipeline brief names (decode /
+    feature-extract / RESIZE / frame-sample): parse the P6 header, reshape
+    the raw plane to (h, w, 3) with numpy, gather nearest-neighbor rows
+    and columns (``(np.arange(out) * src) // out`` — the standard integer
+    NN mapping, deterministic, no float resampling), and re-emit a fully
+    valid P6 container with the new dimensions. Per-row failures (not a
+    PPM, truncated plane) yield ok=false with NULL payload instead of
+    failing the batch — the row-level error-channel shape a 100 TB decode
+    stage needs (a single corrupt blob must never kill a task retry loop).
+    Map-only ``mapInPandas`` over Arrow batches; scales by executors like
+    any decode. Real-codec swap (PIL/cv2 interpolation) changes only the
+    numpy body.
+    """
+    import numpy as np
+
+    cols = [c.split()[0] for c in RESIZE_SCHEMA.split(",")]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media_bytes"]):
+                b = bytes(payload)
+                try:
+                    meta = _parse_ppm(b)
+                    w, h = meta["width"], meta["height"]
+                    off = _ppm_plane_offset(b)
+                    plane = np.frombuffer(b, dtype=np.uint8, offset=off)
+                    if len(plane) != w * h * 3:
+                        raise ValueError("plane length != w*h*3")
+                    img = plane.reshape(h, w, 3)
+                    rr = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                    cc = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                    resized = img[rr][:, cc]
+                    out = (
+                        b"P6\n%d %d\n255\n" % (out_w, out_h)
+                        + resized.tobytes()
+                    )
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "ok": True,
+                            "src_width": w,
+                            "src_height": h,
+                            "width": out_w,
+                            "height": out_h,
+                            "media_bytes": out,
+                        }
+                    )
+                except (ValueError, struct.error):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "ok": False,
+                            "src_width": None,
+                            "src_height": None,
+                            "width": None,
+                            "height": None,
+                            "media_bytes": None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(fn, schema=RESIZE_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, ok boolean, channels bigint, sample_rate bigint,"
+    " bits bigint, n_samples bigint, peak_abs bigint, rms bigint"
+)
+
+
+def _wav_pcm(b: bytes):
+    """(channels, sample_rate, bits, data_bytes) from a validated PCM WAV —
+    the ``_parse_wav`` chunk walk, but returning the raw data chunk for
+    sample-level features. 8-bit PCM is unsigned, 16-bit is signed LE."""
+    _parse_wav(b)  # full validation (riff size, fmt/data presence)
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (sz,) = struct.unpack_from("<I", b, i + 4)
+        if cid == b"fmt " and sz >= 16:
+            fmt = struct.unpack_from("<HHIIHH", b, i + 8)
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + sz]
+        i += 8 + sz + (sz % 2)
+    _, channels, rate, _, _, bits = fmt
+    if bits not in (8, 16):
+        raise ValueError("unsupported pcm width")
+    return int(channels), int(rate), int(bits), data
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over decoded PCM — the audio twin of
+    ``pixel_stats``: per payload, sample count, peak amplitude and RMS
+    from the raw data chunk (numpy int64 reduction per Arrow batch; 8-bit
+    samples centered at 128 first). RMS is ``isqrt(sum_sq // n)`` —
+    integer end-to-end, so the feature is deterministic and
+    engine-portable, the same exactness contract every oracle-gated
+    number in this repo keeps. Row-level error channel (ok=false) for
+    non-WAV payloads; map-only ``mapInPandas``, scales by executors."""
+    import math
+
+    import numpy as np
+
+    cols = [c.split()[0] for c in AUDIO_SCHEMA.split(",")]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media_bytes"]):
+                b = bytes(payload)
+                try:
+                    channels, rate, bits, data = _wav_pcm(b)
+                    if bits == 16:
+                        x = np.frombuffer(
+                            data[: len(data) // 2 * 2], dtype="<i2"
+                        ).astype(np.int64)
+                    else:
+                        x = np.frombuffer(data, dtype=np.uint8).astype(
+                            np.int64
+                        ) - 128
+                    n = int(x.size)
+                    peak = int(np.abs(x).max()) if n else 0
+                    rms = int(math.isqrt(int((x * x).sum()) // n)) if n else 0
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "ok": True,
+                            "channels": channels,
+                            "sample_rate": rate,
+                            "bits": bits,
+                            "n_samples": n,
+                            "peak_abs": peak,
+                            "rms": rms,
+                        }
+                    )
+                except (ValueError, struct.error, TypeError):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "ok": False,
+                            "channels": None,
+                            "sample_rate": None,
+                            "bits": None,
+                            "n_samples": None,
+                            "peak_abs": None,
+                            "rms": None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(fn, schema=AUDIO_SCHEMA)

@@ -187,3 +187,106 @@ def test_binary_containers_through_spark_plumbing(spark):
         assert r.content_md5 == hashlib.md5(
             bytes(dict((f[0], f[2]) for f in fixtures)[r.doc_id])
         ).hexdigest()
+
+
+def _gradient_ppm(w: int, h: int) -> bytes:
+    """PPM whose pixel (x, y) encodes its own coordinates: R=x, G=y, B=7 —
+    so nearest-neighbor gathers are verifiable pixel-by-pixel."""
+    plane = bytes(
+        v for y in range(h) for x in range(w) for v in (x % 256, y % 256, 7)
+    )
+    return f"P6\n{w} {h}\n255\n".encode() + plane
+
+
+def test_resize_image_nearest_neighbor_exact(spark):
+    """resize_image must gather exactly the ((i*src)//out)-indexed rows and
+    columns, emit a VALID P6 container with the new dims, and be identity
+    when out dims == src dims. Non-PPM payloads land in the row-level
+    error channel (ok=false, NULL payload) without failing the batch."""
+    from gmall_flink_realtime4_spark.plans.llm_multimodal import (
+        _ppm_plane_offset,
+        resize_image,
+    )
+
+    src_w, src_h, out_w, out_h = 8, 6, 4, 3
+    fixtures = [
+        (1, "image", _gradient_ppm(src_w, src_h)),
+        (2, "image", b"not an image at all"),
+        (3, "image", b"P6\n4 4\n255\n" + bytes(5)),  # truncated plane
+    ]
+    df = spark.createDataFrame(
+        fixtures, "doc_id bigint, media_type string, media_bytes binary"
+    )
+    got = {r.doc_id: r for r in resize_image(df, out_w, out_h).collect()}
+
+    r1 = got[1]
+    assert r1.ok and (r1.src_width, r1.src_height) == (src_w, src_h)
+    assert (r1.width, r1.height) == (out_w, out_h)
+    out = bytes(r1.media_bytes)
+    meta = _parse_ppm(out)
+    assert (meta["width"], meta["height"]) == (out_w, out_h)
+    plane = out[_ppm_plane_offset(out) :]
+    assert len(plane) == out_w * out_h * 3
+    for oy in range(out_h):
+        for ox in range(out_w):
+            sx, sy = (ox * src_w) // out_w, (oy * src_h) // out_h
+            px = plane[(oy * out_w + ox) * 3 : (oy * out_w + ox) * 3 + 3]
+            assert px == bytes((sx, sy, 7)), (ox, oy)
+
+    assert got[2].ok is False and got[2].media_bytes is None
+    assert got[3].ok is False and got[3].media_bytes is None
+
+    # identity resize reproduces the source container byte-for-byte
+    # (header is re-serialized canonically, so compare the planes)
+    ident = {
+        r.doc_id: r
+        for r in resize_image(
+            spark.createDataFrame(
+                fixtures[:1], "doc_id bigint, media_type string, media_bytes binary"
+            ),
+            src_w,
+            src_h,
+        ).collect()
+    }
+    ib = bytes(ident[1].media_bytes)
+    src = fixtures[0][2]
+    assert ib[_ppm_plane_offset(ib) :] == src[_ppm_plane_offset(src) :]
+
+
+def test_audio_stats_pcm_features(spark):
+    """audio_stats must compute sample count, peak, and integer RMS from
+    the real PCM data chunk: a constant-amplitude 16-bit square wave has
+    RMS exactly equal to its amplitude; 8-bit samples re-center at 128.
+    Non-WAV payloads land in the row-level error channel."""
+    import struct as _s
+
+    from gmall_flink_realtime4_spark.plans.llm_multimodal import audio_stats
+
+    amp, n = 1000, 64
+    sq = b"".join(
+        _s.pack("<h", amp if i % 2 == 0 else -amp) for i in range(n)
+    )
+    fmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + _s.pack("<I", len(sq)) + sq
+    wav16 = b"RIFF" + _s.pack("<I", len(chunks)) + chunks
+
+    # 8-bit: constant 131 (=128+3) -> peak 3, rms 3
+    d8 = bytes([131] * 50)
+    fmt8 = _s.pack("<HHIIHH", 1, 2, 22050, 44100, 2, 8)
+    ch8 = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt8)) + fmt8
+    ch8 += b"data" + _s.pack("<I", len(d8)) + d8
+    wav8 = b"RIFF" + _s.pack("<I", len(ch8)) + ch8
+
+    df = spark.createDataFrame(
+        [(1, "audio", wav16), (2, "audio", wav8), (3, "audio", b"not a wav")],
+        "doc_id bigint, media_type string, media_bytes binary",
+    )
+    got = {r.doc_id: r for r in audio_stats(df).collect()}
+    r1 = got[1]
+    assert r1.ok and (r1.channels, r1.sample_rate, r1.bits) == (1, 8000, 16)
+    assert (r1.n_samples, r1.peak_abs, r1.rms) == (n, amp, amp)
+    r2 = got[2]
+    assert r2.ok and (r2.channels, r2.bits) == (2, 8)
+    assert (r2.n_samples, r2.peak_abs, r2.rms) == (50, 3, 3)
+    assert got[3].ok is False and got[3].rms is None
