@@ -59,3 +59,83 @@ def bucketed_join(
     test pins that property.
     """
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction — the maintenance job every streaming sink
+    needs: micro-batch appends leave hundreds of KB-sized files per
+    partition, and at 100 TB the file-listing + per-file open cost starts
+    to dominate scans. Rewrites only the partitions whose file count
+    exceeds what their byte size justifies, each into
+    ``ceil(bytes / target_file_bytes)`` files.
+
+    Scale shape: the driver only LISTS files (cheap metadata; on HDFS/S3
+    this walk is the FileSystem/ListObjects API — same loop); the data
+    move is a distributed partition-pruned read + repartition + dynamic
+    partition overwrite, so concurrent readers of other partitions are
+    untouched and each rewrite replaces exactly one directory. Returns
+    {partitions_compacted, files_before, files_after}.
+    """
+    import math
+    import os
+
+    # partition dir -> (n_files, total_bytes); local-FS walk stands in for
+    # the FileSystem API at scale
+    parts: dict[str, tuple[int, int]] = {}
+    for root, _dirs, files in os.walk(path):
+        pq = [f for f in files if f.endswith(".parquet")]
+        if pq:
+            rel = os.path.relpath(root, path)
+            n = len(pq)
+            size = sum(os.path.getsize(os.path.join(root, f)) for f in pq)
+            parts[rel] = (n, size)
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    compacted = files_before = files_after = 0
+    try:
+        for rel, (n, size) in parts.items():
+            files_before += n
+            want = max(1, math.ceil(size / target_file_bytes))
+            if n <= want:
+                files_after += n
+                continue
+            # rel is 'k=v/k2=v2/...' (hive-escaped) — build the pruning
+            # predicate so the read touches only this partition's files
+            from urllib.parse import unquote
+
+            pred = {
+                k: unquote(v)
+                for k, v in (seg.split("=", 1) for seg in rel.split(os.sep))
+            }
+            part = spark.read.parquet(path)
+            for k in partition_cols:
+                part = part.filter(part[k] == pred[k])
+            # materialize BEFORE the write: Spark (rightly) refuses to
+            # overwrite a location it is still reading, and even the
+            # dynamic-overwrite commit must not race the scan. At real
+            # scale the same decoupling is a temp-dir write + rename.
+            part = part.localCheckpoint(eager=True)
+            (
+                part.repartition(want)
+                .write.mode("overwrite")
+                .partitionBy(*partition_cols)
+                .parquet(path)
+            )
+            compacted += 1
+            files_after += want
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return {
+        "partitions_compacted": compacted,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

@@ -99,3 +99,49 @@ def test_bucket_pruning_on_key_predicate(spark):
     finally:
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", auto)
         spark.sql("DROP TABLE IF EXISTS t_orders_bp")
+
+
+def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction must rewrite ONLY the fragmented partitions into the
+    byte-justified file count, leave already-compact partitions' files
+    untouched, and preserve every row exactly."""
+    import os
+
+    from gmall_flink_realtime4_spark.operators.storage import (
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 2000).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS lang"
+    )
+    # lang=0 written fragmented (20 appends of 1 file each), lang=1 compact
+    frag = df.filter("lang = '0'")
+    for i in range(20):
+        frag.filter((frag.id / 2) % 20 == i).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("lang").parquet(path)
+    df.filter("lang = '1'").coalesce(1).write.mode("append").partitionBy(
+        "lang"
+    ).parquet(path)
+
+    def nfiles(sub):
+        d = os.path.join(path, f"lang={sub}")
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    before = spark.read.parquet(path).orderBy("id").collect()
+    assert nfiles("0") == 20 and nfiles("1") == 1
+
+    stats = compact_partitions(
+        spark, path, ["lang"], target_file_bytes=64 * 1024 * 1024
+    )
+    assert stats["partitions_compacted"] == 1
+    assert stats["files_before"] == 21
+    assert nfiles("0") == 1  # tiny bytes -> 1 target file
+    assert nfiles("1") == 1  # untouched
+    after = spark.read.parquet(path).orderBy("id").collect()
+    assert after == before
+
+    # idempotent: second run finds nothing to do
+    stats2 = compact_partitions(spark, path, ["lang"])
+    assert stats2["partitions_compacted"] == 0
