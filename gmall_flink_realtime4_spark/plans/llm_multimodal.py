@@ -456,7 +456,8 @@ SELECT doc_id,
        CAST(list_sum([ascii(c) for c in string_split(text, '')]) AS BIGINT)
            AS pixel_sum,
        CAST((1000 * list_sum([ascii(c) for c in string_split(text, '')]))
-            // octet_length(encode(text)) AS BIGINT) AS pixel_mean_milli
+            // greatest(octet_length(encode(text)), 1) AS BIGINT)
+           AS pixel_mean_milli
 FROM m
 """,
     tags=("llm-multimodal",),

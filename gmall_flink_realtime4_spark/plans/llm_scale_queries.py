@@ -1486,10 +1486,10 @@ WITH h AS (
 SELECT e.event_type,
        CAST(e.ex AS BIGINT) AS exact_distinct,
        CAST(CASE WHEN k.n < {KMV_K} THEN k.n
-                 ELSE ({KMV_K - 1} * {_KMV_M}) // k.v END AS BIGINT)
+                 ELSE ({KMV_K - 1} * {_KMV_M}) // greatest(k.v, 1) END AS BIGINT)
            AS kmv_estimate,
        CAST((1000 * abs(CASE WHEN k.n < {KMV_K} THEN k.n
-                 ELSE ({KMV_K - 1} * {_KMV_M}) // k.v END - e.ex)) // e.ex
+                 ELSE ({KMV_K - 1} * {_KMV_M}) // greatest(k.v, 1) END - e.ex)) // e.ex
             AS BIGINT) AS err_permille
 FROM exact e JOIN kth k ON e.event_type = k.event_type
 """,
@@ -1534,7 +1534,7 @@ def llm_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("ex")
     )
     est = F.when(F.col("n") < KMV_K, F.col("n")).otherwise(
-        F.expr(f"({KMV_K - 1} * {_KMV_M}) div v")
+        F.expr(f"({KMV_K - 1} * {_KMV_M}) div greatest(v, 1)")
     )
     return (
         exact.join(kth, "event_type")
@@ -1568,10 +1568,10 @@ WITH h AS (
 )
 SELECT CAST(e.ex AS BIGINT) AS exact_distinct,
        CAST(CASE WHEN k.n < {KMV_K} THEN k.n
-                 ELSE ({KMV_K - 1} * {_KMV_M}) // k.v END AS BIGINT)
+                 ELSE ({KMV_K - 1} * {_KMV_M}) // greatest(k.v, 1) END AS BIGINT)
            AS kmv_estimate,
        CAST((1000 * abs(CASE WHEN k.n < {KMV_K} THEN k.n
-                 ELSE ({KMV_K - 1} * {_KMV_M}) // k.v END - e.ex)) // e.ex
+                 ELSE ({KMV_K - 1} * {_KMV_M}) // greatest(k.v, 1) END - e.ex)) // e.ex
             AS BIGINT) AS err_permille
 FROM exact e, kth k
 """,
@@ -1615,7 +1615,7 @@ def llm_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jk", F.lit(1)
     )
     est = F.when(F.col("m") < KMV_K, F.col("m")).otherwise(
-        F.expr(f"({KMV_K - 1} * {_KMV_M}) div v")
+        F.expr(f"({KMV_K - 1} * {_KMV_M}) div greatest(v, 1)")
     )
     return (
         exact.join(merged, "jk")  # 1-row x 1-row equi join on a constant key
