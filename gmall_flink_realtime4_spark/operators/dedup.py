@@ -144,13 +144,22 @@ def first_today_bounded_state(
             return
         last_day = state.get[0] if state.exists else None
         last_event_ms = 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        # Arrow hands the key's batch as MULTIPLE chunks in no guaranteed
+        # mutual order — sorting each chunk independently lets a later
+        # chunk's older row rewind last_day and re-emit a (key, day) that
+        # an earlier chunk already emitted. Concatenate, sort ONCE, then
+        # run one keep loop (memory is bounded by the key's batch volume,
+        # which the state contract already assumes fits a worker).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                .sort_values(ts_col)
+                .reset_index(drop=True)
+            )
             ts = pd.to_datetime(pdf[ts_col])
             days = ts.dt.strftime("%Y-%m-%d")
-            last_event_ms = max(
-                last_event_ms, int(ts.iloc[-1].value // 1_000_000)
-            )
+            last_event_ms = int(ts.iloc[-1].value // 1_000_000)
             keep = []
             for j in range(len(pdf)):
                 d = days.iloc[j]
@@ -221,13 +230,18 @@ def first_today_tws(
 
             last_day = self._last.get()[0] if self._last.exists() else None
             last_event_ms = 0
-            for pdf in rows:
-                pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+            # chunks arrive in no guaranteed mutual order — concat + one
+            # sort + one keep loop (see first_today_bounded_state)
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                pdf = (
+                    pd.concat(chunks, ignore_index=True)
+                    .sort_values(ts_col)
+                    .reset_index(drop=True)
+                )
                 ts = pd.to_datetime(pdf[ts_col])
                 days = ts.dt.strftime("%Y-%m-%d")
-                last_event_ms = max(
-                    last_event_ms, int(ts.iloc[-1].value // 1_000_000)
-                )
+                last_event_ms = int(ts.iloc[-1].value // 1_000_000)
                 keep = []
                 for j in range(len(pdf)):
                     d = days.iloc[j]

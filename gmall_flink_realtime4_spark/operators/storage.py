@@ -85,15 +85,25 @@ def compact_partitions(
     import os
 
     # partition dir -> (n_files, total_bytes); local-FS walk stands in for
-    # the FileSystem API at scale
+    # the FileSystem API at scale. Only well-formed k=v/... directories
+    # matching partition_cols participate — stray root-level files or
+    # foreign directory shapes are reported, never crashed on.
     parts: dict[str, tuple[int, int]] = {}
+    skipped_dirs = 0
     for root, _dirs, files in os.walk(path):
         pq = [f for f in files if f.endswith(".parquet")]
-        if pq:
-            rel = os.path.relpath(root, path)
-            n = len(pq)
-            size = sum(os.path.getsize(os.path.join(root, f)) for f in pq)
-            parts[rel] = (n, size)
+        if not pq:
+            continue
+        rel = os.path.relpath(root, path)
+        segs = [] if rel == "." else rel.split(os.sep)
+        if len(segs) != len(partition_cols) or not all(
+            "=" in s for s in segs
+        ) or [s.split("=", 1)[0] for s in segs] != list(partition_cols):
+            skipped_dirs += 1
+            continue
+        n = len(pq)
+        size = sum(os.path.getsize(os.path.join(root, f)) for f in pq)
+        parts[rel] = (n, size)
 
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -105,17 +115,20 @@ def compact_partitions(
             if n <= want:
                 files_after += n
                 continue
-            # rel is 'k=v/k2=v2/...' (hive-escaped) — build the pruning
-            # predicate so the read touches only this partition's files
-            from urllib.parse import unquote
-
-            pred = {
-                k: unquote(v)
-                for k, v in (seg.split("=", 1) for seg in rel.split(os.sep))
-            }
-            part = spark.read.parquet(path)
+            # read ONLY this partition's directory, with basePath so the
+            # partition columns come back type-inferred from the k=v path
+            # (NULL values — k=__HIVE_DEFAULT_PARTITION__ — included);
+            # foreign/stray directories under the root are never touched
+            part = spark.read.option("basePath", path).parquet(
+                os.path.join(path, rel)
+            )
+            # an all-NULL partition dir infers its partition column as
+            # VOID, which partitionBy refuses — cast to string (the value
+            # is only ever the directory name; NULL round-trips to
+            # __HIVE_DEFAULT_PARTITION__ whatever the declared type)
             for k in partition_cols:
-                part = part.filter(part[k] == pred[k])
+                if dict(part.dtypes).get(k) == "void":
+                    part = part.withColumn(k, part[k].cast("string"))
             # materialize BEFORE the write: Spark (rightly) refuses to
             # overwrite a location it is still reading, and even the
             # dynamic-overwrite commit must not race the scan. At real
@@ -138,4 +151,5 @@ def compact_partitions(
         "partitions_compacted": compacted,
         "files_before": files_before,
         "files_after": files_after,
+        "skipped_dirs": skipped_dirs,
     }

@@ -410,32 +410,51 @@ def pixel_stats(media: DataFrame) -> DataFrame:
     raw plane, reduce it with numpy (vectorized byte arithmetic per Arrow
     batch — the shape every image-statistics / embedding-preprocess op at
     scale takes). Integer sum + integer-milli mean keep the output exact
-    and engine-portable."""
+    and engine-portable. Same row-level error channel as resize_image /
+    audio_stats: a non-PPM or truncated payload yields NULL features for
+    that doc_id instead of failing the task (a corrupt blob must never
+    kill a retry loop); the oracle-gated frame carries only valid PPMs,
+    so gated output is unaffected."""
     import numpy as np
+
+    cols = [c.split()[0] for c in PIXEL_SCHEMA.split(",")]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media_bytes"]):
                 b = bytes(payload)
-                meta = _parse_ppm(b)  # header-derived dims (real parse)
-                plane = np.frombuffer(
-                    b, dtype=np.uint8, offset=_ppm_plane_offset(b)
-                )
-                s = int(plane.sum(dtype=np.int64))
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "width": meta["width"],
-                        "height": meta["height"],
-                        "n_plane_bytes": len(plane),
-                        "pixel_sum": s,
-                        "pixel_mean_milli": (1000 * s) // len(plane)
-                        if len(plane)
-                        else 0,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[c.split()[0] for c in PIXEL_SCHEMA.split(",")])
+                try:
+                    meta = _parse_ppm(b)  # header-derived dims (real parse)
+                    off = _ppm_plane_offset(b)
+                    if off > len(b):
+                        raise ValueError("truncated ppm: no plane")
+                    plane = np.frombuffer(b, dtype=np.uint8, offset=off)
+                    s = int(plane.sum(dtype=np.int64))
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "width": meta["width"],
+                            "height": meta["height"],
+                            "n_plane_bytes": len(plane),
+                            "pixel_sum": s,
+                            "pixel_mean_milli": (1000 * s) // len(plane)
+                            if len(plane)
+                            else 0,
+                        }
+                    )
+                except (ValueError, struct.error):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "width": None,
+                            "height": None,
+                            "n_plane_bytes": None,
+                            "pixel_sum": None,
+                            "pixel_mean_milli": None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(fn, schema=PIXEL_SCHEMA)
 

@@ -535,14 +535,7 @@ def llm_dedup_embedding_cosine(
         _dot(F.col("embedding"), F.col("embedding")).alias("n2"),
     )
     if compress_exact:
-        grouped = (
-            embn.groupBy("embedding", "n2")
-            .agg(
-                F.min("vec_id").alias("vec_id"),
-                F.sort_array(F.collect_list("vec_id")).alias("members"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        grouped = _group_identical(embn)
         embn = grouped.select("vec_id", "embedding", "n2")
         bk = embn.select("vec_id", _sign_bucket_col().alias("bucket"))
     else:
@@ -589,9 +582,7 @@ def llm_dedup_embedding_cosine(
     if not compress_exact:
         return pairs
     # symmetric candidacy → undirected rep pairs expand to ALL member
-    # pairs (least/greatest ordering); identical vectors always share a
-    # bucket, so every within-group pair is a candidate with the same
-    # score expression the pair join computes (dot(e,e) == n2).
+    # pairs (least/greatest ordering)
     ga = grouped.select(F.col("vec_id").alias("vec_a"), F.col("members").alias("ma"))
     gb = grouped.select(F.col("vec_id").alias("vec_b"), F.col("members").alias("mb"))
     cross = (
@@ -605,19 +596,7 @@ def llm_dedup_embedding_cosine(
             "cos_sim_e9",
         )
     )
-    within = (
-        grouped.filter(F.size("members") >= 2)
-        .select(
-            _cos_e9(F.col("n2"), F.col("n2"), F.col("n2")).alias("cos_sim_e9"),
-            F.explode("members").alias("vec_a"),
-            F.col("members").alias("mb"),
-        )
-        .select("cos_sim_e9", "vec_a", F.explode("mb").alias("vec_b"))
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)
-        .select("vec_a", "vec_b", "cos_sim_e9")
-    )
-    return cross.unionByName(within)
+    return cross.unionByName(_within_group_pairs(grouped))
 
 
 # ---------------------------------------------------------------------------
@@ -698,6 +677,44 @@ def _cos_e9(dot: Column, n2a: Column, n2b: Column) -> Column:
             * dot.cast("double")
             / F.sqrt(n2a.cast("double") * n2b.cast("double"))
         ).cast("bigint")
+    )
+
+
+def _group_identical(embn: DataFrame) -> DataFrame:
+    """SemDeDup step 0, shared by both near-dup generators: collapse
+    byte-identical vectors into one row per distinct value — rep id = min
+    member, members sorted for deterministic expansion. Checkpointed
+    because it feeds both the rep mining and the membership expansion
+    (Spark normalizes -0.0 in grouping keys; both engines' dots agree for
+    either zero)."""
+    return (
+        embn.groupBy("embedding", "n2")
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.sort_array(F.collect_list("vec_id")).alias("members"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _within_group_pairs(grouped: DataFrame) -> DataFrame:
+    """All (x < y) member pairs inside each identical-vector group.
+    Identical vectors always share their home bucket/cell, so every member
+    pair is a candidate in both generators; the score is the SAME
+    expression the pair join computes (dot(e, e) == n2 by construction),
+    so floor/NULL behavior matches the uncompressed twin bit-for-bit
+    (zero-norm vectors drop identically on both paths)."""
+    return (
+        grouped.filter(F.size("members") >= 2)
+        .select(
+            _cos_e9(F.col("n2"), F.col("n2"), F.col("n2")).alias("cos_sim_e9"),
+            F.explode("members").alias("vec_a"),
+            F.col("members").alias("mb"),
+        )
+        .select("cos_sim_e9", "vec_a", F.explode("mb").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)
+        .select("vec_a", "vec_b", "cos_sim_e9")
     )
 
 
@@ -1049,17 +1066,7 @@ def llm_dedup_embedding_cells(
             .filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)
         )
     # --- SemDeDup step 0: collapse byte-identical vectors --------------
-    # groups keyed by the embedding value itself (Spark normalizes -0.0
-    # in grouping keys; both engines' dots agree regardless); rep = min
-    # member id, members sorted for deterministic expansion order.
-    grouped = (
-        embn.groupBy("embedding", "n2")
-        .agg(
-            F.min("vec_id").alias("vec_id"),
-            F.sort_array(F.collect_list("vec_id")).alias("members"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    grouped = _group_identical(embn)
     top = (
         _topcells(grouped.select("vec_id", "embedding", "n2"), cent, CELLS_NPROBE)
         .select("vec_id", "embedding", "n2", _probe_cells().alias("cells"))
@@ -1106,24 +1113,7 @@ def llm_dedup_embedding_cells(
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", "cos_sim_e9")
     )
-    # Within-group pairs: identical vectors always share their home cell
-    # (home is probed), so every member pair is a candidate; the score is
-    # the SAME expression the pair join would compute (dot(e,e) == n2 by
-    # construction), so floor/NULL behavior matches the uncompressed twin
-    # bit-for-bit (zero-norm vectors drop identically on both paths).
-    within = (
-        grouped.filter(F.size("members") >= 2)
-        .select(
-            _cos_e9(F.col("n2"), F.col("n2"), F.col("n2")).alias("cos_sim_e9"),
-            F.explode("members").alias("vec_a"),
-            F.col("members").alias("mb"),
-        )
-        .select("cos_sim_e9", "vec_a", F.explode("mb").alias("vec_b"))
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)
-        .select("vec_a", "vec_b", "cos_sim_e9")
-    )
-    return cross.unionByName(within)
+    return cross.unionByName(_within_group_pairs(grouped))
 
 
 def _neardup_recall_oracle() -> str:

@@ -84,7 +84,14 @@ def test_anomaly_zscore_centered_per_type(spark):
         # sum of true z is 0; flooring subtracts <1 per row
         assert -len(rs) <= s <= 0 or all(r.z_milli == 0 for r in rs), (t, s)
         for r in rs:
-            assert (abs(r.z_milli) >= 2000) == bool(r.is_anomaly) or r.z_milli == 0, r
+            # is_anomaly tests abs(z) >= 2.0 on the FLOAT; z_milli is
+            # floor(1000z), so the negative boundary is ambiguous at
+            # exactly -2000 (z in [-2.0, -1.999) all floor there) —
+            # assert only where the milli value determines the flag
+            if r.z_milli >= 2000 or r.z_milli <= -2001:
+                assert r.is_anomaly == 1, r
+            elif -2000 < r.z_milli < 2000:
+                assert r.is_anomaly == 0, r
 
 
 def test_unpivot_round_trips_pivot_mass(spark):

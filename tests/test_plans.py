@@ -145,7 +145,7 @@ def test_kmeans_step_assignment_is_map_only(spark):
     tree = plan.split("\n\n")[0]
     assert "Window" not in tree
     assert tree.count("BroadcastNestedLoopJoin") == 1
-    assert "SortMergeJoin" not in tree and "BroadcastHashJoin" not in tree, pre_rank_joins
+    assert "SortMergeJoin" not in tree and "BroadcastHashJoin" not in tree
 
 
 def test_time_rollup_single_expand_single_shuffle(spark):

@@ -145,3 +145,37 @@ def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
     # idempotent: second run finds nothing to do
     stats2 = compact_partitions(spark, path, ["lang"])
     assert stats2["partitions_compacted"] == 0
+
+
+def test_compact_partitions_null_partition_and_stray_files(spark, tmp_path):
+    """NULL partition values (k=__HIVE_DEFAULT_PARTITION__) must prune via
+    IS NULL and really compact; stray parquet files outside the k=v layout
+    are counted as skipped, never crashed on or miscounted as compacted."""
+    import os
+
+    from gmall_flink_realtime4_spark.operators.storage import (
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 200).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN NULL ELSE 'x' END AS lang"
+    )
+    for i in range(5):  # fragment BOTH partitions incl. the NULL one
+        df.filter(df.id % 5 == i).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("lang").parquet(path)
+    # a stray non-partitioned parquet next to the partition dirs
+    spark.range(3).coalesce(1).write.parquet(str(tmp_path / "t" / "stray"))
+
+    before = spark.read.parquet(
+        os.path.join(path, "lang=__HIVE_DEFAULT_PARTITION__")
+    ).count()
+    stats = compact_partitions(spark, path, ["lang"])
+    assert stats["partitions_compacted"] == 2
+    assert stats["skipped_dirs"] == 1  # the stray dir
+    null_dir = os.path.join(path, "lang=__HIVE_DEFAULT_PARTITION__")
+    assert (
+        len([f for f in os.listdir(null_dir) if f.endswith(".parquet")]) == 1
+    )
+    assert spark.read.parquet(null_dir).count() == before

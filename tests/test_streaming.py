@@ -933,3 +933,52 @@ def test_incremental_path_transitions_state_table(spark, tmp_path):
         ["prev_event_type", "event_type", "n"],
     )
     assert got == expected and got
+
+
+def test_first_today_bounded_state_multi_chunk_batch(spark, tmp_path):
+    """Regression: Arrow hands a key's micro-batch as multiple chunks in no
+    guaranteed mutual order — sorting chunks independently let a later
+    chunk's older row rewind last_day and re-emit an already-emitted
+    (key, day). Forcing 1-row chunks with out-of-order days in one batch
+    must still yield exactly one row per (key, day)."""
+    from gmall_flink_realtime4_spark.operators.dedup import (
+        first_today_bounded_state,
+    )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        # one key, one micro-batch, rows deliberately day-interleaved:
+        # day2, day1, day2 — pre-fix this emitted day2 twice
+        rows = [
+            ("u1", "2024-01-02 10:00:00"),
+            ("u1", "2024-01-01 09:00:00"),
+            ("u1", "2024-01-02 11:00:00"),
+            ("u1", "2024-01-01 12:00:00"),
+        ]
+        e = spark.createDataFrame(rows, "user_id string, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        src = empty_stream_dir(str(tmp_path))
+        s = stream_parquet_source(
+            spark, src, e.schema, max_files_per_trigger=1000
+        )
+        streamed = run_to_memory(
+            first_today_bounded_state(
+                s.withWatermark("ts", "1 hour"), "user_id", "ts"
+            ),
+            output_mode="append",
+            stages=_stage_writes(src, [e.coalesce(1)]),
+        )
+        got = sorted(
+            (r[0], r[1])
+            for r in streamed.select(
+                "user_id", F.date_format("ts", "yyyy-MM-dd")
+            ).collect()
+        )
+        assert got == [("u1", "2024-01-01"), ("u1", "2024-01-02")]
+        # and the kept rows are the day-FIRST events
+        kept_ts = sorted(str(r.ts) for r in streamed.collect())
+        assert kept_ts == ["2024-01-01 09:00:00", "2024-01-02 10:00:00"]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

@@ -210,7 +210,11 @@ def main() -> None:
     missing = sorted(set(qs) - set(QUERIES))
     if missing:  # registry drift: a query with no scale row is invisible
         print(f"# WARNING not scale-covered: {missing}", file=sys.stderr)
-    run_list = [a for a in sys.argv[2:] if a in qs] or QUERIES
+    unknown = [a for a in sys.argv[2:] if a not in qs]
+    if unknown:  # a typo must not silently fall back to the FULL x-N sweep
+        print(f"unknown query name(s): {unknown}", file=sys.stderr)
+        sys.exit(2)
+    run_list = list(sys.argv[2:]) or QUERIES
     results = {}
     for name in run_list:
         t0 = time.perf_counter()
