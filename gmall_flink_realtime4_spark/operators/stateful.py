@@ -86,7 +86,12 @@ def repair_is_new_streaming(
             first_day, first_new = state.get
         else:
             first_day, first_new = None, None
-        for pdf in pdfs:
+        # chunks arrive in no guaranteed mutual order — concat + ONE sort
+        # before the order-sensitive state walk (see dedup.py)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        for pdf in (
+            [pd.concat(chunks, ignore_index=True)] if chunks else []
+        ):
             pdf = pdf.sort_values(pdf.columns[ts_i]).reset_index(drop=True)
             days = (
                 pd.to_datetime(pdf.iloc[:, ts_i], unit="ms")
@@ -144,7 +149,13 @@ def diff_state_deltas_streaming(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         last = list(state.get) if state.exists else [0.0] * len(amount_cols)
-        for pdf in pdfs:
+        # chunk order is not guaranteed; deltas telescope under any order
+        # but the STORED last-seen must be the max-ts value — concat +
+        # one sort (see dedup.py)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        for pdf in (
+            [pd.concat(chunks, ignore_index=True)] if chunks else []
+        ):
             pdf = pdf.sort_values(ts_col).reset_index(drop=True)
             for j, c in enumerate(amount_cols):
                 cur = pdf[c].astype("float64").tolist()
@@ -191,7 +202,12 @@ def back_visitor_flags_streaming(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         last_day = state.get[0] if state.exists else None
-        for pdf in pdfs:
+        # chunks arrive in no guaranteed mutual order — concat + ONE sort
+        # before the first-of-day walk (see dedup.py)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        for pdf in (
+            [pd.concat(chunks, ignore_index=True)] if chunks else []
+        ):
             pdf = pdf.sort_values(ts_col).reset_index(drop=True)
             out_rows = []
             for ts in pdf[ts_col]:

@@ -982,3 +982,38 @@ def test_first_today_bounded_state_multi_chunk_batch(spark, tmp_path):
         assert kept_ts == ["2024-01-01 09:00:00", "2024-01-02 10:00:00"]
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_repair_is_new_streaming_multi_chunk_batch(spark, tmp_path):
+    """Same chunk-order regression for the is_new repair state machine:
+    with 1-row Arrow chunks and an out-of-order batch, the FIRST visit
+    must still be the min-ts row and later-day rows must repair to 0."""
+    from gmall_flink_realtime4_spark.operators.stateful import (
+        repair_is_new_streaming,
+    )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        rows = [
+            ("m1", "1", 1704276000000),  # 2024-01-03 (claims new)
+            ("m1", "1", 1704103200000),  # 2024-01-01 <- true first
+            ("m1", "1", 1704189600000),  # 2024-01-02 (claims new)
+        ]
+        e = spark.createDataFrame(rows, "mid string, is_new string, ts long")
+        src = empty_stream_dir(str(tmp_path))
+        s = stream_parquet_source(spark, src, e.schema, max_files_per_trigger=1000)
+        streamed = run_to_memory(
+            repair_is_new_streaming(s),
+            output_mode="append",
+            stages=_stage_writes(src, [e.coalesce(1)]),
+        )
+        got = {r.ts: r.is_new for r in streamed.collect()}
+        # only the true first day keeps is_new=1; later days repaired to 0
+        assert got == {
+            1704103200000: "1",
+            1704189600000: "0",
+            1704276000000: "0",
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
