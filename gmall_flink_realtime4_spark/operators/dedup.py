@@ -32,10 +32,11 @@ def dedup_upserts(
     """
     if streaming or order_col is None:
         return df.dropDuplicates(list(id_cols))
-    # total order: order_col first, every remaining column as tie-break —
-    # two rows with equal id AND equal order_col but different payload
-    # must still pick the same keeper under any partitioning/arrival order
-    rest = [c for c in df.columns if c not in id_cols and c != order_col]
+    # total order: order_col first, every remaining ORDERABLE column as
+    # tie-break — two rows with equal id AND equal order_col but different
+    # payload must still pick the same keeper under any partitioning/
+    # arrival order (maps are not orderable in Spark and are skipped)
+    rest = _orderable(df, set(id_cols) | {order_col})
     w = Window.partitionBy(*id_cols).orderBy(order_col, *rest)
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -62,11 +63,24 @@ def dedup_within_watermark(
     return df.dropDuplicatesWithinWatermark(list(id_cols))
 
 
+def _orderable(df: DataFrame, exclude: set) -> list[str]:
+    """Columns usable in a sort order (Spark cannot order MAP types)."""
+    return [
+        c
+        for c, t in df.dtypes
+        if c not in exclude and not t.startswith("map<")
+    ]
+
+
 def first_per_key(
     df: DataFrame, keys: Sequence[str], order_col: str
 ) -> DataFrame:
-    """Deterministic first-row-per-key (batch)."""
-    w = Window.partitionBy(*keys).orderBy(order_col)
+    """Deterministic first-row-per-key (batch). The remaining orderable
+    tuple tie-breaks equal (key, order_col) rows — the CLAUDE.md
+    total-order invariant (duplicate synthesized ids with different
+    payloads must pick the same keeper under any partitioning)."""
+    rest = _orderable(df, set(keys) | {order_col})
+    w = Window.partitionBy(*keys).orderBy(order_col, *rest)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -130,11 +144,18 @@ def first_today_bounded_state(
     their own event times from the current batch, never older state
     (chained-agg parity proven in
     tests/test_streaming.py::test_first_today_bounded_state_chained_window_agg).
+
+    State is the SET of recently-emitted days (pruned to the TTL horizon),
+    not just the last day: a single last-day equality check lets an
+    in-watermark late event from a PRIOR day rewind it and re-emit both
+    days (the Flink reference has that flaw; the batch twin does not).
+    The set stays O(ttl_hours/24 + 2) entries, so state is still bounded.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     schema = df.schema
     ttl_ms = ttl_hours * 3600 * 1000
+    horizon_days = ttl_hours // 24 + 2
 
     def fn(key_t, pdfs, state: GroupState):
         import pandas as pd  # noqa: F811 (worker-side import)
@@ -142,11 +163,11 @@ def first_today_bounded_state(
         if state.hasTimedOut:
             state.remove()
             return
-        last_day = state.get[0] if state.exists else None
+        seen = set(state.get[0].split(",")) if state.exists and state.get[0] else set()
         last_event_ms = 0
         # Arrow hands the key's batch as MULTIPLE chunks in no guaranteed
         # mutual order — sorting each chunk independently lets a later
-        # chunk's older row rewind last_day and re-emit a (key, day) that
+        # chunk's older row rewind the walk and re-emit a (key, day) that
         # an earlier chunk already emitted. Concatenate, sort ONCE, then
         # run one keep loop (memory is bounded by the key's batch volume,
         # which the state contract already assumes fits a worker).
@@ -163,12 +184,17 @@ def first_today_bounded_state(
             keep = []
             for j in range(len(pdf)):
                 d = days.iloc[j]
-                if d != last_day:
+                if d not in seen:
                     keep.append(j)
-                    last_day = d
+                    seen.add(d)
             if keep:
                 yield pdf.iloc[keep]
-        state.update((last_day,))
+        if seen:  # prune to the TTL horizon so state stays bounded
+            cutoff = (
+                pd.Timestamp(max(seen)) - pd.Timedelta(days=horizon_days)
+            ).strftime("%Y-%m-%d")
+            seen = {d for d in seen if d >= cutoff}
+        state.update((",".join(sorted(seen)),))
         # Anchor the eviction horizon to the newest signal we have: on the
         # first batch the watermark is still 0 (epoch), and an epoch-anchored
         # timeout would expire immediately and wipe live state.
@@ -178,7 +204,7 @@ def first_today_bounded_state(
     return df.groupBy(key).applyInPandasWithState(
         fn,
         outputStructType=schema,
-        stateStructType="last_day STRING",
+        stateStructType="seen_days STRING",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
@@ -223,15 +249,18 @@ def first_today_tws(
     class FirstToday(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
-            self._last = handle.getValueState("last_day", "last_day string")
+            self._last = handle.getValueState("seen_days", "seen_days string")
 
         def handleInputRows(self, key_t, rows, timer_values):
             import pandas as pd  # noqa: F811 (worker-side import)
 
-            last_day = self._last.get()[0] if self._last.exists() else None
+            got = self._last.get()[0] if self._last.exists() else None
+            seen = set(got.split(",")) if got else set()
             last_event_ms = 0
             # chunks arrive in no guaranteed mutual order — concat + one
-            # sort + one keep loop (see first_today_bounded_state)
+            # sort + one keep loop; state is the TTL-horizon SET of
+            # emitted days, not last-day equality (see
+            # first_today_bounded_state for both rationales)
             chunks = [pdf for pdf in rows if len(pdf)]
             if chunks:
                 pdf = (
@@ -245,12 +274,18 @@ def first_today_tws(
                 keep = []
                 for j in range(len(pdf)):
                     d = days.iloc[j]
-                    if d != last_day:
+                    if d not in seen:
                         keep.append(j)
-                        last_day = d
+                        seen.add(d)
                 if keep:
                     yield pdf.iloc[keep]
-            self._last.update((last_day,))
+            if seen:
+                cutoff = (
+                    pd.Timestamp(max(seen))
+                    - pd.Timedelta(days=ttl_hours // 24 + 2)
+                ).strftime("%Y-%m-%d")
+                seen = {d for d in seen if d >= cutoff}
+            self._last.update((",".join(sorted(seen)),))
             for t in list(self._handle.listTimers()):
                 self._handle.deleteTimer(t)
             wm = timer_values.getCurrentWatermarkInMs()

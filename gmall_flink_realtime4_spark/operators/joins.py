@@ -67,10 +67,15 @@ def asof_join(
     ``right_cols`` must not collide with left column names. ``how="left"``
     keeps unmatched left rows (NULL right_cols); "inner" drops them.
     """
+    # the right payload travels as ONE struct: last(ignorenulls) then
+    # carries whole ROWS atomically — per-column fills would reach back
+    # through a newer row's NULL field and stitch together values from
+    # DIFFERENT right rows (and an inner filter on one payload column
+    # would wrongly drop matches whose matched row has a NULL there)
     r = right.select(
         F.col(right_on).alias(left_on),
         F.col(right_ts).alias("__asof_t"),
-        *right_cols,
+        F.struct(*right_cols).alias("__asof_p"),
     ).withColumn("__is_l", F.lit(0))
     lt = left.withColumn("__asof_t", F.col(left_ts)).withColumn(
         "__is_l", F.lit(1)
@@ -80,18 +85,21 @@ def asof_join(
 
     w = (
         Window.partitionBy(left_on)
-        .orderBy("__asof_t", "__is_l", *right_cols)
+        .orderBy("__asof_t", "__is_l", "__asof_p")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
         *[c for c in left.columns],
         "__is_l",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+        F.last("__asof_p", ignorenulls=True).over(w).alias("__asof_p"),
     )
-    out = filled.filter(F.col("__is_l") == 1).drop("__is_l")
+    out = filled.filter(F.col("__is_l") == 1)
     if how == "inner":
-        out = out.filter(F.col(right_cols[0]).isNotNull())
-    return out
+        out = out.filter(F.col("__asof_p").isNotNull())
+    return out.select(
+        *[c for c in left.columns],
+        *[F.col("__asof_p")[c].alias(c) for c in right_cols],
+    )
 
 
 def dim_enrich(

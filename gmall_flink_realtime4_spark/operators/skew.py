@@ -38,7 +38,16 @@ def salted_join(
     of one. Cost: small side shuffled n_salts times — use only when the
     small side is too big to broadcast and AQE's skew split isn't enough
     (e.g. a single key holding >1 partition worth of rows on BOTH sides).
+
+    Only big-side-preserving modes are valid: under right/full outer an
+    unmatched small-side key would surface once PER REPLICA (n_salts
+    null-extended duplicates), so those modes raise.
     """
+    if how not in ("inner", "left", "left_semi", "left_anti", "leftsemi", "leftanti"):
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched small-side "
+            "rows once per salt replica; use inner/left/left_semi/left_anti"
+        )
     cols = [c for c in big.columns]
     big_s = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")
@@ -64,9 +73,21 @@ def two_phase_distinct_count(
     the explicit form composes with other aggs and documents the shuffle
     shape (reference twin: the orderIdSet-in-state pattern, SURVEY A7,
     which holds the whole set on one subtask).
+
+    NULL semantics match SQL COUNT(DISTINCT x): NULL is not a value, and
+    a key whose x are all NULL still appears with count 0 (groups come
+    from the unfiltered input, counts from the NULL-pruned pairs).
     """
-    pairs = df.select(*keys, distinct_col).distinct()
-    return pairs.groupBy(*keys).agg(F.count(F.lit(1)).alias(out_col))
+    groups = df.select(*keys).distinct()
+    pairs = (
+        df.filter(F.col(distinct_col).isNotNull())
+        .select(*keys, distinct_col)
+        .distinct()
+    )
+    counts = pairs.groupBy(*keys).agg(F.count(F.lit(1)).alias(out_col))
+    return groups.join(counts, list(keys), "left").select(
+        *keys, F.coalesce(out_col, F.lit(0)).cast("bigint").alias(out_col)
+    )
 
 
 def salted_collect_set(

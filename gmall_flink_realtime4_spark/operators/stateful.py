@@ -143,31 +143,52 @@ def diff_state_deltas_streaming(
     which is what the simplified keeper-dedup can't give when a re-emission
     revises the amounts. Amounts must be numeric (double here; production
     would carry decimals scaled to long for exactness in Arrow).
+
+    The state carries the last-seen EVENT TIME alongside the amounts: a
+    cross-batch late row (older ts arriving after a newer one already
+    updated the state) emits delta 0 instead of rewinding last-seen — so
+    SUM(deltas) always telescopes to the max-event-time value, not to
+    whichever row happened to arrive last.
     """
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        last = list(state.get) if state.exists else [0.0] * len(amount_cols)
-        # chunk order is not guaranteed; deltas telescope under any order
-        # but the STORED last-seen must be the max-ts value — concat +
-        # one sort (see dedup.py)
+        if state.exists:
+            got = list(state.get)
+            last, last_ts = got[:-1], got[-1]
+        else:
+            last, last_ts = [0.0] * len(amount_cols), -1.0
+        # chunk order is not guaranteed — concat + one sort (see dedup.py)
         chunks = [pdf for pdf in pdfs if len(pdf)]
         for pdf in (
             [pd.concat(chunks, ignore_index=True)] if chunks else []
         ):
             pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+            tsv = (
+                pd.to_datetime(pdf[ts_col]).astype("int64") / 1e9
+            ).tolist()
+            stale = [t < last_ts for t in tsv]
             for j, c in enumerate(amount_cols):
                 cur = pdf[c].astype("float64").tolist()
                 deltas = []
-                for v in cur:
-                    deltas.append(v - last[j])
-                    last[j] = v
+                for v, is_stale in zip(cur, stale):
+                    if is_stale:
+                        deltas.append(0.0)
+                    else:
+                        deltas.append(v - last[j])
+                        last[j] = v
                 pdf[c] = deltas
+            fresh = [t for t, s in zip(tsv, stale) if not s]
+            if fresh:
+                last_ts = max(last_ts, fresh[-1])
             yield pdf
-        state.update(tuple(last))
+        state.update(tuple(last) + (last_ts,))
 
-    state_schema = ", ".join(f"a{i} DOUBLE" for i in range(len(amount_cols)))
+    state_schema = (
+        ", ".join(f"a{i} DOUBLE" for i in range(len(amount_cols)))
+        + ", last_ts DOUBLE"
+    )
     return df.groupBy(id_col).applyInPandasWithState(
         fn,
         outputStructType=df.schema,
@@ -195,13 +216,28 @@ def back_visitor_flags_streaming(
 
     Output: one row per (uid, day) first login — (uid, event_time, back)
     with back in {0, 1}.
+
+    State = (recent-days set, max day ever): the set (pruned to a
+    gap_days + 2 horizon off the max) dedups first-of-day emission
+    exactly even when an in-watermark late prior-day login arrives in a
+    later batch — a bare last-day equality check would re-emit both days
+    and compute a NEGATIVE gap for the late one. For an in-order day the
+    gap is measured against the max day ever seen (the reference's
+    lastLoginDt semantics); for a late out-of-order day it is measured
+    against the nearest EARLIER day still in the horizon (best effort —
+    the batch LAG twin sees full history).
     """
     import datetime as _dt
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        last_day = state.get[0] if state.exists else None
+        if state.exists:
+            days_csv, max_day = state.get
+            seen = set(days_csv.split(",")) if days_csv else set()
+            max_day = max_day or None
+        else:
+            seen, max_day = set(), None
         # chunks arrive in no guaranteed mutual order — concat + ONE sort
         # before the first-of-day walk (see dedup.py)
         chunks = [pdf for pdf in pdfs if len(pdf)]
@@ -209,30 +245,49 @@ def back_visitor_flags_streaming(
             [pd.concat(chunks, ignore_index=True)] if chunks else []
         ):
             pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+            is_ms = pdf.dtypes[ts_col].kind in "il"
             out_rows = []
             for ts in pdf[ts_col]:
-                day = pd.Timestamp(ts).strftime("%Y-%m-%d")
-                if last_day is None:
-                    out_rows.append((key[0], ts, 0))
-                elif day != last_day:
-                    gap = (
-                        _dt.date.fromisoformat(day)
-                        - _dt.date.fromisoformat(last_day)
-                    ).days
-                    out_rows.append((key[0], ts, 1 if gap > gap_days else 0))
-                else:
+                stamp = (
+                    pd.to_datetime(ts, unit="ms") if is_ms else pd.Timestamp(ts)
+                )
+                day = stamp.strftime("%Y-%m-%d")
+                if day in seen:
                     continue  # not first login of this day -> no emission
-                last_day = day
+                if max_day is None:
+                    back = 0
+                else:
+                    prev = (
+                        max_day
+                        if day > max_day
+                        else max((d for d in seen if d < day), default=None)
+                    )
+                    if prev is None:
+                        back = 0
+                    else:
+                        gap = (
+                            _dt.date.fromisoformat(day)
+                            - _dt.date.fromisoformat(prev)
+                        ).days
+                        back = 1 if gap > gap_days else 0
+                out_rows.append((key[0], ts, back))
+                seen.add(day)
+                max_day = day if max_day is None else max(max_day, day)
             if out_rows:
                 yield pd.DataFrame(out_rows, columns=[uid_col, ts_col, "back"])
-        state.update((last_day,))
+        if seen:  # prune the set; max_day persists separately
+            cutoff = (
+                pd.Timestamp(max(seen)) - pd.Timedelta(days=gap_days + 2)
+            ).strftime("%Y-%m-%d")
+            seen = {d for d in seen if d >= cutoff}
+        state.update((",".join(sorted(seen)), max_day or ""))
 
     uid_type = dict(df.dtypes)[uid_col]
     ts_type = dict(df.dtypes)[ts_col]
     return df.groupBy(uid_col).applyInPandasWithState(
         fn,
         outputStructType=f"{uid_col} {uid_type}, {ts_col} {ts_type}, back int",
-        stateStructType="last_day STRING",
+        stateStructType="seen_days STRING, max_day STRING",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

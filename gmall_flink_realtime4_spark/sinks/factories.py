@@ -68,35 +68,70 @@ def upsert_parquet(
     Durability: the first-write case is detected by an explicit FS
     existence check, so a *transient* read failure raises instead of
     silently truncating the table to the current batch. The merged result
-    is written to a staging directory and swapped in via FS rename —
-    never an in-place overwrite of the path still being read (cache()
-    does not guarantee materialization under eviction).
+    is written to a staging directory and swapped in with a two-rename
+    protocol (target -> retired, staging -> target, drop retired): every
+    crash window is recoverable at the NEXT call — an orphaned staging
+    dir is an incomplete write (discarded and recomputed from the
+    replayed batch), and a missing target with a retired dir present
+    means the swap died between renames (history restored before
+    merging). A plain delete-then-rename would silently truncate the
+    table to the current batch if the process died between the two steps.
     """
     spark = batch_df.sparkSession
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     target = jvm.org.apache.hadoop.fs.Path(path)
     fs = target.getFileSystem(hconf)
+    staging = path.rstrip("/") + ".__staging__"
+    retired = path.rstrip("/") + ".__retired__"
+    staging_path = jvm.org.apache.hadoop.fs.Path(staging)
+    retired_path = jvm.org.apache.hadoop.fs.Path(retired)
+    # crash recovery BEFORE reading (see docstring)
+    if fs.exists(staging_path):
+        fs.delete(staging_path, True)
+    if fs.exists(retired_path):
+        if not fs.exists(target):
+            if not fs.rename(retired_path, target):
+                raise IOError(f"upsert_parquet: recover {retired} -> {path} failed")
+        else:
+            fs.delete(retired_path, True)  # orphan from a completed swap
     if fs.exists(target):
         existing = spark.read.parquet(path)
         merged = existing.unionByName(batch_df, allowMissingColumns=True)
     else:
         merged = batch_df
-    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    # deterministic keeper: order_col desc, then the full remaining tuple
+    # (the CLAUDE.md total-order invariant — at-least-once replay can
+    # re-deliver the same (key, order_col) with a revised payload, and
+    # the kept row must not depend on partitioning)
+    others = [
+        c
+        for c, t in merged.dtypes
+        if c not in key_cols and c != order_col and not t.startswith("map<")
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(),
+        *[F.col(c).desc_nulls_last() for c in others],
+    )
     latest = (
         merged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
     if delete_col is not None:
-        latest = latest.filter(F.col(delete_col) != delete_value)
-    staging = path.rstrip("/") + ".__staging__"
-    staging_path = jvm.org.apache.hadoop.fs.Path(staging)
+        # NULL op-type must NOT delete: rows written before delete_col
+        # existed come back NULL through allowMissingColumns
+        latest = latest.filter(
+            (F.col(delete_col) != delete_value) | F.col(delete_col).isNull()
+        )
     latest.write.mode("overwrite").parquet(staging)
     if fs.exists(target):
-        fs.delete(target, True)
+        if not fs.rename(target, retired_path):
+            raise IOError(f"upsert_parquet: retire {path} failed")
     if not fs.rename(staging_path, target):
         raise IOError(f"upsert_parquet: rename {staging} -> {path} failed")
+    if fs.exists(retired_path):
+        fs.delete(retired_path, True)
 
 
 def write_routed_batch(

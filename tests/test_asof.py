@@ -71,3 +71,27 @@ def test_asof_single_shuffle_no_range_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_asof_join_null_payload_fields_not_stitched(spark):
+    """The matched right ROW must arrive atomically: a NULL field in the
+    latest right row must stay NULL, not be filled from an older row —
+    and an inner join must keep a match whose payload fields are NULL."""
+    from gmall_flink_realtime4_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 3), ("k", 0)], "id string, lts int"
+    )
+    right = spark.createDataFrame(
+        [("k", 1, 5, 1), ("k", 2, None, 2)],
+        "rid string, rts int, a int, b int",
+    )
+    got = {
+        r.lts: (r.a, r.b)
+        for r in asof_join(
+            left, right, "id", "rid", "lts", "rts", ["a", "b"], how="inner"
+        ).collect()
+    }
+    # lts=3 matches the rts=2 row WHOLE: a stays NULL (no reach-back to
+    # the rts=1 row's a=5); lts=0 has no match and inner drops it
+    assert got == {3: (None, 2)}

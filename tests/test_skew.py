@@ -63,3 +63,35 @@ def test_salted_collect_set(spark):
     a = {r["key"]: list(r["values"]) for r in plain.collect()}
     b = {r["key"]: list(r["values"]) for r in salted.collect()}
     assert a == b
+
+
+def test_two_phase_distinct_count_null_semantics(spark):
+    """Must match SQL COUNT(DISTINCT x): NULL is not a value, and an
+    all-NULL key still appears with count 0."""
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("a", "x"), ("b", None)],
+        "key string, val string",
+    )
+    got = {
+        r.key: r.distinct_count
+        for r in two_phase_distinct_count(df, ["key"], "val").collect()
+    }
+    ref = {
+        r.key: r.c
+        for r in df.groupBy("key")
+        .agg(F.countDistinct("val").alias("c"))
+        .collect()
+    }
+    assert got == ref == {"a": 1, "b": 0}
+
+
+def test_salted_join_rejects_small_side_preserving_modes(spark):
+    """right/full outer would emit unmatched small-side rows once per salt
+    replica — the operator must refuse instead of silently duplicating."""
+    import pytest as _pt
+
+    big = spark.createDataFrame([("k", 1)], "key string, seq int")
+    small = spark.createDataFrame([("k", "n")], "key string, name string")
+    for bad in ("right", "full", "outer"):
+        with _pt.raises(ValueError):
+            salted_join(big, small, "key", how=bad)

@@ -1017,3 +1017,139 @@ def test_repair_is_new_streaming_multi_chunk_batch(spark, tmp_path):
         }
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_upsert_parquet_crash_recovery_and_null_delete(spark, tmp_path):
+    """Durability: the swap protocol must survive a death between its two
+    renames (target retired, staging not yet promoted) WITHOUT truncating
+    history to the replayed batch; and rows whose delete_col is NULL
+    (e.g. pre-delete_col history through allowMissingColumns) must NOT be
+    treated as deletes."""
+    import os
+
+    path = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [("k1", 1, "upsert", "v1"), ("k2", 1, "upsert", "x1")],
+        "k string, ver int, op string, v string",
+    )
+    upsert_parquet(b1, path, ["k"], "ver", delete_col="op")
+    # simulate dying between the two renames: target moved aside, staging
+    # (the unpromoted new version) left behind
+    os.rename(path, path + ".__retired__")
+    os.makedirs(path + ".__staging__", exist_ok=True)
+    # replayed batch arrives at the next call — recovery must restore the
+    # retired history BEFORE merging
+    b2 = spark.createDataFrame(
+        [("k2", 2, "upsert", "x2")], "k string, ver int, op string, v string"
+    )
+    upsert_parquet(b2, path, ["k"], "ver", delete_col="op")
+    got = {r.k: (r.ver, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {"k1": (1, "v1"), "k2": (2, "x2")}  # k1 NOT truncated
+    assert not os.path.exists(path + ".__retired__")
+    assert not os.path.exists(path + ".__staging__")
+
+    # NULL op (schema evolution: delete_col absent in old history)
+    b3 = spark.createDataFrame(
+        [("k3", 1, None, "z1")], "k string, ver int, op string, v string"
+    )
+    upsert_parquet(b3, path, ["k"], "ver", delete_col="op")
+    got = {r.k for r in spark.read.parquet(path).collect()}
+    assert "k3" in got  # NULL op must not delete
+
+    # real delete still deletes
+    b4 = spark.createDataFrame(
+        [("k1", 9, "delete", None)], "k string, ver int, op string, v string"
+    )
+    upsert_parquet(b4, path, ["k"], "ver", delete_col="op")
+    got = {r.k for r in spark.read.parquet(path).collect()}
+    assert got == {"k2", "k3"}
+
+
+def test_upsert_parquet_tie_break_deterministic(spark, tmp_path):
+    """At-least-once replay can re-deliver the same (key, order_col) with a
+    revised payload — the keeper must be the deterministic max of the full
+    remaining tuple, not whichever row a partitioning happened to rank."""
+    path = str(tmp_path / "t")
+    rows = [("k1", 1, f"v{i}") for i in range(8)]
+    for rep in range(3):  # shuffled replays must all converge
+        b = spark.createDataFrame(
+            rows[rep:] + rows[:rep], "k string, ver int, v string"
+        ).repartition(8)
+        upsert_parquet(b, path, ["k"], "ver")
+        got = [(r.ver, r.v) for r in spark.read.parquet(path).collect()]
+        assert got == [(1, "v7")]  # max payload tuple wins, every time
+
+
+def test_first_today_bounded_state_late_prior_day_no_rewind(spark, tmp_path):
+    """An in-watermark late event from a PRIOR day arriving in a later
+    micro-batch must emit that day's first visit ONCE without rewinding
+    the state — a last-day equality check would re-emit the newer day on
+    the next event (duplicate (key, day) rows)."""
+    from gmall_flink_realtime4_spark.operators.dedup import (
+        first_today_bounded_state,
+    )
+
+    cols = "user_id string, ts_s string"
+    b1 = spark.createDataFrame([("u", "2024-01-02 10:00:00")], cols)
+    b2 = spark.createDataFrame(
+        [("u", "2024-01-01 23:30:00")], cols  # late prior-day, in watermark
+    )
+    b3 = spark.createDataFrame(
+        [("u", "2024-01-02 11:00:00")], cols  # must NOT re-emit day2
+    )
+    frames = [
+        b.select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+        for b in (b1, b2, b3)
+    ]
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(
+        spark, src, frames[0].schema, max_files_per_trigger=1000
+    )
+    streamed = run_to_memory(
+        first_today_bounded_state(
+            s.withWatermark("ts", "2 days"), "user_id", "ts"
+        ),
+        output_mode="append",
+        stages=_stage_writes(src, frames),
+    )
+    got = sorted(
+        (r[0], r[1])
+        for r in streamed.select(
+            "user_id", F.date_format("ts", "yyyy-MM-dd")
+        ).collect()
+    )
+    assert got == [("u", "2024-01-01"), ("u", "2024-01-02")]
+
+
+def test_diff_state_deltas_late_row_does_not_rewind(spark, tmp_path):
+    """A cross-batch late row (older event time) must emit delta 0 so
+    SUM(deltas) stays at the max-event-time value instead of rewinding to
+    whichever row arrived last."""
+    from gmall_flink_realtime4_spark.operators.stateful import (
+        diff_state_deltas_streaming,
+    )
+
+    cols = "id string, event_time timestamp, amt double"
+    b1 = spark.createDataFrame(
+        [("x", "2024-01-01 10:00:00", 100.0)], "id string, ts_s string, amt double"
+    )
+    b2 = spark.createDataFrame(
+        [("x", "2024-01-01 09:00:00", 80.0)], "id string, ts_s string, amt double"
+    )
+    frames = [
+        b.select("id", F.col("ts_s").cast("timestamp").alias("event_time"), "amt")
+        for b in (b1, b2)
+    ]
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(
+        spark, src, frames[0].schema, max_files_per_trigger=1000
+    )
+    streamed = run_to_memory(
+        diff_state_deltas_streaming(
+            s.withWatermark("event_time", "1 day"), "id", ["amt"]
+        ),
+        output_mode="append",
+        stages=_stage_writes(src, frames),
+    )
+    total = sum(r.amt for r in streamed.collect())
+    assert total == 100.0  # late 80-amount row contributed delta 0
