@@ -31,6 +31,28 @@ def filter_cdc(cdc: DataFrame, database: str = "gmall") -> DataFrame:
     )
 
 
+def broadcast_config(config: DataFrame, *extra_cols: str):
+    """Shared router-config prep (dim router + base_db fact router): the
+    broadcast side always carries source_table + split sink_columns; each
+    router adds its own key/routing columns. One place to fix
+    sink_columns semantics (e.g. whitespace trimming) for BOTH routers."""
+    return F.broadcast(
+        config.select(
+            "source_table",
+            *extra_cols,
+            F.split("sink_columns", ",").alias("cols"),
+        )
+    )
+
+
+def prune_to_cols(data_col: str = "data"):
+    """P6 column prune against the broadcast config's ``cols`` array —
+    the declarative twin of the reference's entrySet().removeIf."""
+    return F.map_filter(
+        data_col, lambda k, _: F.array_contains(F.col("cols"), k)
+    )
+
+
 def route_dims(cdc: DataFrame, config: DataFrame) -> DataFrame:
     """Broadcast-join CDC rows to their dim config and prune columns.
 
@@ -39,14 +61,7 @@ def route_dims(cdc: DataFrame, config: DataFrame) -> DataFrame:
     configured sink_columns (P6 — DimApp.java:206-217; map_filter is the
     declarative twin of the reference's entrySet().removeIf).
     """
-    cfg = F.broadcast(
-        config.select(
-            "source_table",
-            "sink_table",
-            F.split("sink_columns", ",").alias("cols"),
-            "sink_row_key",
-        )
-    )
+    cfg = broadcast_config(config, "sink_table", "sink_row_key")
     joined = filter_cdc(cdc).join(
         cfg, F.col("table") == F.col("source_table"), "inner"
     )
@@ -55,9 +70,7 @@ def route_dims(cdc: DataFrame, config: DataFrame) -> DataFrame:
         F.element_at(F.col("data"), F.col("sink_row_key")).alias("row_key"),
         "type",
         "ts",
-        F.map_filter(
-            "data", lambda k, _: F.array_contains(F.col("cols"), k)
-        ).alias("data"),
+        prune_to_cols().alias("data"),
     )
 
 
@@ -105,8 +118,16 @@ def apply_dim_batch(
     """
     from ..operators.dedup import first_per_key
 
+    # CDC ts is epoch SECONDS, so a delete + re-insert of one row_key can
+    # share a ts. The keeper prefers the non-delete at equal ts (del_rank
+    # inside the composite order) — a bare column tie-break would sort
+    # 'delete' < 'insert' alphabetically and drop the live row.
     changes = routed.filter(F.col("sink_table") == sink_table).withColumn(
-        "__neg_ts", -F.col("ts")
+        "__ord",
+        F.struct(
+            (-F.col("ts")).alias("neg_ts"),
+            (F.col("type") == "delete").cast("int").alias("del_rank"),
+        ),
     )
-    latest = first_per_key(changes, ["row_key"], "__neg_ts").drop("__neg_ts")
+    latest = first_per_key(changes, ["row_key"], "__ord").drop("__ord")
     return latest.filter(F.col("type") != "delete").select("row_key", "data")

@@ -125,8 +125,12 @@ def order_cancel_detail(cdc: DataFrame, detail: DataFrame) -> DataFrame:
         _d("operate_time").alias("cancel_time"),
         F.col("ts").alias("cancel_ts"),
     )
+    # the emitted event time is the CANCEL event's ts (reference emits
+    # oc.ts, DwdTradeOrderCancelDetail.java:78) — keeping the detail ts
+    # would window the cancellation at order-placement time
     return detail.join(c, detail.order_id == c.cancel_order_id).select(
-        detail["*"],
+        *[detail[col] for col in detail.columns if col != "ts"],
+        F.col("cancel_ts").alias("ts"),
         F.col("cancel_time"),
         F.date_format(F.to_timestamp("cancel_time"), "yyyy-MM-dd").alias("date_id"),
     )
@@ -265,14 +269,9 @@ def base_db_route(cdc: DataFrame, config: DataFrame) -> DataFrame:
     (source_table, source_type) key (:80-122), prune to sink_columns
     (:124-135), and emit the dynamic sink topic per row (K2 —
     FlinkSinkUtil.java:38-52; the kafka sink's per-row ``topic`` column)."""
-    cfg = F.broadcast(
-        config.select(
-            "source_table",
-            "source_type",
-            "sink_table",
-            F.split("sink_columns", ",").alias("cols"),
-        )
-    )
+    from .dim_app import broadcast_config, prune_to_cols
+
+    cfg = broadcast_config(config, "source_type", "sink_table")
     joined = cdc.filter(
         (F.col("database") == "gmall") & F.col("data").isNotNull()
     ).join(
@@ -282,8 +281,6 @@ def base_db_route(cdc: DataFrame, config: DataFrame) -> DataFrame:
     )
     return joined.select(
         F.col("sink_table"),
-        F.map_filter(
-            "data", lambda k, _: F.array_contains(F.col("cols"), k)
-        ).alias("data"),
+        prune_to_cols().alias("data"),
         F.col("ts"),
     )

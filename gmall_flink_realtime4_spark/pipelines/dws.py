@@ -227,25 +227,35 @@ def traffic_vc_ch_ar_is_new_page_view_window(
     )
     if streaming:
         flat = with_event_watermark(flat, "event_time", "3 seconds")
-    firsts = first_today(flat, "mid", "event_time", streaming=streaming).select(
-        F.col("mid").alias("uv_mid"), F.col("event_time").alias("uv_time")
+    # uv via the tagged-dedup-union pattern (as in the province/refund
+    # windows): the first-today stream carries the dims + uv=1 with its
+    # payload nulled; raw rows carry uv=0 and the pv/sv/dur payload. The
+    # former equality JOIN back on (mid, event_time) double-marked uv
+    # whenever two events of one mid shared the exact same millisecond
+    # (first_today keeps ONE row but the join matched every equal-ts row).
+    dt = dict(flat.dtypes)
+    firsts = (
+        first_today(flat, "mid", "event_time", streaming=streaming)
+        .withColumn("last_page_id", F.lit(None).cast(dt["last_page_id"]))
+        .withColumn("during_time", F.lit(None).cast(dt["during_time"]))
+        .withColumn("uv", F.lit(1))
     )
-    marked = flat.join(
-        firsts,
-        (flat.mid == F.col("uv_mid")) & (flat.event_time == F.col("uv_time")),
-        "left",
-    ).withColumn("uv", F.when(F.col("uv_mid").isNotNull(), 1).otherwise(0))
+    tagged = flat.withColumn("uv", F.lit(0)).unionByName(firsts)
     return tumble(
-        marked,
+        tagged,
         "event_time",
         window,
         keys=[F.col("vc"), F.col("ch"), F.col("ar"), F.col("is_new")],
         aggs=[
             F.sum("uv").cast("bigint").alias("uv_ct"),
-            F.sum(F.when(F.col("last_page_id").isNull(), 1).otherwise(0))
+            F.sum(
+                F.when(
+                    (F.col("uv") == 0) & F.col("last_page_id").isNull(), 1
+                ).otherwise(0)
+            )
             .cast("bigint")
             .alias("sv_ct"),
-            F.count(F.lit(1)).alias("pv_ct"),
+            F.sum(F.lit(1) - F.col("uv")).cast("bigint").alias("pv_ct"),
             F.sum("during_time").cast("bigint").alias("dur_sum"),
         ],
     )
@@ -275,8 +285,11 @@ def trade_trademark_category_user_refund_window(
     sku = dim_sku.select(
         F.col("id").alias("sku_dim_id"), "tm_id", "category3_id"
     )
+    # LEFT like every other enrichment (dim_enrich): a refund row whose
+    # sku is missing from the dim snapshot groups under NULL tm/category
+    # instead of silently vanishing from the totals
     enriched = src.join(
-        F.broadcast(sku), src.sku_id == F.col("sku_dim_id")
+        F.broadcast(sku), src.sku_id == F.col("sku_dim_id"), "left"
     ).drop("sku_dim_id")
     keys = [F.col("tm_id"), F.col("category3_id"), F.col("user_id")]
     if streaming:
@@ -286,10 +299,21 @@ def trade_trademark_category_user_refund_window(
             F.col("refund_amount").cast(MONEY).alias("amount"),
             F.lit(0).alias("ord"),
         )
-        orders = enriched.dropDuplicates(["order_id"]).select(
-            "tm_id", "category3_id", "user_id", "event_time",
-            F.lit(None).cast(MONEY).alias("amount"),
-            F.lit(1).alias("ord"),
+        # the distinct-order tag must be scoped to the GROUPING KEYS and
+        # the window day (batch countDistinct counts an order once per
+        # (tm, c3, user, window) it appears in — a refund order spanning
+        # two trademarks contributes to BOTH; a global order_id dedup
+        # credited only the first-arriving group)
+        orders = (
+            enriched.withColumn("d", F.to_date("event_time"))
+            .dropDuplicates(
+                ["tm_id", "category3_id", "user_id", "order_id", "d"]
+            )
+            .select(
+                "tm_id", "category3_id", "user_id", "event_time",
+                F.lit(None).cast(MONEY).alias("amount"),
+                F.lit(1).alias("ord"),
+            )
         )
         agged = tumble(
             base.unionByName(orders),
@@ -349,8 +373,13 @@ def trade_province_order_window(
             F.col("split_total_amount").cast(MONEY).alias("amount"),
             F.lit(0).alias("ord"), F.lit(0).alias("usr"),
         )
+        # both distinct tags scope to (province, window day), mirroring
+        # the batch countDistinct per (province, window): an order whose
+        # rows straddle windows counts in each, and a user ordering in
+        # two provinces counts in both (global keys undercounted)
         orders = (
-            src.dropDuplicates(["order_id"])
+            src.withColumn("d", F.to_date("event_time"))
+            .dropDuplicates(["order_id", "province_id", "d"])
             .select(
                 "province_id", "event_time",
                 F.lit(None).cast(MONEY).alias("amount"),
@@ -359,7 +388,7 @@ def trade_province_order_window(
         )
         users = (
             src.withColumn("d", F.to_date("event_time"))
-            .dropDuplicates(["user_id", "d"])
+            .dropDuplicates(["user_id", "province_id", "d"])
             .select(
                 "province_id", "event_time",
                 F.lit(None).cast(MONEY).alias("amount"),
@@ -367,9 +396,6 @@ def trade_province_order_window(
             )
         )
         tagged = base.unionByName(orders).unionByName(users)
-    else:
-        tagged = None
-    if streaming:
         return tumble(
             tagged,
             "event_time",

@@ -100,6 +100,10 @@ def main() -> int:
     from gmall_flink_realtime4_spark.session import get_spark
 
     qs, os_ = queries(), oracles()
+    unknown = sorted(only - set(qs))
+    if unknown:  # a typo must not print '0 failures' after zero compares
+        print(f"unknown query name(s): {unknown}")
+        sys.exit(2)
     spark = get_spark("parity", shuffle_partitions=8)
 
     failed = []
