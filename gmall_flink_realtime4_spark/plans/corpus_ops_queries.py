@@ -323,27 +323,9 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
     """
     d = T.load(spark, sf_dir, "documents")
-    sh = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(
-                            F.lit(0),
-                            F.greatest(F.size(F.split("text", " ")) - 3, F.lit(0)),
-                        ),
-                        lambda i: F.concat_ws(
-                            " ",
-                            F.element_at(F.split(F.col("text"), " "), i + 1),
-                            F.element_at(F.split(F.col("text"), " "), i + 2),
-                            F.element_at(F.split(F.col("text"), " "), i + 3),
-                        ),
-                    )
-                )
-            ).alias("shingle"),
-        ).filter(F.size(F.split("shingle", " ")) == 3)
-    )
+    from .llm_scale_queries import _shingles
+
+    sh = _shingles(d)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -908,28 +890,9 @@ def containment_lsh(
         .distinct()
     )
     d = T.load(spark, sf_dir, "documents").join(F.broadcast(cd), "doc_id", "left_semi")
-    sh = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(
-                            F.lit(0),
-                            F.greatest(F.size(F.split("text", " ")) - 3, F.lit(0)),
-                        ),
-                        lambda i: F.concat_ws(
-                            " ",
-                            F.element_at(F.split(F.col("text"), " "), i + 1),
-                            F.element_at(F.split(F.col("text"), " "), i + 2),
-                            F.element_at(F.split(F.col("text"), " "), i + 3),
-                        ),
-                    )
-                )
-            ).alias("shingle"),
-        )
-        .filter(F.size(F.split("shingle", " ")) == 3)
-    )
+    from .llm_scale_queries import _shingles
+
+    sh = _shingles(d)
     # the shingle frame also fans out (sizes + both sides of the
     # intersection join); it is candidate-pruned — proportional to the
     # LSH candidate set, not the corpus — so materializing it caps the

@@ -171,26 +171,9 @@ DECON_EVAL_MOD = 97  # doc_id % MOD == 0 plays the held-out benchmark set
 DECON_MIN_SHARED = 5  # shared distinct 3-grams to flag contamination
 
 
-def _shingles(d: DataFrame) -> DataFrame:
-    """Distinct word 3-grams per doc — same construction (and the same
-    range semantics) as llm_dedup_ngram_jaccard's."""
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    return toks.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("t") - 3, F.lit(0))),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("t"), i + 1),
-                        F.element_at(F.col("t"), i + 2),
-                        F.element_at(F.col("t"), i + 3),
-                    ),
-                )
-            )
-        ).alias("shingle"),
-    ).filter(F.size(F.split("shingle", " ")) == 3)
+# one canonical shingle construction for the whole dedup family — a fix
+# to tokenization or the n<3 guard must land in exactly one place
+from .llm_scale_queries import _shingles  # noqa: E402,F401
 
 
 @query(
@@ -413,7 +396,7 @@ WITH feat AS (
     SELECT doc_id, lang, text,
            len(string_split(text, ' ')) AS n_tokens,
            length(text)                 AS n_chars,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           md5(trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS fp,
            (1000 * len(list_filter(string_split(text, ' '),
                                    x -> x IN ('the', 'a', 'of', 'to', 'and'))))
                // greatest(len(string_split(text, ' ')), 1) AS stop_pm
@@ -476,7 +459,7 @@ def llm_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars"),
-        F.md5(F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))).alias("fp"),
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), "[ \\t\\n\\f\\r]+", " "))).alias("fp"),
         F.expr(
             "(1000 * size(filter(split(text, ' '),"
             " x -> x IN ('the','a','of','to','and'))))"
@@ -816,10 +799,10 @@ WITH cand AS (
 SELECT c.doc_a, c.doc_b,
        CAST(levenshtein(lower(da.text), lower(db.text)) AS BIGINT) AS lev_dist,
        CAST((1000 * levenshtein(lower(da.text), lower(db.text)))
-            // greatest(greatest(length(da.text), length(db.text)), 1)
+            // greatest(greatest(octet_length(encode(da.text)), octet_length(encode(db.text))), 1)
             AS BIGINT) AS lev_pm,
        CAST((1000 * levenshtein(lower(da.text), lower(db.text)))
-            // greatest(greatest(length(da.text), length(db.text)), 1)
+            // greatest(greatest(octet_length(encode(da.text)), octet_length(encode(db.text))), 1)
             <= {EDIT_DUP_PM} AS INT) AS is_dup
 FROM cand c
 JOIN documents da ON c.doc_a = da.doc_id
@@ -841,13 +824,23 @@ def llm_dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFram
     Scale shape: Levenshtein is O(len_a x len_b) PER PAIR — affordable
     precisely because it runs only on the LSH candidate set (never the
     pair space); the candidate frame is the small side, so both text
-    joins broadcast IT rather than shuffling the corpus. Both engines run
-    the identical unit-cost DP, so the distance is exact on both.
+    joins broadcast IT rather than shuffling the corpus.
+
+    Engine alignment: DuckDB's levenshtein counts BYTES while Spark's
+    counts code points ('中' vs '文' is 3 vs 1), so the Spark side
+    measures on the UTF-8 bytes rendered via ISO-8859-1 (a lossless
+    1-char-per-byte view) and normalizes by octet_length on both engines
+    — the distance is the byte-level edit distance everywhere, identical
+    on ASCII and well-defined on any text.
     """
     from .llm_scale_queries import llm_dedup_minhash_lsh
 
     cand = llm_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    d = T.load(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("lt"), F.length("text").alias("ln"))
+    d = T.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.decode(F.encode(F.lower("text"), "utf-8"), "ISO-8859-1").alias("lt"),
+        F.octet_length("text").alias("ln"),
+    )
     j = (
         F.broadcast(cand)
         .join(d.select(F.col("doc_id").alias("doc_a"), F.col("lt").alias("ta"), F.col("ln").alias("la")), "doc_a")

@@ -245,7 +245,12 @@ def llm_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(
                 F.lit(1000000000.0)
                 * F.col("dot").cast("double")
-                / F.sqrt(F.col("qn2").cast("double") * F.col("bn2").cast("double"))
+                / F.nullif(
+                    F.sqrt(
+                        F.col("qn2").cast("double") * F.col("bn2").cast("double")
+                    ),
+                    F.lit(0.0),
+                )
             )
             .cast("bigint")
             .alias("cos_sim_e9"),
@@ -445,7 +450,7 @@ WITH feat AS (
     SELECT doc_id, source, text,
            len(string_split(text, ' ')) AS n_tokens,
            length(text)                 AS n_chars,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           md5(trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS fp,
            (1000 * len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})))
                // greatest(len(string_split(text, ' ')), 1) AS stop_pm
     FROM documents
@@ -485,7 +490,7 @@ def llm_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars"),
-        F.md5(F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))).alias("fp"),
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), "[ \\t\\n\\f\\r]+", " "))).alias("fp"),
         F.expr(
             "(1000 * size(filter(split(text, ' '), x -> x IN ('the','a','of','to','and'))))"
             " div greatest(size(split(text, ' ')), 1)"
@@ -510,7 +515,7 @@ def llm_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_text_fingerprint",
     oracle="""
 SELECT doc_id,
-       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+       md5(trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS fingerprint
 FROM documents
 """,
     tags=("llm-text",),
@@ -521,6 +526,6 @@ def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.md5(
-            F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
+            F.trim(F.regexp_replace(F.lower("text"), "[ \\t\\n\\f\\r]+", " "))
         ).alias("fingerprint"),
     )

@@ -572,7 +572,12 @@ def llm_dedup_embedding_cosine(
             F.floor(
                 F.lit(1000000000.0)
                 * _dot(F.col("ea"), F.col("eb")).cast("double")
-                / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double"))
+                / F.nullif(
+                    F.sqrt(
+                        F.col("na2").cast("double") * F.col("nb2").cast("double")
+                    ),
+                    F.lit(0.0),
+                )
             )
             .cast("bigint")
             .alias("cos_sim_e9"),
@@ -671,11 +676,17 @@ SELECT query_vec_id, neighbor_vec_id, rank, cos_sim_e9 FROM (
 
 
 def _cos_e9(dot: Column, n2a: Column, n2b: Column) -> Column:
+    # nullif-guard the norm product: a zero-norm vector would otherwise
+    # raise DIVIDE_BY_ZERO under Spark 4's default ANSI mode, while the
+    # DuckDB oracle yields NULL and drops the row at the threshold filter
+    # — NULL here reproduces the oracle's behavior on both engines
     return (
         F.floor(
             F.lit(1000000000.0)
             * dot.cast("double")
-            / F.sqrt(n2a.cast("double") * n2b.cast("double"))
+            / F.nullif(
+                F.sqrt(n2a.cast("double") * n2b.cast("double")), F.lit(0.0)
+            )
         ).cast("bigint")
     )
 
@@ -1382,8 +1393,14 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
         )
 
+    # run to FIXPOINT — a fixed round cap would silently emit non-minimal
+    # labels for a component whose min-label distance exceeds it (a chain
+    # of pairwise near-dups), while the oracle's recursive CTE always
+    # reaches closure. Termination is guaranteed: the potential strictly
+    # decreases every super-step until converged, and rounds are bounded
+    # by the largest component's diameter.
     prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
-    for _ in range(7):  # 7 x 3 = 21 rounds, bound >> any real diameter
+    while True:
         for _ in range(rounds_per_check):
             labels = propagate(labels)
         labels = labels.coalesce(8).localCheckpoint()
@@ -1592,6 +1609,12 @@ def llm_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
             KMV_K,
         ).alias("km")
+    ).filter(
+        # an ungrouped agg emits one row even on EMPTY input; the oracle's
+        # kth CTE emits zero — filter the empty sketch out (element_at(km,
+        # 0) would also raise INVALID_INDEX_OF_ZERO) so both engines
+        # return an empty result set
+        F.size("km") > 0
     ).select(
         F.size("km").cast("bigint").alias("m"),
         F.expr(
@@ -1793,7 +1816,13 @@ def llm_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "m"))),
             lambda s: s.m,
         ).alias("carr"),
-        F.sum(F.col("m") * F.col("m")).alias("cn2"),
+        # decimal(19,7)^2 would exceed Spark's 38-precision cap and round
+        # (DuckDB keeps DECIMAL(38,14) exact); |m| < 1e6 here (sums of
+        # |component| <= 100 over N rows), so (18,7)x(18,7) -> (37,14) is
+        # exact on BOTH engines
+        F.sum(
+            F.col("m").cast("decimal(18,7)") * F.col("m").cast("decimal(18,7)")
+        ).alias("cn2"),
     )
     def _tdot(e: Column, ce: Column) -> Column:
         # trained centroids are exact decimals (CENT_DEC), so the trained
