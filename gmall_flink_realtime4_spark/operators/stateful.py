@@ -23,6 +23,7 @@ def repair_is_new_batch(
     mid_col: str = "mid",
     is_new_col: str = "is_new",
     ts_col: str = "ts",
+    tie_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """W10 — visitor-state-machine repair of the is_new flag (batch twin).
 
@@ -36,7 +37,12 @@ def repair_is_new_batch(
     Net batch semantics: a record keeps is_new='1' iff its mid's FIRST
     record (by ts) had is_new='1' and this record falls on that first day.
     """
-    w = Window.partitionBy(mid_col).orderBy(ts_col)
+    # tie_cols pin a deterministic FIRST when two events share a
+    # millisecond (log ts granularity) — without it first_new/first_day
+    # resolve arbitrarily and can flip is_new for the whole first day
+    w = Window.partitionBy(mid_col).orderBy(
+        ts_col, *[F.col(c) for c in tie_cols]
+    )
     # log ts is epoch millis (DwdBaseLog reads topic_log; FIXTURES.md §2);
     # accept either a raw BIGINT-millis or an already-typed timestamp column
     is_long = dict(df.dtypes).get(ts_col) == "bigint"

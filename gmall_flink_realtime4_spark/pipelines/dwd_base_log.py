@@ -44,7 +44,12 @@ def transform(raw: DataFrame, streaming: bool = False) -> dict[str, DataFrame]:
         "is_new", F.col("common.is_new")
     )
     repaired = (
-        repair_is_new_streaming(flat) if streaming else repair_is_new_batch(flat)
+        repair_is_new_streaming(flat)
+        if streaming
+        # sid (event id) breaks millisecond ts ties deterministically;
+        # the streaming twin resolves ties by arrival order (the
+        # reference's own semantics)
+        else repair_is_new_batch(flat, tie_cols=("common.sid",))
     )
     fixed = (
         repaired.withColumn(

@@ -147,9 +147,9 @@ def _trigram_occurrences(d: DataFrame) -> DataFrame:
                 F.sequence(F.lit(0), F.greatest(F.size(F.split("text", " ")) - 3, F.lit(0))),
                 lambda i: F.concat_ws(
                     " ",
-                    F.element_at(F.split(F.col("text"), " "), i + 1),
-                    F.element_at(F.split(F.col("text"), " "), i + 2),
-                    F.element_at(F.split(F.col("text"), " "), i + 3),
+                    F.try_element_at(F.split(F.col("text"), " "), i + 1),
+                    F.try_element_at(F.split(F.col("text"), " "), i + 2),
+                    F.try_element_at(F.split(F.col("text"), " "), i + 3),
                 ),
             )
         ).alias("ngram"),

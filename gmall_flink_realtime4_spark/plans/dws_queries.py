@@ -79,11 +79,11 @@ def dws_traffic_source_keyword_page_view_window(
     oracle=f"""
 SELECT {_bucket('e.ts', 3600)}                          AS stt,
        {_bucket('e.ts', 3600, 3600)}                    AS edt,
-       'v' || CAST(CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 3 AS VARCHAR)
+       'v' || CAST(CAST(CASE WHEN regexp_matches(json_extract_string(e.props, '$.k'), '^-?[0-9]+$') THEN json_extract_string(e.props, '$.k') END AS INTEGER) % 3 AS VARCHAR)
                                                         AS vc,
        e.event_type                                     AS ch,
        CAST(e.user_id % 5 AS VARCHAR)                   AS ar,
-       CASE WHEN CAST(json_extract_string(e.props, '$.k') AS INTEGER) < 50
+       CASE WHEN CAST(CASE WHEN regexp_matches(json_extract_string(e.props, '$.k'), '^-?[0-9]+$') THEN json_extract_string(e.props, '$.k') END AS INTEGER) < 50
             THEN '1' ELSE '0' END                       AS is_new,
        COUNT(*)                                         AS pv_ct,
        CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
@@ -104,7 +104,11 @@ def dws_traffic_vc_ch_ar_is_new_page_view_window(
     sum. Streaming twin: identical plan + withWatermark("ts", "3 seconds").
     """
     e = T.load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # ANSI-safe integral guard (see p1_json_parse_validity_filter): a
+    # non-integral k yields NULL dims on BOTH engines instead of raising
+    # here / rounding in DuckDB
+    ks = F.get_json_object("props", "$.k")
+    k = F.when(ks.rlike("^-?[0-9]+$"), ks.cast("int"))
     return (
         e.groupBy(
             F.window("ts", "1 hour").alias("w"),
@@ -399,8 +403,12 @@ WITH od AS (
            l_shipdate
     FROM lineitem
     ORDER BY l_orderkey * 8 + l_linenumber,
-             l_orderkey, l_partkey, l_quantity, l_extendedprice, l_discount,
-             l_shipdate
+             l_orderkey NULLS FIRST, l_partkey NULLS FIRST,
+             l_quantity NULLS FIRST, l_extendedprice NULLS FIRST,
+             l_discount NULLS FIRST, l_shipdate NULLS FIRST
+             -- NULLS FIRST matches Spark's min(struct(...)) keeper,
+             -- which sorts NULL struct fields first; DuckDB's default
+             -- ASC ordering is NULLS LAST
 )
 SELECT date_trunc('day', od.l_shipdate)                 AS stt,
        date_trunc('day', od.l_shipdate) + INTERVAL 1 DAY AS edt,

@@ -19,6 +19,7 @@ SELECT event_id,
 FROM events
 WHERE props IS NOT NULL
   AND json_extract_string(props, '$.k') IS NOT NULL
+  AND regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
   AND user_id IS NOT NULL
   AND event_type IS NOT NULL AND event_type <> ''
 """,
@@ -34,7 +35,12 @@ def p1_json_parse_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     is pushed to the scan.
     """
     e = T.load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # integral-guard before the cast: under Spark 4's default ANSI mode a
+    # non-integral payload ('5.0') would RAISE instead of nulling, while
+    # DuckDB's CAST rounds — the regex pins identical drop-the-row
+    # semantics on both engines
+    ks = F.get_json_object("props", "$.k")
+    k = F.when(ks.rlike("^-?[0-9]+$"), ks.cast("int"))
     return e.select(
         "event_id", k.alias("k"), "user_id", "event_type"
     ).filter(
@@ -85,7 +91,7 @@ def f_date_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey * 8 + l_linenumber                      AS id,
        CASE WHEN l_linestatus = 'O' THEN 'open' ELSE 'closed' END AS status_name,
-       CAST(l_quantity AS BIGINT)                          AS qty_int,
+       CAST(trunc(l_quantity) AS BIGINT)                   AS qty_int,
        l_extendedprice * l_tax                             AS tax_amount,
        l_extendedprice - l_extendedprice * l_discount      AS net_price
 FROM lineitem
@@ -320,6 +326,7 @@ SELECT event_type,
            AS max_k
 FROM events
 WHERE props IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+  AND regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
 GROUP BY 1, 2
 """,
     tags=("func", "json"),
@@ -337,15 +344,19 @@ def f_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boundary per the catalog money contract.
     """
     e = T.load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    # ANSI-safe integral guard (see p1): non-integral k drops the row on
+    # BOTH engines instead of raising here / rounding in DuckDB; every
+    # cast sits behind the guard so no evaluation order can surface it
+    _kg = (
+        "case when get_json_object(props, '$.k') rlike '^-?[0-9]+$'"
+        " then cast(get_json_object(props, '$.k') as bigint) end"
+    )
+    k = F.expr(_kg)
     return (
         e.filter(F.col("props").isNotNull() & k.isNotNull())
         .groupBy(
             "event_type",
-            F.expr(
-                "cast(cast(get_json_object(props, '$.k') as bigint) div 10"
-                " as bigint)"
-            ).alias("k_bucket"),
+            F.expr(f"cast(({_kg}) div 10 as bigint)").alias("k_bucket"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -360,9 +360,9 @@ def llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.size(t) - 3, F.lit(0))),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(t, i + 1),
-                F.element_at(t, i + 2),
-                F.element_at(t, i + 3),
+                F.try_element_at(t, i + 1),
+                F.try_element_at(t, i + 2),
+                F.try_element_at(t, i + 3),
             ),
         ),
         lambda s: F.size(F.split(s, " ")) == 3,
@@ -396,7 +396,7 @@ WITH feat AS (
     SELECT doc_id, lang, text,
            len(string_split(text, ' ')) AS n_tokens,
            length(text)                 AS n_chars,
-           md5(trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS fp,
+           md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS fp,
            (1000 * len(list_filter(string_split(text, ' '),
                                    x -> x IN ('the', 'a', 'of', 'to', 'and'))))
                // greatest(len(string_split(text, ' ')), 1) AS stop_pm
@@ -459,7 +459,7 @@ def llm_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars"),
-        F.md5(F.trim(F.regexp_replace(F.lower("text"), "[ \\t\\n\\f\\r]+", " "))).alias("fp"),
+        F.md5(F.trim(F.regexp_replace(F.translate("text", "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), "[ \\t\\n\\f\\r]+", " "))).alias("fp"),
         F.expr(
             "(1000 * size(filter(split(text, ' '),"
             " x -> x IN ('the','a','of','to','and'))))"
@@ -797,11 +797,11 @@ WITH cand AS (
     SELECT doc_a, doc_b FROM ({minhash})
 )
 SELECT c.doc_a, c.doc_b,
-       CAST(levenshtein(lower(da.text), lower(db.text)) AS BIGINT) AS lev_dist,
-       CAST((1000 * levenshtein(lower(da.text), lower(db.text)))
+       CAST(levenshtein(translate(da.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), translate(db.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS BIGINT) AS lev_dist,
+       CAST((1000 * levenshtein(translate(da.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), translate(db.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))
             // greatest(greatest(octet_length(encode(da.text)), octet_length(encode(db.text))), 1)
             AS BIGINT) AS lev_pm,
-       CAST((1000 * levenshtein(lower(da.text), lower(db.text)))
+       CAST((1000 * levenshtein(translate(da.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), translate(db.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))
             // greatest(greatest(octet_length(encode(da.text)), octet_length(encode(db.text))), 1)
             <= {EDIT_DUP_PM} AS INT) AS is_dup
 FROM cand c
@@ -838,7 +838,7 @@ def llm_dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFram
     cand = llm_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     d = T.load(spark, sf_dir, "documents").select(
         "doc_id",
-        F.decode(F.encode(F.lower("text"), "utf-8"), "ISO-8859-1").alias("lt"),
+        F.decode(F.encode(F.translate("text", "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), "utf-8"), "ISO-8859-1").alias("lt"),
         F.octet_length("text").alias("ln"),
     )
     j = (

@@ -37,7 +37,7 @@ VEC_ACC = "decimal(38,14)"
 @query(
     "llm_dedup_exact",
     oracle="""
-SELECT md5(lower(text))   AS content_hash,
+SELECT md5(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))   AS content_hash,
        MIN(doc_id)        AS keeper_doc_id,
        COUNT(*)           AS dup_count
 FROM documents
@@ -48,7 +48,7 @@ GROUP BY 1
 def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup via hash-groupBy; keeper = min doc_id."""
     d = T.load(spark, sf_dir, "documents")
-    return d.groupBy(F.md5(F.lower("text")).alias("content_hash")).agg(
+    return d.groupBy(F.md5(F.translate("text", "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")).alias("content_hash")).agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count(F.lit(1)).alias("dup_count"),
     )
@@ -106,9 +106,9 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.sequence(F.lit(0), F.greatest(F.size("t") - 3, F.lit(0))),
                         lambda i: F.concat_ws(
                             " ",
-                            F.element_at(F.col("t"), i + 1),
-                            F.element_at(F.col("t"), i + 2),
-                            F.element_at(F.col("t"), i + 3),
+                            F.try_element_at(F.col("t"), i + 1),
+                            F.try_element_at(F.col("t"), i + 2),
+                            F.try_element_at(F.col("t"), i + 3),
                         ),
                     )
                 )
@@ -450,7 +450,7 @@ WITH feat AS (
     SELECT doc_id, source, text,
            len(string_split(text, ' ')) AS n_tokens,
            length(text)                 AS n_chars,
-           md5(trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS fp,
+           md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS fp,
            (1000 * len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})))
                // greatest(len(string_split(text, ' ')), 1) AS stop_pm
     FROM documents
@@ -490,7 +490,7 @@ def llm_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars"),
-        F.md5(F.trim(F.regexp_replace(F.lower("text"), "[ \\t\\n\\f\\r]+", " "))).alias("fp"),
+        F.md5(F.trim(F.regexp_replace(F.translate("text", "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), "[ \\t\\n\\f\\r]+", " "))).alias("fp"),
         F.expr(
             "(1000 * size(filter(split(text, ' '), x -> x IN ('the','a','of','to','and'))))"
             " div greatest(size(split(text, ' ')), 1)"
@@ -515,17 +515,21 @@ def llm_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_text_fingerprint",
     oracle="""
 SELECT doc_id,
-       md5(trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS fingerprint
+       md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS fingerprint
 FROM documents
 """,
     tags=("llm-text",),
 )
 def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    """Document fingerprint: md5 of whitespace-normalized, ASCII-case-folded
+    text. Case folding is deliberately ASCII-only (translate, identical on
+    both engines): full Unicode lowercasing diverges between Java and
+    DuckDB for special mappings ('İ' -> 'i'+combining-dot vs 'i'), which
+    would fork the fingerprint universe across engines."""
     d = T.load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.md5(
-            F.trim(F.regexp_replace(F.lower("text"), "[ \\t\\n\\f\\r]+", " "))
+            F.trim(F.regexp_replace(F.translate("text", "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), "[ \\t\\n\\f\\r]+", " "))
         ).alias("fingerprint"),
     )

@@ -54,9 +54,9 @@ def _shingles(d: DataFrame) -> DataFrame:
                         F.sequence(F.lit(0), F.greatest(F.size("t") - 3, F.lit(0))),
                         lambda i: F.concat_ws(
                             " ",
-                            F.element_at(F.col("t"), i + 1),
-                            F.element_at(F.col("t"), i + 2),
-                            F.element_at(F.col("t"), i + 3),
+                            F.try_element_at(F.col("t"), i + 1),
+                            F.try_element_at(F.col("t"), i + 2),
+                            F.try_element_at(F.col("t"), i + 3),
                         ),
                     )
                 )

@@ -148,7 +148,7 @@ e AS (
            first_value(is_new_in) OVER w AS first_new,
            first_value(day)       OVER w AS first_day
     FROM e
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
 )"""
 
 _REPAIRED = (
@@ -408,7 +408,9 @@ WITH ch AS (
 ), last AS (
     SELECT * FROM (
         SELECT *, row_number() OVER (
-            PARTITION BY row_key ORDER BY seq DESC) AS rn
+            PARTITION BY row_key ORDER BY seq DESC,
+                CASE WHEN typ = 'delete' THEN 1 ELSE 0 END,
+                typ, src_order_id, line_status) AS rn
         FROM ch
     ) WHERE rn = 1
 )
@@ -439,6 +441,12 @@ def dim_app_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("src_order_id"), F.col("l_orderkey").cast("string"),
             F.lit("line_status"), F.col("l_linestatus"),
         ).alias("data"),
+        # plain copies of the payload ride along as ORDERABLE tie-breaks
+        # (maps can't sort): duplicate synthesized ids tie on seq with
+        # differing payloads, and the keeper must be a deterministic
+        # total order on BOTH engines (CLAUDE.md invariant)
+        F.col("l_orderkey").cast("string").alias("src_order_id"),
+        F.col("l_linestatus").alias("line_status"),
     )
     latest = apply_dim_batch(routed, "dim_sku")
     return latest.select(

@@ -51,7 +51,11 @@ def dws_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     `F.window(ts, size, slide)` — each event lands in size/slide windows;
     Spark expands map-side then aggregates with partial combine, so the
-    ×4 row expansion never crosses the shuffle unaggregated.
+    ×4 row expansion never crosses the shuffle unaggregated. Windows are
+    clipped to non-negative epoch starts on BOTH engines: Spark emits
+    pre-epoch hop windows for events near 1970 while the oracle's integer
+    arithmetic starts at 0 (and `//` truncation differs from floor on
+    negatives) — the shared clip makes near/pre-epoch data well-defined.
     """
     e = T.load(spark, sf_dir, "events")
     w = F.window(
@@ -65,6 +69,7 @@ def dws_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("val_sum"),
         )
+        .filter(F.col("w.start") >= F.to_timestamp(F.lit("1970-01-01 00:00:00")))
         .select(
             F.col("w.start").alias("stt"),
             F.col("w.end").alias("edt"),
@@ -189,7 +194,10 @@ def dws_user_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH flagged AS (
     SELECT user_id, ts,
-           CASE WHEN ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP_MIN} MINUTE
+           -- STRICT >: Spark's session_window merges events exactly
+           -- gap-distance apart (the window end is start + gap,
+           -- half-open, and a point ON the end extends the session)
+           CASE WHEN ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
                   OR lag(ts) OVER w IS NULL
                 THEN 1 ELSE 0 END AS new_session
     FROM events
