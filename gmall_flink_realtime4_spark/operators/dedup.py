@@ -64,11 +64,12 @@ def dedup_within_watermark(
 
 
 def _orderable(df: DataFrame, exclude: set) -> list[str]:
-    """Columns usable in a sort order (Spark cannot order MAP types)."""
+    """Columns usable in a sort order (Spark cannot order MAP types —
+    including maps NESTED inside arrays/structs, hence substring match)."""
     return [
         c
         for c, t in df.dtypes
-        if c not in exclude and not t.startswith("map<")
+        if c not in exclude and "map<" not in t
     ]
 
 

@@ -85,8 +85,16 @@ def two_phase_distinct_count(
         .distinct()
     )
     counts = pairs.groupBy(*keys).agg(F.count(F.lit(1)).alias(out_col))
-    return groups.join(counts, list(keys), "left").select(
-        *keys, F.coalesce(out_col, F.lit(0)).cast("bigint").alias(out_col)
+    # Null-SAFE join: SQL GROUP BY treats NULL keys as one real group, so a
+    # NULL-key group with non-NULL x must keep its true count (a plain
+    # using-columns equi join would null-match it to 0).
+    cond = None
+    for k in keys:
+        c = groups[k].eqNullSafe(counts[k])
+        cond = c if cond is None else cond & c
+    return groups.join(counts, cond, "left").select(
+        *[groups[k] for k in keys],
+        F.coalesce(counts[out_col], F.lit(0)).cast("bigint").alias(out_col),
     )
 
 

@@ -76,13 +76,28 @@ def compact_partitions(
 
     Scale shape: the driver only LISTS files (cheap metadata; on HDFS/S3
     this walk is the FileSystem/ListObjects API — same loop); the data
-    move is a distributed partition-pruned read + repartition + dynamic
-    partition overwrite, so concurrent readers of other partitions are
-    untouched and each rewrite replaces exactly one directory. Returns
-    {partitions_compacted, files_before, files_after}.
+    move is a distributed partition-pruned read + a write to a HIDDEN
+    temp directory, then two directory renames swap the compacted data
+    in. Durability contract: the source partition is read-only until the
+    temp write has fully committed, so losing an executor mid-write just
+    re-runs tasks against the intact source (no checkpoint-block
+    recompute hazard); the only crash windows are the two renames, which
+    leave either the intact original or the complete compacted result
+    plus an ignorable dot-prefixed leftover. Concurrent readers of other
+    partitions are untouched. Returns {partitions_compacted,
+    files_before, files_after} with files_after COUNTED from the swapped
+    directory (not assumed from repartition's target).
     """
     import math
     import os
+    import shutil
+
+    if not partition_cols:
+        raise ValueError(
+            "compact_partitions requires >=1 partition column: the swap "
+            "renames one k=v directory per rewrite; compacting an "
+            "unpartitioned root would need a temp dir outside `path`"
+        )
 
     # partition dir -> (n_files, total_bytes); local-FS walk stands in for
     # the FileSystem API at scale. Only well-formed k=v/... directories
@@ -105,48 +120,42 @@ def compact_partitions(
         size = sum(os.path.getsize(os.path.join(root, f)) for f in pq)
         parts[rel] = (n, size)
 
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     compacted = files_before = files_after = 0
-    try:
-        for rel, (n, size) in parts.items():
-            files_before += n
-            want = max(1, math.ceil(size / target_file_bytes))
-            if n <= want:
-                files_after += n
-                continue
-            # read ONLY this partition's directory, with basePath so the
-            # partition columns come back type-inferred from the k=v path
-            # (NULL values — k=__HIVE_DEFAULT_PARTITION__ — included);
-            # foreign/stray directories under the root are never touched
-            part = spark.read.option("basePath", path).parquet(
-                os.path.join(path, rel)
-            )
-            # an all-NULL partition dir infers its partition column as
-            # VOID, which partitionBy refuses — cast to string (the value
-            # is only ever the directory name; NULL round-trips to
-            # __HIVE_DEFAULT_PARTITION__ whatever the declared type)
-            for k in partition_cols:
-                if dict(part.dtypes).get(k) == "void":
-                    part = part.withColumn(k, part[k].cast("string"))
-            # materialize BEFORE the write: Spark (rightly) refuses to
-            # overwrite a location it is still reading, and even the
-            # dynamic-overwrite commit must not race the scan. At real
-            # scale the same decoupling is a temp-dir write + rename.
-            part = part.localCheckpoint(eager=True)
-            (
-                part.repartition(want)
-                .write.mode("overwrite")
-                .partitionBy(*partition_cols)
-                .parquet(path)
-            )
-            compacted += 1
-            files_after += want
-    finally:
-        if prev_mode is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    for rel, (n, size) in parts.items():
+        files_before += n
+        want = max(1, math.ceil(size / target_file_bytes))
+        if n <= want:
+            files_after += n
+            continue
+        target_dir = os.path.join(path, rel)
+        parent, leaf = os.path.split(target_dir)
+        # dot-prefixed siblings: invisible to Spark's file listing AND to
+        # this function's own k=v walk, so a crash mid-swap leaves only
+        # ignorable leftovers (cleaned up eagerly on the next run)
+        tmp_dir = os.path.join(parent, f"._compact_tmp_{leaf}")
+        old_dir = os.path.join(parent, f"._compact_old_{leaf}")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        # read ONLY this partition's directory; the partition VALUES live
+        # in the directory name (which the rename preserves verbatim —
+        # incl. k=__HIVE_DEFAULT_PARTITION__ for NULL), so the rewritten
+        # files carry only the data columns, exactly like the originals
+        part = spark.read.option("basePath", path).parquet(target_dir)
+        (
+            part.drop(*partition_cols)
+            .repartition(want)
+            .write.mode("overwrite")
+            .parquet(tmp_dir)
+        )
+        # swap: original stays intact until the temp write is fully
+        # committed; each rename is a single metadata op on the same FS
+        os.rename(target_dir, old_dir)
+        os.rename(tmp_dir, target_dir)
+        shutil.rmtree(old_dir)
+        compacted += 1
+        files_after += len(
+            [f for f in os.listdir(target_dir) if f.endswith(".parquet")]
+        )
     return {
         "partitions_compacted": compacted,
         "files_before": files_before,

@@ -300,12 +300,14 @@ def trade_trademark_category_user_refund_window(
             F.lit(0).alias("ord"),
         )
         # the distinct-order tag must be scoped to the GROUPING KEYS and
-        # the window day (batch countDistinct counts an order once per
+        # the TUMBLING WINDOW (batch countDistinct counts an order once per
         # (tm, c3, user, window) it appears in — a refund order spanning
         # two trademarks contributes to BOTH; a global order_id dedup
-        # credited only the first-arriving group)
+        # credited only the first-arriving group). Keyed on the window
+        # START, not to_date, so sub-day windows dedup exactly like the
+        # batch twin instead of silently undercounting.
         orders = (
-            enriched.withColumn("d", F.to_date("event_time"))
+            enriched.withColumn("d", F.window("event_time", window)["start"])
             .dropDuplicates(
                 ["tm_id", "category3_id", "user_id", "order_id", "d"]
             )
@@ -373,12 +375,13 @@ def trade_province_order_window(
             F.col("split_total_amount").cast(MONEY).alias("amount"),
             F.lit(0).alias("ord"), F.lit(0).alias("usr"),
         )
-        # both distinct tags scope to (province, window day), mirroring
-        # the batch countDistinct per (province, window): an order whose
-        # rows straddle windows counts in each, and a user ordering in
-        # two provinces counts in both (global keys undercounted)
+        # both distinct tags scope to (province, tumbling window) — keyed
+        # on the window START, matching the batch countDistinct per
+        # (province, window) for ANY window size: an order whose rows
+        # straddle windows counts in each, and a user ordering in two
+        # provinces counts in both (global keys undercounted)
         orders = (
-            src.withColumn("d", F.to_date("event_time"))
+            src.withColumn("d", F.window("event_time", window)["start"])
             .dropDuplicates(["order_id", "province_id", "d"])
             .select(
                 "province_id", "event_time",
@@ -387,7 +390,7 @@ def trade_province_order_window(
             )
         )
         users = (
-            src.withColumn("d", F.to_date("event_time"))
+            src.withColumn("d", F.window("event_time", window)["start"])
             .dropDuplicates(["user_id", "province_id", "d"])
             .select(
                 "province_id", "event_time",

@@ -148,7 +148,8 @@ e AS (
            first_value(is_new_in) OVER w AS first_new,
            first_value(day)       OVER w AS first_day
     FROM e
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts_ms, CAST(event_id AS VARCHAR))
 )"""
 
 _REPAIRED = (

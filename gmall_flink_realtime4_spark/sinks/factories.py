@@ -107,7 +107,8 @@ def upsert_parquet(
     others = [
         c
         for c, t in merged.dtypes
-        if c not in key_cols and c != order_col and not t.startswith("map<")
+        # 'map<' SUBSTRING: maps nested in arrays/structs are unorderable too
+        if c not in key_cols and c != order_col and "map<" not in t
     ]
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(order_col).desc(),

@@ -85,6 +85,27 @@ def test_two_phase_distinct_count_null_semantics(spark):
     assert got == ref == {"a": 1, "b": 0}
 
 
+def test_two_phase_distinct_count_null_key_group(spark):
+    """SQL GROUP BY treats NULL keys as one real group: a NULL-key group
+    whose distinct_col has real values must keep its true count (a plain
+    using-columns join would null-match it down to 0)."""
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "y"), (None, None), ("a", "x")],
+        "key string, val string",
+    )
+    got = {
+        r.key: r.distinct_count
+        for r in two_phase_distinct_count(df, ["key"], "val").collect()
+    }
+    ref = {
+        r.key: r.c
+        for r in df.groupBy("key")
+        .agg(F.countDistinct("val").alias("c"))
+        .collect()
+    }
+    assert got == ref == {None: 2, "a": 1}
+
+
 def test_salted_join_rejects_small_side_preserving_modes(spark):
     """right/full outer would emit unmatched small-side rows once per salt
     replica — the operator must refuse instead of silently duplicating."""

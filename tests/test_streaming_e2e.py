@@ -584,3 +584,47 @@ def test_province_window_end_to_end_stream_vs_batch(spark, tmp_path):
         for r in got.filter(F.col("province_id") != "pz").collect()
     )
     assert streamed == expect
+
+
+def test_province_window_sub_day_stream_vs_batch(spark, tmp_path):
+    """Sub-day windows: the streaming distinct tags must dedup per
+    TUMBLING WINDOW (window-start key), not per calendar day — an order
+    re-appearing in a later hour counts again, exactly like the batch
+    countDistinct per (province, window)."""
+    schema = (
+        "province_id string, order_id string, user_id string,"
+        " split_total_amount string, ts long"
+    )
+    hour = 3600
+    rows = [
+        ("p1", "o1", "u1", "10", 10 * hour),
+        ("p1", "o1", "u1", "5", 10 * hour + 60),   # same order+hour: dedup
+        ("p1", "o1", "u1", "7", 11 * hour),        # same order, NEXT hour:
+        ("p1", "o2", "u2", "3", 11 * hour + 60),   #   must count again
+    ]
+
+    def run(df, streaming):
+        return dws.trade_province_order_window(
+            df, window="1 hour", streaming=streaming
+        )
+
+    batch = run(spark.createDataFrame(rows, schema), False)
+    cols = ["stt", "province_id", "order_count", "user_count", "order_amount"]
+    expect = sorted(tuple(str(r[c]) for c in cols) for r in batch.collect())
+    assert [(r[2], r[3], r[4]) for r in expect] == [
+        ("1", "1", "15.0"), ("2", "2", "10.0")
+    ]
+    src = empty_stream_dir(str(tmp_path))
+    s = stream_parquet_source(spark, src, schema, 1000)
+    flush = [("pz", "oz", "uz", "0", 10_000 * hour)]
+    stages = [
+        (lambda vs=vs: spark.createDataFrame(vs, schema).coalesce(1)
+         .write.mode("append").parquet(src))
+        for vs in (rows[:2], rows[2:], flush)
+    ]
+    got = run_to_memory(run(s, True), "append", stages=stages)
+    streamed = sorted(
+        tuple(str(r[c]) for c in cols)
+        for r in got.filter(F.col("province_id") != "pz").collect()
+    )
+    assert streamed == expect
