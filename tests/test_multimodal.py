@@ -290,3 +290,25 @@ def test_audio_stats_pcm_features(spark):
     assert r2.ok and (r2.channels, r2.bits) == (2, 8)
     assert (r2.n_samples, r2.peak_abs, r2.rms) == (50, 3, 3)
     assert got[3].ok is False and got[3].rms is None
+
+
+def test_wav_frame_is_genuine_riff_container(spark):
+    """The JVM-built WAV payloads (hex-expression header + unhex) must be
+    REAL RIFF/WAVE containers: the pure-Python chunk walk parses them and
+    recovers exactly the construction parameters (mono, 8 kHz, 8-bit,
+    n_samples == text byte length)."""
+    from gmall_flink_realtime4_spark.plans.llm_multimodal import (
+        _parse_wav,
+        _wav_pcm,
+        wav_frame,
+    )
+
+    rows = wav_frame(spark, SF).limit(5).collect()
+    assert rows
+    for r in rows:
+        b = bytes(r.media_bytes)
+        meta = _parse_wav(b)
+        assert (meta["width"], meta["height"]) == (1, 8)  # mono, 8-bit
+        channels, rate, bits, data = _wav_pcm(b)
+        assert (channels, rate, bits) == (1, 8000, 8)
+        assert meta["n_frames"] == len(data) == len(b) - 44

@@ -285,6 +285,29 @@ def test_pixel_stats_map_only(spark):
     assert tree.count("Exchange") <= 1
 
 
+def test_resize_map_only(spark):
+    """Resize (identity + 2x variants) is two map-only passes unioned:
+    MapInPandas present, no aggregation/join shuffle anywhere (the only
+    allowed exchanges are tables.load's small-input spread, one per
+    union branch)."""
+    plan = _plan(spark, "llm_multimodal_resize")
+    tree = plan.split("\n\n")[0]
+    assert "MapInPandas" in tree
+    assert "HashAggregate" not in tree
+    assert "Join" not in tree
+    assert tree.count("Exchange") <= 2
+
+
+def test_audio_stats_map_only(spark):
+    """Audio feature extraction is scan -> JVM WAV construction -> Arrow
+    batch -> one row per payload: no shuffle at any scale."""
+    plan = _plan(spark, "llm_multimodal_audio_stats")
+    tree = plan.split("\n\n")[0]
+    assert "MapInPandas" in tree
+    assert "HashAggregate" not in tree
+    assert tree.count("Exchange") <= 1
+
+
 def test_kmv_union_no_window(spark):
     """The sketch union must stay in the fold world: no row_number /
     Window over the hash universe."""

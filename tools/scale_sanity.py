@@ -139,6 +139,9 @@ QUERIES = [
     "f_unpivot_event_day",
     "dq_referential_integrity",
     "dws_user_path_transitions",
+    # new in round 5
+    "llm_multimodal_resize",
+    "llm_multimodal_audio_stats",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
