@@ -19,7 +19,12 @@ from gmall_flink_realtime4_spark.plans.catalog import queries  # noqa: E402
 from gmall_flink_realtime4_spark.session import get_spark  # noqa: E402
 
 # headline set: the widest operator coverage per second of bench budget —
-# flagship window agg, the big joins, dedup, ANN, text analysis.
+# flagship window agg, the big joins, dedup, ANN, text analysis, and the
+# heaviest shipping scale plans (embedding-cell near-dup, containment LSH,
+# the full corpus pipeline). Refreshed round 5: embedding_cells /
+# containment_lsh / corpus_final in; quality_score, corpus_prepare and
+# corpus_rollup out (each subsumed by corpus_final's pipeline, all
+# sub-second near-duplicates of retained entries).
 HEADLINE = [
     "dws_trade_sku_order_window",
     "dwd_trade_order_detail",
@@ -33,14 +38,14 @@ HEADLINE = [
     "llm_dedup_minhash_lsh",
     "llm_ann_cosine_topk",
     "llm_ann_ivf",
-    "llm_text_quality_score",
-    "llm_corpus_prepare",
+    "llm_dedup_embedding_cells",
+    "llm_dedup_containment_lsh",
+    "llm_corpus_final",
     "llm_multimodal_decode",
     "llm_dedup_simhash",
     "dws_sliding_window_events",
     "dws_session_window_events",
     "dws_user_event_funnel",
-    "llm_corpus_rollup",
 ]
 
 

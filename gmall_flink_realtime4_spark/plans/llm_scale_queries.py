@@ -675,6 +675,29 @@ SELECT query_vec_id, neighbor_vec_id, rank, cos_sim_e9 FROM (
 """
 
 
+def _dot_dbl(a, b):
+    """Plain-double twin of the exact-decimal ``_dot`` — the cheap
+    PRE-SCORE for prerank/prefilter passes: no BigDecimal allocation per
+    element, so it is ~10-30x faster through the interpreted higher-order
+    fold. Never emitted: every surviving row is re-scored with ``_dot``
+    before any output or ranking decision (see ``PRESCORE_MARGIN_E9``)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+# |cos_e9(decimal) - cos_e9(double)| bound: DECIMAL(9,7) quantization
+# perturbs each element by <= 5e-8, so a D-dim dot moves by
+# <= D * (2*max|x|*5e-8) ~ 6.4e-6 for D=64, |x| <= 1 — i.e. <= ~6.4e3
+# e9-units for unit-norm vectors (double fold rounding is 1e-7 e9-units,
+# negligible). 1e7 (0.01 cosine) is a ~1500x safety factor; candidates
+# inside the margin are decimal-rescored, so the margin only affects COST
+# (a slightly larger rescore set), never correctness.
+PRESCORE_MARGIN_E9 = 10_000_000
+
+
 def _cos_e9(dot: Column, n2a: Column, n2b: Column) -> Column:
     # nullif-guard the norm product: a zero-norm vector would otherwise
     # raise DIVIDE_BY_ZERO under Spark 4's default ANSI mode, while the
@@ -698,12 +721,19 @@ def _group_identical(embn: DataFrame) -> DataFrame:
     because it feeds both the rep mining and the membership expansion
     (Spark normalizes -0.0 in grouping keys; both engines' dots agree for
     either zero)."""
+    spread = embn.sparkSession.sparkContext.defaultParallelism
     return (
         embn.groupBy("embedding", "n2")
         .agg(
             F.min("vec_id").alias("vec_id"),
             F.sort_array(F.collect_list("vec_id")).alias("members"),
         )
+        # AQE coalesces the tiny-BYTES agg output to one partition, but
+        # every downstream consumer is compute-bound (K decimal dots per
+        # row) — spread the reps across cores before checkpointing so the
+        # assignment pass parallelizes (explicit repartition: AQE leaves
+        # user-specified partitioning alone)
+        .repartition(spread)
         .localCheckpoint(eager=True)
     )
 
@@ -748,34 +778,80 @@ def _topcells(embn: DataFrame, cent: DataFrame, nprobe: int, dot=None) -> DataFr
     ``cent`` must expose (cid, ce, cn2); ``dot(embedding, ce)`` defaults to
     the exact-decimal ``_dot``. Returns ``embn``'s rows plus ``_top``:
     array<struct<ce9, negcid>> of length <= nprobe (cell id = -negcid).
+
+    Cost shape (default dot only): the K decimal scores per vector are the
+    dominant arithmetic of every assignment pass (BigDecimal per element),
+    so ranking runs in TWO in-row passes — a plain-double pre-rank over
+    all K cells, then the exact-decimal score over only the cells whose
+    double score is within ``2 * PRESCORE_MARGIN_E9`` of the nprobe-th
+    best (provably a superset of the decimal top-nprobe: a cell below the
+    cutoff is > margin worse in decimal than nprobe cells at least
+    cutoff-margin good, all strictly above it). Decimal work per vector
+    drops K*D -> ~(nprobe+1)*D while the emitted ranking stays
+    bit-identical to the one-pass decimal sort (guard:
+    ``test_topcells_prerank_matches_full_decimal``).
     """
+    custom_dot = dot is not None
     dot = dot or _dot
     cent_arr = cent.agg(F.collect_list(F.struct("cid", "ce", "cn2")).alias("_cents"))
+    crossed = embn.crossJoin(F.broadcast(cent_arr))
+
+    def _decimal_struct(c):
+        return F.struct(
+            _cos_e9(dot(F.col("embedding"), c["ce"]), F.col("n2"), c["cn2"]).alias(
+                "ce9"
+            ),
+            (-c["cid"]).alias("negcid"),
+        )
+
+    if custom_dot:
+        # caller-supplied dot: no double twin to prerank with — one pass
+        return crossed.withColumn(
+            "_top",
+            F.slice(
+                F.reverse(F.array_sort(F.transform("_cents", _decimal_struct))),
+                1,
+                nprobe,
+            ),
+        ).drop("_cents")
+    pre = F.reverse(
+        F.array_sort(
+            F.transform(
+                "_cents",
+                lambda c: F.struct(
+                    _cos_e9(
+                        _dot_dbl(F.col("embedding"), c["ce"]),
+                        F.col("n2"),
+                        c["cn2"],
+                    ).alias("pce9"),
+                    c["cid"].alias("cid"),
+                    c["ce"].alias("ce"),
+                    c["cn2"].alias("cn2"),
+                ),
+            )
+        )
+    )
+    cut = F.element_at("_pre", F.least(F.lit(nprobe), F.size("_pre")))["pce9"]
     return (
-        embn.crossJoin(F.broadcast(cent_arr))
+        crossed.withColumn("_pre", pre)
+        .withColumn("_cut", cut)
+        .withColumn(
+            "_kept",
+            F.filter(
+                "_pre",
+                lambda s: s["pce9"]
+                >= F.col("_cut") - F.lit(2 * PRESCORE_MARGIN_E9),
+            ),
+        )
         .withColumn(
             "_top",
             F.slice(
-                F.reverse(
-                    F.array_sort(
-                        F.transform(
-                            "_cents",
-                            lambda c: F.struct(
-                                _cos_e9(
-                                    dot(F.col("embedding"), c["ce"]),
-                                    F.col("n2"),
-                                    c["cn2"],
-                                ).alias("ce9"),
-                                (-c["cid"]).alias("negcid"),
-                            ),
-                        )
-                    )
-                ),
+                F.reverse(F.array_sort(F.transform("_kept", _decimal_struct))),
                 1,
                 nprobe,
             ),
         )
-        .drop("_cents")
+        .drop("_cents", "_pre", "_cut", "_kept")
     )
 
 
@@ -1070,8 +1146,23 @@ def llm_dedup_embedding_cells(
             .select(
                 "vec_a",
                 "vec_b",
-                _cos_e9(
-                    _dot(F.col("ea"), F.col("eb")), F.col("na2"), F.col("nb2")
+                # double pre-score gates the exact-decimal rescore per row
+                # (F.when short-circuits, so BigDecimal work runs only on
+                # the ~margin-wide survivor set — the candidate space is
+                # scored in cheap doubles, emitted values stay decimal-
+                # exact; see PRESCORE_MARGIN_E9 for the proof sketch)
+                F.when(
+                    _cos_e9(
+                        _dot_dbl(F.col("ea"), F.col("eb")),
+                        F.col("na2"),
+                        F.col("nb2"),
+                    )
+                    >= NEARDUP_THRESHOLD_E9 - PRESCORE_MARGIN_E9,
+                    _cos_e9(
+                        _dot(F.col("ea"), F.col("eb")),
+                        F.col("na2"),
+                        F.col("nb2"),
+                    ),
                 ).alias("cos_sim_e9"),
             )
             .filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)
@@ -1105,8 +1196,18 @@ def llm_dedup_embedding_cells(
         .select(
             "rep_a",
             "rep_b",
-            _cos_e9(
-                _dot(F.col("ea"), F.col("eb")), F.col("na2"), F.col("nb2")
+            # double pre-score gating the exact-decimal rescore — see the
+            # uncompressed branch / PRESCORE_MARGIN_E9 for the bound
+            F.when(
+                _cos_e9(
+                    _dot_dbl(F.col("ea"), F.col("eb")),
+                    F.col("na2"),
+                    F.col("nb2"),
+                )
+                >= NEARDUP_THRESHOLD_E9 - PRESCORE_MARGIN_E9,
+                _cos_e9(
+                    _dot(F.col("ea"), F.col("eb")), F.col("na2"), F.col("nb2")
+                ),
             ).alias("cos_sim_e9"),
         )
         .filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)
@@ -1340,75 +1441,41 @@ FROM reach GROUP BY 1
 
 
 @query("llm_dedup_clusters", oracle=_dedup_clusters_oracle(), tags=("llm-dedup",))
-def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_dedup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    algorithm: str = "propagate",
+    max_rounds: int | None = None,
+) -> DataFrame:
     """Near-dup clusters: connected components over the MinHash-LSH pair
     graph (jaccard >= 0.5), cluster id = min doc_id in the component.
 
-    The iterative-algorithm pattern SURVEY §7 calls out: a driver-side
-    Pregel-style loop — each round joins every node's label against its
-    neighbors' and keeps the min — run to convergence (O(component
-    diameter) rounds; dup clusters are near-cliques, so 2-3 rounds in
-    practice). Each round is one shuffle join + one aggregation; at 100 TB
-    you checkpoint labels every few rounds to cut lineage. The oracle is
-    the same fixpoint via DuckDB's recursive CTE.
+    The iterative-algorithm pattern SURVEY §7 calls out, via
+    ``operators.graph.connected_components``: the registered default is
+    min-label propagation run to the exact fixpoint — the oracle's
+    recursive CTE reaches the same closure. For adversarial long-chain
+    topologies (where O(diameter) sequential Spark jobs hurt), callers
+    have two documented escape hatches the registry's kwargs pass
+    through: ``max_rounds=N`` bounds the job count (possibly non-minimal
+    labels past the bound) and ``algorithm='star'`` switches to the
+    alternating large-star/small-star algorithm — exact in O(log^2 n)
+    rounds regardless of diameter; `tests/test_graph.py` pins that both
+    algorithms agree on this very pair graph and on a worst-case chain.
     """
+    from ..operators.graph import connected_components
+
     pairs = (
         llm_dedup_minhash_lsh(spark, sf_dir)
         .filter(F.col("jaccard_permille") >= DUP_CLUSTER_THRESHOLD_PM)
         .select("doc_a", "doc_b")
     )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst")
-    # materialize the (small) pair graph once, on few partitions: the label
-    # loop is scheduling-bound, not data-bound — per-iteration cost is
-    # tasks, so keep the iteration frames narrow. At 100 TB the edge set is
-    # still tiny relative to the corpus (it's only near-dup pairs); size
-    # partitions to the edge count, not the input.
-    edges = edges.coalesce(8).localCheckpoint()
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "lab", F.col("doc_id")
+    # the operator symmetrizes internally — pass the directed pairs as-is
+    cc = connected_components(
+        pairs.toDF("src", "dst"), algorithm=algorithm, max_rounds=max_rounds
     )
-    # convergence check: labels only ever decrease, so SUM(lab) is a strictly
-    # decreasing potential — one scalar agg per check instead of a
-    # join-and-count. The loop is scheduling-bound, not data-bound, so
-    # propagate THREE rounds per localCheckpoint + convergence check:
-    # dup components are near-cliques (diameter 2-3), so most runs now
-    # converge in one checkpointed super-step instead of paying a
-    # checkpoint + collect per round.
-    rounds_per_check = 3
-
-    def propagate(lab_df):
-        # string-key joins: edges appears multiple times in one chained
-        # lineage (3 rounds per checkpoint), so attribute-reference join
-        # conditions would be ambiguous
-        neighbor_min = (
-            lab_df.select(F.col("doc_id").alias("src"), "lab")
-            .join(edges, "src")
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("lab").alias("nlab"))
-        )
-        return lab_df.join(neighbor_min, "doc_id", "left").select(
-            "doc_id",
-            F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
-        )
-
-    # run to FIXPOINT — a fixed round cap would silently emit non-minimal
-    # labels for a component whose min-label distance exceeds it (a chain
-    # of pairwise near-dups), while the oracle's recursive CTE always
-    # reaches closure. Termination is guaranteed: the potential strictly
-    # decreases every super-step until converged, and rounds are bounded
-    # by the largest component's diameter.
-    prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
-    while True:
-        for _ in range(rounds_per_check):
-            labels = propagate(labels)
-        labels = labels.coalesce(8).localCheckpoint()
-        cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels.select("doc_id", F.col("lab").alias("cluster_id"))
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )
 
 
 # ---------------------------------------------------------------------------

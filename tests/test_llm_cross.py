@@ -273,3 +273,44 @@ def test_cosine_exact_compression_matches_uncompressed(spark, tmp_path):
     )
     assert len(ref) > 0
     assert comp == ref
+
+
+def test_topcells_prerank_matches_full_decimal(spark):
+    """The double pre-rank + decimal-rescore form of _topcells must emit
+    exactly the one-pass decimal ranking (passing dot=_dot forces the
+    single-pass path, so the two plans share every scoring expression)."""
+    import pyspark.sql.functions as F
+
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.llm_queries import _dot
+    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
+        _probe_cells,
+        _topcells,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = T.load(spark, sf, "embeddings")
+    embn = emb.select(
+        "vec_id",
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("n2"),
+    )
+    cent = embn.filter(F.col("vec_id") < 23).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("n2").alias("cn2"),
+    )
+    for nprobe in (1, 2, 4):
+        fast = {
+            r.vec_id: list(r.cells)
+            for r in _topcells(embn, cent, nprobe)
+            .select("vec_id", _probe_cells().alias("cells"))
+            .collect()
+        }
+        slow = {
+            r.vec_id: list(r.cells)
+            for r in _topcells(embn, cent, nprobe, dot=_dot)
+            .select("vec_id", _probe_cells().alias("cells"))
+            .collect()
+        }
+        assert fast == slow
