@@ -126,11 +126,20 @@ def connected_components(
         # fixpoint is a star per component centered at its min: every
         # non-root points at the root; the root's own min neighbor is a
         # child (> root), so least(min_neighbor, self) recovers it
-        return (
+        stars = (
             _sym(cur)
             .groupBy("src")
             .agg(F.least(F.min("dst"), F.first("src")).alias("lab"))
             .select(F.col("src").alias("node"), "lab")
+        )
+        # both star passes drop degenerate edges (large-star keeps dst>src,
+        # small-star keeps src!=dst), so a node whose only edge is a
+        # self-loop vanishes from the fixpoint edge set — restore it from
+        # the input node set (its component is itself), keeping the
+        # "one row per node in any edge" contract identical to propagate
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+        return nodes.join(stars, "node", "left").select(
+            "node", F.coalesce("lab", F.col("node")).alias("lab")
         )
 
     if algorithm != "propagate":
@@ -166,9 +175,17 @@ def connected_components(
     prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
     done_rounds = 0
     while True:
-        for _ in range(rounds_per_check):
+        # never overshoot an explicit cap: the last super-step shrinks to
+        # the rounds remaining, so max_rounds bounds propagate rounds
+        # EXACTLY (not rounded up to the next multiple of rounds_per_check)
+        step = (
+            rounds_per_check
+            if max_rounds is None
+            else max(0, min(rounds_per_check, max_rounds - done_rounds))
+        )
+        for _ in range(step):
             labels = propagate(labels)
-        done_rounds += rounds_per_check
+        done_rounds += step
         labels = labels.coalesce(8).localCheckpoint()
         cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
         if cur_sum == prev_sum:

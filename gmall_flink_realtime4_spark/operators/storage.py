@@ -61,6 +61,52 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), key)
 
 
+def _recover_stranded_swaps(path: str) -> int:
+    """Repair swaps interrupted between ``compact_partitions``' two
+    renames (single-writer assumption — see its docstring): a partition
+    directory that is MISSING while a ``._compact_old_<leaf>`` (the
+    intact original) or a ``._compact_tmp_<leaf>`` with a ``_SUCCESS``
+    marker (the fully-committed rewrite) sits beside it gets that copy
+    renamed back into place; leftovers whose target exists are orphans
+    from a completed swap and are deleted. Run eagerly at the start of
+    every compaction so no crash window survives more than one run."""
+    import os
+    import shutil
+
+    actions: list[tuple[str, str, str]] = []  # (kind, src, target)
+    for root, dirs, _files in os.walk(path):
+        # don't descend into the swap dirs themselves
+        keep = []
+        for d in dirs:
+            for prefix, kind in (
+                ("._compact_old_", "old"),
+                ("._compact_tmp_", "tmp"),
+            ):
+                if d.startswith(prefix):
+                    actions.append(
+                        (kind, os.path.join(root, d),
+                         os.path.join(root, d[len(prefix):]))
+                    )
+                    break
+            else:
+                keep.append(d)
+        dirs[:] = keep
+    recovered = 0
+    # restore from the intact original first; a complete tmp is equivalent
+    # (same rows), so whichever lands first wins and the other is cleaned
+    for kind, src, target in sorted(actions, key=lambda a: a[0] != "old"):
+        if os.path.exists(target):
+            shutil.rmtree(src)  # orphan of a completed swap
+            continue
+        if kind == "tmp" and not os.path.exists(
+            os.path.join(src, "_SUCCESS")
+        ):
+            continue  # incomplete rewrite: leave for the old-dir restore
+        os.rename(src, target)
+        recovered += 1
+    return recovered
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -78,15 +124,20 @@ def compact_partitions(
     this walk is the FileSystem/ListObjects API — same loop); the data
     move is a distributed partition-pruned read + a write to a HIDDEN
     temp directory, then two directory renames swap the compacted data
-    in. Durability contract: the source partition is read-only until the
-    temp write has fully committed, so losing an executor mid-write just
-    re-runs tasks against the intact source (no checkpoint-block
-    recompute hazard); the only crash windows are the two renames, which
-    leave either the intact original or the complete compacted result
-    plus an ignorable dot-prefixed leftover. Concurrent readers of other
-    partitions are untouched. Returns {partitions_compacted,
-    files_before, files_after} with files_after COUNTED from the swapped
-    directory (not assumed from repartition's target).
+    in. Durability contract (SINGLE WRITER — one compaction job per
+    dataset at a time, the norm for a maintenance job): the source
+    partition is read-only until the temp write has fully committed, so
+    losing an executor mid-write just re-runs tasks against the intact
+    source (no checkpoint-block recompute hazard). A crash between the
+    two renames leaves the partition temporarily invisible, with BOTH
+    complete copies preserved in dot-prefixed siblings;
+    ``_recover_stranded_swaps`` runs at the start of every call and
+    promotes the original (or the _SUCCESS-marked rewrite) back into
+    place, so the window never survives a subsequent run and no cleanup
+    ever deletes the only copy. Concurrent readers of other partitions
+    are untouched. Returns {partitions_compacted, files_before,
+    files_after, skipped_dirs, recovered_swaps} with files_after COUNTED
+    from the swapped directory (not assumed from repartition's target).
     """
     import math
     import os
@@ -98,6 +149,8 @@ def compact_partitions(
             "renames one k=v directory per rewrite; compacting an "
             "unpartitioned root would need a temp dir outside `path`"
         )
+
+    recovered = _recover_stranded_swaps(path)
 
     # partition dir -> (n_files, total_bytes); local-FS walk stands in for
     # the FileSystem API at scale. Only well-formed k=v/... directories
@@ -161,4 +214,5 @@ def compact_partitions(
         "files_before": files_before,
         "files_after": files_after,
         "skipped_dirs": skipped_dirs,
+        "recovered_swaps": recovered,
     }

@@ -275,8 +275,11 @@ def trade_trademark_category_user_refund_window(
 
     Batch: countDistinct. Streaming: the province pattern — countDistinct
     has no streaming form, so the distinct order measure becomes a
-    watermark-scoped dedup stream tagged ord=1 and UNIONed with the raw
-    amount stream; ONE append-mode windowed agg sums the tags. The sku ->
+    window-scoped dedup stream tagged ord=1 and UNIONed with the raw
+    amount stream; ONE append-mode windowed agg sums the tags. Same
+    STATE CONTRACT as trade_province_order_window: the (keys, order,
+    window-start) dedup state is deliberately not watermark-evicted —
+    see that docstring for the retention/restart guidance. The sku ->
     (tm_id, category3_id) broadcast join is stream-static and stateless,
     so it happens before the watermarked agg; tm_name enriches after the
     agg (dim_enrich), mirroring the reference's post-agg async lookups.
@@ -360,12 +363,25 @@ def trade_province_order_window(
     pattern) + distinct user count.
 
     Batch: plain countDistinct. Streaming: countDistinct is unsupported in
-    streaming aggs, so each distinct measure becomes a watermark-scoped
-    dedup stream (order ids globally — re-emissions net out like the
-    reference's Set union; users per window day) tagged and UNIONed with
-    the raw amount stream — ONE append-mode windowed agg sums the tags.
-    Works because tumbling windows partition event time: every tagged row
-    lands in exactly one window.
+    streaming aggs, so each distinct measure becomes a window-scoped
+    dedup stream (keys x tumbling window) tagged and UNIONed with the raw
+    amount stream — ONE append-mode windowed agg sums the tags. Works
+    because tumbling windows partition event time: every tagged row lands
+    in exactly one window.
+
+    STATE CONTRACT (honest): the dedup key includes the window START — a
+    derived column, which in Spark carries no event-time metadata — so
+    the dropDuplicates state is NOT watermark-evicted: it grows by one
+    row per distinct (keys, order/user, window) for the job's lifetime.
+    That retention is exactly what makes arbitrarily-late re-emissions
+    net out like the reference's orderIdSet (and what the batch-parity
+    tests pin); re-watermarking the derived column would both violate the
+    one-watermark-owner invariant and lag the global watermark by a full
+    window (min-policy over a window-quantized saw-tooth). Production
+    deployments bound the job by restarting per retention period (state
+    is per-window, so a restart at window N+2 loses nothing that the
+    watermark hasn't already sealed), or swap the tag streams to
+    `dedup_within_watermark` and accept approximate dedup past the delay.
     """
     src = _event_time(detail)
     if streaming:

@@ -330,9 +330,28 @@ FROM daily d JOIN stats s ON d.event_type = s.event_type
 def dws_event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily event-count anomaly detection via per-type z-scores."""
     e = T.load(spark, sf_dir, "events")
+    return anomaly_finalize(anomaly_daily_partials(e))
+
+
+def anomaly_daily_partials(events: DataFrame) -> DataFrame:
+    """Mergeable (event_type, day, ct) partial counts over an events-shaped
+    frame — the streaming-incremental form (checksum_partials pattern):
+    counts are commutative + associative, so partials appended per
+    micro-batch fold to exactly the one-shot daily aggregate regardless of
+    arrival order or batch boundaries."""
+    return events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+
+
+def anomaly_finalize(partials: DataFrame) -> DataFrame:
+    """Fold daily partials (possibly several rows per (type, day)) and
+    score: per-type sufficient statistics (n, s1, s2) are exact integers;
+    the only float steps are one division and one sqrt (IEEE-correctly
+    rounded -> bit-identical across engines)."""
     daily = (
-        e.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+        partials.groupBy("event_type", "day")
+        .agg(F.sum("ct").cast("bigint").alias("ct"))
         .localCheckpoint()  # types x days rows; feeds stats AND the join —
         # without it the fact aggregation runs twice (2 full scans)
     )

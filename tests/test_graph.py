@@ -82,3 +82,28 @@ def test_max_rounds_bounds_jobs_star_stays_exact(spark):
     assert exact == {i: 1 for i in range(1, n + 1)}
     assert capped != exact  # the cap really did stop early on a chain
     assert all(capped[k] >= 1 and capped[k] <= k for k in capped)
+
+
+def test_self_loop_only_node_kept_by_both_algorithms(spark):
+    """A node whose only edge is a self-loop must appear (as its own
+    component) under BOTH algorithms — the star passes drop degenerate
+    edges internally, so the node set is restored from the input."""
+    edges = spark.createDataFrame(
+        [(7, 7), (1, 2)], "src long, dst long"
+    )
+    want = {7: 7, 1: 1, 2: 1}
+    assert _labels(connected_components(edges, algorithm="propagate")) == want
+    assert _labels(connected_components(edges, algorithm="star")) == want
+
+
+def test_max_rounds_is_exact(spark):
+    """max_rounds bounds propagate rounds EXACTLY: after k rounds on a
+    chain, label(i) == max(1, i - k) — not rounded up to the checkpoint
+    cadence."""
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "src long, dst long"
+    )
+    for k in (1, 2, 4):
+        got = _labels(connected_components(edges, max_rounds=k))
+        assert got == {i: max(1, i - k) for i in range(1, n + 1)}, k

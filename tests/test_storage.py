@@ -179,3 +179,70 @@ def test_compact_partitions_null_partition_and_stray_files(spark, tmp_path):
         len([f for f in os.listdir(null_dir) if f.endswith(".parquet")]) == 1
     )
     assert spark.read.parquet(null_dir).count() == before
+
+
+def test_compact_partitions_recovers_interrupted_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the partition dir
+    missing and both copies in dot-prefixed siblings; the next run must
+    promote a copy back into place (no silent data loss) and then finish
+    the compaction normally."""
+    import os
+    import shutil
+
+    from gmall_flink_realtime4_spark.operators.storage import (
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 400).selectExpr("id", "CAST(id % 2 AS STRING) AS lang")
+    for i in range(4):
+        df.filter(df.id % 4 == i).coalesce(1).write.mode("append").partitionBy(
+            "lang"
+        ).parquet(path)
+    before = spark.read.parquet(path).count()
+
+    # simulate the crash window: lang=0 renamed aside (rename #1 done),
+    # rewrite committed to the tmp dir (_SUCCESS), rename #2 never ran
+    target = os.path.join(path, "lang=0")
+    old = os.path.join(path, "._compact_old_lang=0")
+    tmp = os.path.join(path, "._compact_tmp_lang=0")
+    shutil.copytree(target, tmp)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    os.rename(target, old)
+    assert not os.path.exists(target)  # the partition is invisible
+
+    stats = compact_partitions(spark, path, ["lang"])
+    assert stats["recovered_swaps"] == 1
+    assert os.path.isdir(target)
+    assert spark.read.parquet(path).count() == before
+    # the interrupted partition was then compacted like any other
+    assert stats["partitions_compacted"] == 2
+    # no stranded swap dirs survive a successful run
+    leftovers = [d for d in os.listdir(path) if d.startswith("._compact_")]
+    assert leftovers == []
+
+
+def test_compact_partitions_incomplete_tmp_is_discarded(spark, tmp_path):
+    """A tmp dir WITHOUT _SUCCESS next to an intact partition (crash
+    mid-write) is an orphan: recovery deletes it and the partition
+    compacts from the original."""
+    import os
+
+    from gmall_flink_realtime4_spark.operators.storage import (
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 100).selectExpr("id", "'a' AS lang")
+    for i in range(3):
+        df.filter(df.id % 3 == i).coalesce(1).write.mode("append").partitionBy(
+            "lang"
+        ).parquet(path)
+    tmp = os.path.join(path, "._compact_tmp_lang=a")
+    os.makedirs(tmp)
+    open(os.path.join(tmp, "part-junk.parquet"), "w").close()  # no _SUCCESS
+    before = spark.read.parquet(path).count()
+    stats = compact_partitions(spark, path, ["lang"])
+    assert not os.path.exists(tmp)
+    assert stats["recovered_swaps"] == 0
+    assert spark.read.parquet(path).count() == before

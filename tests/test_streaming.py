@@ -1153,3 +1153,35 @@ def test_diff_state_deltas_late_row_does_not_rewind(spark, tmp_path):
     )
     total = sum(r.amt for r in streamed.collect())
     assert total == 100.0  # late 80-amount row contributed delta 0
+
+
+def test_incremental_anomaly_partials_merge(spark, tmp_path):
+    """Streaming x DWS twin: the daily anomaly z-scores computed
+    INCREMENTALLY — events arrive in micro-batches, each batch appends its
+    mergeable (event_type, day, ct) partials, and finalizing the folded
+    partials must equal the one-shot batch query exactly (counts are
+    commutative + associative; the z expression runs only at finalize)."""
+    from gmall_flink_realtime4_spark.plans.analytics_ext_queries import (
+        anomaly_daily_partials,
+        anomaly_finalize,
+    )
+
+    events = T.load(spark, SF, "events")
+    cols = ["event_type", "day", "ct", "z_milli", "is_anomaly"]
+    expected = _rows(anomaly_finalize(anomaly_daily_partials(events)), cols)
+
+    target = str(tmp_path / "anomaly_partials")
+    _, src = stream_from_dataframe(events, n_files=3, base_dir=str(tmp_path))
+    s = stream_parquet_source(spark, src, events.schema)  # 3 micro-batches
+    run_foreach_batch(
+        s,
+        lambda bdf, _bid: anomaly_daily_partials(bdf)
+        .write.mode("append")
+        .parquet(target),
+        output_mode="append",
+    )
+    partials = spark.read.parquet(target)
+    # >1 partial row per (type, day) proves the fold actually merged
+    n_cells = partials.select("event_type", "day").distinct().count()
+    assert partials.count() > n_cells
+    assert _rows(anomaly_finalize(partials), cols) == expected and expected
