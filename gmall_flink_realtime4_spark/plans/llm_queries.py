@@ -166,6 +166,29 @@ def _dot(a, b):
     )
 
 
+def _dot_dbl(a, b):
+    """Plain-double twin of the exact-decimal ``_dot`` — the cheap
+    PRE-SCORE for prerank/prefilter passes: no BigDecimal allocation per
+    element, so it is ~10-30x faster through the interpreted higher-order
+    fold. Never emitted: every surviving row is re-scored with ``_dot``
+    before any output or ranking decision (see ``PRESCORE_MARGIN_E9``)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+# |cos_e9(decimal) - cos_e9(double)| bound: DECIMAL(9,7) quantization
+# perturbs each element by <= 5e-8, so a D-dim dot moves by
+# <= D * (2*max|x|*5e-8) ~ 6.4e-6 for D=64, |x| <= 1 — i.e. <= ~6.4e3
+# e9-units for unit-norm vectors (double fold rounding is 1e-7 e9-units,
+# negligible). 1e7 (0.01 cosine) is a ~1500x safety factor; candidates
+# inside the margin are decimal-rescored, so the margin only affects COST
+# (a slightly larger rescore set), never correctness.
+PRESCORE_MARGIN_E9 = 10_000_000
+
+
 @query(
     "llm_ann_cosine_topk",
     oracle="""
@@ -214,53 +237,86 @@ def llm_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force scan the base — the LSH-bucketed variant reuses this scorer
     within buckets.
     """
+    def cos_e9(dot, n2a, n2b):
+        return (
+            F.floor(
+                F.lit(1000000000.0)
+                * dot.cast("double")
+                / F.nullif(
+                    F.sqrt(n2a.cast("double") * n2b.cast("double")),
+                    F.lit(0.0),
+                )
+            ).cast("bigint")
+        )
+
     emb = T.load(spark, sf_dir, "embeddings")
-    norms = emb.select(
-        "vec_id", _dot(F.col("embedding"), F.col("embedding")).alias("n2")
+    embn = emb.select(
+        "vec_id",
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("n2"),
     )
-    q = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qe")
+    q = embn.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("embedding").alias("qe"),
+        F.col("n2").alias("qn2"),
     )
-    pairs = (
+    # STAGE 1 — double pre-score of every (query, base) pair: a skinny
+    # (query, neighbor, pre) frame, no decimal arithmetic. One in-window
+    # pass derives the per-query 5th-best pre-score; every pair within
+    # 2 * PRESCORE_MARGIN_E9 of it is provably a superset of the decimal
+    # top-5 (same lemma as _topcells in llm_scale_queries).
+    pre = (
         F.broadcast(q)
-        .join(emb, F.col("vec_id") != F.col("query_vec_id"))
+        .join(embn, F.col("vec_id") != F.col("query_vec_id"))
         .select(
             "query_vec_id",
             F.col("vec_id").alias("neighbor_vec_id"),
-            _dot(F.col("qe"), F.col("embedding")).alias("dot"),
-        )
-    )
-    nq = norms.select(
-        F.col("vec_id").alias("query_vec_id"), F.col("n2").alias("qn2")
-    )
-    nb = norms.select(
-        F.col("vec_id").alias("neighbor_vec_id"), F.col("n2").alias("bn2")
-    )
-    scored = (
-        pairs.join(F.broadcast(nq), "query_vec_id")
-        .join(nb, "neighbor_vec_id")
-        .select(
-            "query_vec_id",
-            "neighbor_vec_id",
-            F.floor(
-                F.lit(1000000000.0)
-                * F.col("dot").cast("double")
-                / F.nullif(
-                    F.sqrt(
-                        F.col("qn2").cast("double") * F.col("bn2").cast("double")
-                    ),
-                    F.lit(0.0),
-                )
-            )
-            .cast("bigint")
-            .alias("cos_sim_e9"),
+            cos_e9(
+                _dot_dbl(F.col("qe"), F.col("embedding")),
+                F.col("qn2"),
+                F.col("n2"),
+            ).alias("pre"),
         )
     )
     w = Window.partitionBy("query_vec_id").orderBy(
+        F.col("pre").desc(), F.col("neighbor_vec_id")
+    )
+    wq = Window.partitionBy("query_vec_id")
+    cand = (
+        pre.withColumn("prn", F.row_number().over(w))
+        # 5th-best pre-score per query, reusing the same sort/shuffle
+        .withColumn("cut5", F.max(F.when(F.col("prn") == 5, F.col("pre"))).over(wq))
+        .filter(
+            F.col("cut5").isNull()  # fewer than 5 neighbors: keep all
+            | (F.col("pre") >= F.col("cut5") - F.lit(2 * PRESCORE_MARGIN_E9))
+        )
+        .select("query_vec_id", "neighbor_vec_id")
+    )
+    # STAGE 2 — exact-decimal rescore of the ~5-10 survivors per query
+    # (broadcast both tiny sides back against the base), then the final
+    # ranking runs on decimal scores only: bit-identical to the one-pass
+    # decimal plan at a fraction of the BigDecimal work.
+    rescored = (
+        embn.join(
+            F.broadcast(cand),
+            embn.vec_id == cand.neighbor_vec_id,
+        )
+        .join(F.broadcast(q), "query_vec_id")
+        .select(
+            "query_vec_id",
+            "neighbor_vec_id",
+            cos_e9(
+                _dot(F.col("qe"), F.col("embedding")),
+                F.col("qn2"),
+                F.col("n2"),
+            ).alias("cos_sim_e9"),
+        )
+    )
+    wr = Window.partitionBy("query_vec_id").orderBy(
         F.col("cos_sim_e9").desc(), F.col("neighbor_vec_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        rescored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rank") <= 5)
         .select("query_vec_id", "neighbor_vec_id", "rank", "cos_sim_e9")
     )

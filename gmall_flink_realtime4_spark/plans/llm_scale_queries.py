@@ -24,7 +24,14 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from .. import tables as T
 from .catalog import REGISTRY, query
-from .llm_queries import VEC_ACC, VEC_DEC, _dot, llm_ann_cosine_topk
+from .llm_queries import (
+    PRESCORE_MARGIN_E9,
+    VEC_ACC,
+    VEC_DEC,
+    _dot,
+    _dot_dbl,
+    llm_ann_cosine_topk,
+)
 
 # MinHash parameters: K hash functions in B bands of R rows (K = B*R).
 MINHASH_K, MINHASH_B, MINHASH_R = 12, 4, 3
@@ -675,29 +682,6 @@ SELECT query_vec_id, neighbor_vec_id, rank, cos_sim_e9 FROM (
 """
 
 
-def _dot_dbl(a, b):
-    """Plain-double twin of the exact-decimal ``_dot`` — the cheap
-    PRE-SCORE for prerank/prefilter passes: no BigDecimal allocation per
-    element, so it is ~10-30x faster through the interpreted higher-order
-    fold. Never emitted: every surviving row is re-scored with ``_dot``
-    before any output or ranking decision (see ``PRESCORE_MARGIN_E9``)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-# |cos_e9(decimal) - cos_e9(double)| bound: DECIMAL(9,7) quantization
-# perturbs each element by <= 5e-8, so a D-dim dot moves by
-# <= D * (2*max|x|*5e-8) ~ 6.4e-6 for D=64, |x| <= 1 — i.e. <= ~6.4e3
-# e9-units for unit-norm vectors (double fold rounding is 1e-7 e9-units,
-# negligible). 1e7 (0.01 cosine) is a ~1500x safety factor; candidates
-# inside the margin are decimal-rescored, so the margin only affects COST
-# (a slightly larger rescore set), never correctness.
-PRESCORE_MARGIN_E9 = 10_000_000
-
-
 def _cos_e9(dot: Column, n2a: Column, n2b: Column) -> Column:
     # nullif-guard the norm product: a zero-norm vector would otherwise
     # raise DIVIDE_BY_ZERO under Spark 4's default ANSI mode, while the
@@ -1305,10 +1289,21 @@ def llm_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             F.col("vec_id").alias("vec_b"),
-            _cos_e9(
-                _dot(F.col("ea"), F.col("embedding")),
-                F.col("na2"),
-                F.col("n2"),
+            # double pre-score gating the exact-decimal rescore (the
+            # anchors x base pass is the dominant arithmetic here — see
+            # PRESCORE_MARGIN_E9 for the bound)
+            F.when(
+                _cos_e9(
+                    _dot_dbl(F.col("ea"), F.col("embedding")),
+                    F.col("na2"),
+                    F.col("n2"),
+                )
+                >= NEARDUP_THRESHOLD_E9 - PRESCORE_MARGIN_E9,
+                _cos_e9(
+                    _dot(F.col("ea"), F.col("embedding")),
+                    F.col("na2"),
+                    F.col("n2"),
+                ),
             ).alias("cos_sim_e9"),
         )
         .filter(F.col("cos_sim_e9") >= NEARDUP_THRESHOLD_E9)

@@ -393,3 +393,44 @@ def test_cells_compression_equality_property(spark, tmp_path_factory, data):
         ).collect()
     )
     assert comp == ref
+
+
+# --- connected components: both algorithms vs a union-find reference ------
+EDGE = st.tuples(st.integers(0, 14), st.integers(0, 14))
+
+
+def _union_find_labels(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@given(edges=st.lists(EDGE, min_size=1, max_size=20))
+@settings(**PROP_SETTINGS)
+def test_connected_components_both_algorithms_exact(spark, edges):
+    """Property: on arbitrary small graphs (self-loops, duplicates, and
+    random topology included), BOTH connected-components algorithms emit
+    exactly the union-find ground truth — one row per node that appears
+    in any edge, labeled with its component minimum."""
+    from gmall_flink_realtime4_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = _union_find_labels(edges)
+    for algo in ("propagate", "star"):
+        got = {
+            r.node: r.lab
+            for r in connected_components(df, algorithm=algo).collect()
+        }
+        assert got == want, algo
