@@ -38,6 +38,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # (replaces the reference's Redis/HBase cache-aside + async I/O,
     # DimAsyncFunction.java:39-82).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # runtime-settable: the driver's own session defaults to 200 shuffle
+    # partitions — size the shuffles to the box like our own sessions do
+    # (AQE still coalesces below this; purely a perf normalization)
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
 
 BUILD_CONFS: dict[str, str] = {
