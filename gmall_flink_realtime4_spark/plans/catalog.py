@@ -65,6 +65,15 @@ GATE_PRIORITY: list[str] = [
     # new in round 5 (need their first driver row)
     "llm_multimodal_resize",
     "llm_multimodal_audio_stats",
+    # plans rewritten in round 5 (double pre-scoring / CC operator) whose
+    # freshest row (r04) predates the rewrite — the four riskiest get
+    # fresh rows now; the rest of the rewritten family (cosine_topk is
+    # already below; ivf_recall/trained/kmeans/embedding_cosine/anomaly)
+    # is covered by the local parity gate and rotates into r6's prefix
+    "llm_neardup_recall",
+    "llm_dedup_embedding_cells",
+    "llm_ann_ivf",
+    "llm_dedup_clusters",
     # freshest row is r03 — LLM/text/dedup ops
     "llm_dedup_exact",
     "llm_dedup_ngram_jaccard",
@@ -104,15 +113,14 @@ GATE_PRIORITY: list[str] = [
     "dwd_base_log_err",
     "dwd_base_log_display",
     "dwd_base_log_action",
-    "dws_sliding_window_events",
-    "dws_user_event_funnel",
-    "dws_session_window_events",
-    "dws_time_hierarchy_rollup",
     "dws_user_retention_cohort",
     "dws_gap_fill_locf_daily_orders",
     "dim_scd2_user_event_intervals",
-    # bumped to round 6 (r03-green + dedicated e2e tests): dim_app_router,
-    # dim_app_materialize
+    # bumped to round 6 (r03-green + dedicated window/streaming/e2e tests,
+    # unchanged since their last green row): dim_app_router,
+    # dim_app_materialize, dws_sliding_window_events,
+    # dws_session_window_events, dws_user_event_funnel,
+    # dws_time_hierarchy_rollup
 ]
 
 

@@ -183,10 +183,34 @@ def _dot_dbl(a, b):
 # perturbs each element by <= 5e-8, so a D-dim dot moves by
 # <= D * (2*max|x|*5e-8) ~ 6.4e-6 for D=64, |x| <= 1 — i.e. <= ~6.4e3
 # e9-units for unit-norm vectors (double fold rounding is 1e-7 e9-units,
-# negligible). 1e7 (0.01 cosine) is a ~1500x safety factor; candidates
-# inside the margin are decimal-rescored, so the margin only affects COST
-# (a slightly larger rescore set), never correctness.
+# negligible). When the pre-score also uses DOUBLE norms (all-double
+# stage 1), the norm quantization adds another <= ~1.3e-5 relative —
+# total <= ~2e4 e9-units. 1e7 (0.01 cosine) is still a ~500x safety
+# factor; candidates inside the margin are decimal-rescored, so the
+# margin only affects COST (a slightly larger rescore set), never
+# correctness.
 PRESCORE_MARGIN_E9 = 10_000_000
+
+
+def _cos_e9(dot, n2a, n2b):
+    """e9-scaled cosine from a dot product and the two squared norms.
+
+    nullif-guards the norm product: a zero-norm vector would otherwise
+    raise DIVIDE_BY_ZERO under Spark 4's default ANSI mode, while the
+    DuckDB oracle yields NULL and drops the row at the threshold filter —
+    NULL here reproduces the oracle's behavior on both engines. The ONE
+    copy of this expression (llm_scale_queries imports it): a divergence
+    between two copies would surface as a data-dependent engine-vs-oracle
+    mismatch."""
+    return (
+        F.floor(
+            F.lit(1000000000.0)
+            * dot.cast("double")
+            / F.nullif(
+                F.sqrt(n2a.cast("double") * n2b.cast("double")), F.lit(0.0)
+            )
+        ).cast("bigint")
+    )
 
 
 @query(
@@ -237,44 +261,28 @@ def llm_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force scan the base — the LSH-bucketed variant reuses this scorer
     within buckets.
     """
-    def cos_e9(dot, n2a, n2b):
-        return (
-            F.floor(
-                F.lit(1000000000.0)
-                * dot.cast("double")
-                / F.nullif(
-                    F.sqrt(n2a.cast("double") * n2b.cast("double")),
-                    F.lit(0.0),
-                )
-            ).cast("bigint")
-        )
-
     emb = T.load(spark, sf_dir, "embeddings")
-    embn = emb.select(
-        "vec_id",
-        "embedding",
-        _dot(F.col("embedding"), F.col("embedding")).alias("n2"),
-    )
-    q = embn.filter(F.col("vec_id") < 8).select(
+    q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_vec_id"),
         F.col("embedding").alias("qe"),
-        F.col("n2").alias("qn2"),
     )
-    # STAGE 1 — double pre-score of every (query, base) pair: a skinny
-    # (query, neighbor, pre) frame, no decimal arithmetic. One in-window
-    # pass derives the per-query 5th-best pre-score; every pair within
+    # STAGE 1 — ALL-double pre-score of every (query, base) pair (dot AND
+    # norms: no decimal fold touches the full base at all), producing a
+    # skinny (query, neighbor, pre) frame. One in-window pass derives the
+    # per-query 5th-best pre-score; every pair within
     # 2 * PRESCORE_MARGIN_E9 of it is provably a superset of the decimal
-    # top-5 (same lemma as _topcells in llm_scale_queries).
+    # top-5 (same lemma as _topcells in llm_scale_queries; the margin
+    # comment above covers the double-norm variant).
     pre = (
-        F.broadcast(q)
-        .join(embn, F.col("vec_id") != F.col("query_vec_id"))
+        F.broadcast(q.withColumn("qn2d", _dot_dbl(F.col("qe"), F.col("qe"))))
+        .join(emb, F.col("vec_id") != F.col("query_vec_id"))
         .select(
             "query_vec_id",
             F.col("vec_id").alias("neighbor_vec_id"),
-            cos_e9(
+            _cos_e9(
                 _dot_dbl(F.col("qe"), F.col("embedding")),
-                F.col("qn2"),
-                F.col("n2"),
+                F.col("qn2d"),
+                _dot_dbl(F.col("embedding"), F.col("embedding")),
             ).alias("pre"),
         )
     )
@@ -295,20 +303,22 @@ def llm_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # STAGE 2 — exact-decimal rescore of the ~5-10 survivors per query
     # (broadcast both tiny sides back against the base), then the final
     # ranking runs on decimal scores only: bit-identical to the one-pass
-    # decimal plan at a fraction of the BigDecimal work.
+    # decimal plan at a fraction of the BigDecimal work. The decimal
+    # norms sit ABOVE both joins, so the BigDecimal folds run only for
+    # the joined survivor rows, never the full base.
     rescored = (
-        embn.join(
+        emb.join(
             F.broadcast(cand),
-            embn.vec_id == cand.neighbor_vec_id,
+            emb.vec_id == cand.neighbor_vec_id,
         )
         .join(F.broadcast(q), "query_vec_id")
         .select(
             "query_vec_id",
             "neighbor_vec_id",
-            cos_e9(
+            _cos_e9(
                 _dot(F.col("qe"), F.col("embedding")),
-                F.col("qn2"),
-                F.col("n2"),
+                _dot(F.col("qe"), F.col("qe")),
+                _dot(F.col("embedding"), F.col("embedding")),
             ).alias("cos_sim_e9"),
         )
     )

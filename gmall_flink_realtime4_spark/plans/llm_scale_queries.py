@@ -28,6 +28,7 @@ from .llm_queries import (
     PRESCORE_MARGIN_E9,
     VEC_ACC,
     VEC_DEC,
+    _cos_e9,
     _dot,
     _dot_dbl,
     llm_ann_cosine_topk,
@@ -682,22 +683,6 @@ SELECT query_vec_id, neighbor_vec_id, rank, cos_sim_e9 FROM (
 """
 
 
-def _cos_e9(dot: Column, n2a: Column, n2b: Column) -> Column:
-    # nullif-guard the norm product: a zero-norm vector would otherwise
-    # raise DIVIDE_BY_ZERO under Spark 4's default ANSI mode, while the
-    # DuckDB oracle yields NULL and drops the row at the threshold filter
-    # — NULL here reproduces the oracle's behavior on both engines
-    return (
-        F.floor(
-            F.lit(1000000000.0)
-            * dot.cast("double")
-            / F.nullif(
-                F.sqrt(n2a.cast("double") * n2b.cast("double")), F.lit(0.0)
-            )
-        ).cast("bigint")
-    )
-
-
 def _group_identical(embn: DataFrame) -> DataFrame:
     """SemDeDup step 0, shared by both near-dup generators: collapse
     byte-identical vectors into one row per distinct value — rep id = min
@@ -1273,36 +1258,36 @@ def llm_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves. One row per method: n_true, n_found, recall per-mille.
     """
     emb = T.load(spark, sf_dir, "embeddings")
-    embn = emb.select(
-        "vec_id",
-        "embedding",
-        _dot(F.col("embedding"), F.col("embedding")).alias("n2"),
-    )
-    anchors = embn.filter(F.col("vec_id") < NEARDUP_RECALL_ANCHORS).select(
+    anchors = emb.filter(F.col("vec_id") < NEARDUP_RECALL_ANCHORS).select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
-        F.col("n2").alias("na2"),
+        # 64 broadcast rows: both norm flavors computed once per anchor
+        _dot(F.col("embedding"), F.col("embedding")).alias("na2"),
+        _dot_dbl(F.col("embedding"), F.col("embedding")).alias("na2d"),
     )
     true_pairs = (
         F.broadcast(anchors)
-        .join(embn, F.col("vec_id") > F.col("vec_a"))
+        .join(emb, F.col("vec_id") > F.col("vec_a"))
         .select(
             "vec_a",
             F.col("vec_id").alias("vec_b"),
-            # double pre-score gating the exact-decimal rescore (the
-            # anchors x base pass is the dominant arithmetic here — see
-            # PRESCORE_MARGIN_E9 for the bound)
+            # ALL-double pre-score (dot and base norm) gating the
+            # exact-decimal rescore: the anchors x base pass is the
+            # dominant arithmetic here, and no decimal fold touches the
+            # full base — base-side decimal norms run only inside the
+            # when-branch, i.e. for margin survivors (see
+            # PRESCORE_MARGIN_E9 for the double-norm bound)
             F.when(
                 _cos_e9(
                     _dot_dbl(F.col("ea"), F.col("embedding")),
-                    F.col("na2"),
-                    F.col("n2"),
+                    F.col("na2d"),
+                    _dot_dbl(F.col("embedding"), F.col("embedding")),
                 )
                 >= NEARDUP_THRESHOLD_E9 - PRESCORE_MARGIN_E9,
                 _cos_e9(
                     _dot(F.col("ea"), F.col("embedding")),
                     F.col("na2"),
-                    F.col("n2"),
+                    _dot(F.col("embedding"), F.col("embedding")),
                 ),
             ).alias("cos_sim_e9"),
         )

@@ -58,9 +58,21 @@ BUILD_CONFS: dict[str, str] = {
 }
 
 
+# Marker conf recording a shuffle-partition count a caller PINNED
+# explicitly (get_spark(shuffle_partitions=...)). apply_runtime_confs
+# runs on every registered-query call and must not clobber it.
+_PIN_CONF = "spark.gmall.pinnedShufflePartitions"
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Normalize an externally-created session (driver harness) in place."""
+    try:
+        pinned = spark.conf.get(_PIN_CONF, None)
+    except Exception:
+        pinned = None
     for k, v in RUNTIME_CONFS.items():
+        if k == "spark.sql.shuffle.partitions" and pinned is not None:
+            continue
         try:
             spark.conf.set(k, v)
         except Exception:
@@ -87,4 +99,10 @@ def get_spark(
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     spark = builder.getOrCreate()
+    if shuffle_partitions is not None:
+        # pin explicitly (getOrCreate may have returned a pre-existing
+        # session whose builder confs were ignored) and mark the pin so
+        # the per-query runtime normalization leaves it alone
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        spark.conf.set(_PIN_CONF, str(shuffle_partitions))
     return apply_runtime_confs(spark)
