@@ -377,11 +377,35 @@ def llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for why a wider radius needs more bands, not a looser filter). All
     JVM-side string/bit expressions.
     """
-    fp = llm_dedup_simhash(spark, sf_dir)
+    # the fingerprint pipeline (tokenize + weighted bit votes over the
+    # whole corpus) feeds BOTH sides of the block self-join — checkpoint
+    # the skinny (doc_id, hex16) frame so it derives once, not twice
+    # (guard: test_simhash_pairs_fingerprints_derived_once). The 64-bit
+    # fingerprint is converted ONCE PER SIDE into two 32-bit halves so
+    # the per-candidate hamming is two XOR + two bit_count intrinsics
+    # (whole-stage codegen) instead of 16 hex-digit string lookups — the
+    # candidate volume is the block-collision space (~millions at x10),
+    # so the per-pair expression is the dominant cost of this query.
+    fp = (
+        llm_dedup_simhash(spark, sf_dir)
+        .select(
+            "doc_id",
+            "simhash64",
+            F.expr(
+                "CAST(conv(substring(simhash64, 1, 8), 16, 10) AS BIGINT)"
+            ).alias("fp_hi"),
+            F.expr(
+                "CAST(conv(substring(simhash64, 9, 8), 16, 10) AS BIGINT)"
+            ).alias("fp_lo"),
+        )
+        .localCheckpoint(eager=True)
+    )
     blocks = fp.select(
         "doc_id",
-        "simhash64",
+        "fp_hi",
+        "fp_lo",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("blk"),
+        F.col("simhash64"),
     ).withColumn("block_val", F.expr("substring(simhash64, blk * 4 + 1, 4)"))
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
@@ -393,20 +417,15 @@ def llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
-            F.col("a.simhash64").alias("sim_a"),
+            F.col("a.fp_hi").alias("ha_hi"),
+            F.col("a.fp_lo").alias("ha_lo"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("b.simhash64").alias("sim_b"),
+            F.col("b.fp_hi").alias("hb_hi"),
+            F.col("b.fp_lo").alias("hb_lo"),
         )
         .distinct()
     )
-    hamming = sum(
-        F.expr(
-            f"cast(substring('{_POPCOUNT}', "
-            f"((instr('{_HEX}', substring(sim_a, {i + 1}, 1)) - 1) ^ "
-            f"(instr('{_HEX}', substring(sim_b, {i + 1}, 1)) - 1)) + 1, 1) as int)"
-        )
-        for i in range(16)
-    )
+    hamming = F.expr("bit_count(ha_hi ^ hb_hi) + bit_count(ha_lo ^ hb_lo)")
     return (
         cand.withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)

@@ -403,3 +403,12 @@ def test_minhash_lsh_corpus_derived_once(spark):
     assert plan.count("documents.parquet") == 0
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") <= 10
+
+
+def test_simhash_pairs_fingerprints_derived_once(spark):
+    """The simhash fingerprint pipeline feeds both sides of the block
+    self-join; it must be checkpointed so the final plan reads the
+    materialized frame (ExistingRDD) and never re-scans documents."""
+    plan = _plan(spark, "llm_dedup_simhash_pairs")
+    assert "ExistingRDD" in plan
+    assert plan.count("documents.parquet") == 0
