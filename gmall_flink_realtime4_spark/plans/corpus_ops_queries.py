@@ -1456,11 +1456,17 @@ def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     to integer e9 at the boundary.
     """
     emb = T.load(spark, sf_dir, "embeddings")
-    e = F.col("embedding")
-
-    def dec(col):
-        return col.cast("double").cast(VEC_DEC)
-
+    # quantize ONCE per row into a decimal array (64 double->BigDecimal
+    # casts), then build the D(D+1)/2 pair terms from the quantized
+    # values — the naive per-pair form re-cast each element ~65 times
+    # (4,160 BigDecimal constructions per row), which dominated the whole
+    # query (2.7x measured at x10). Same decimal values, so the sums and
+    # the oracle hash are bit-identical.
+    q = F.transform(
+        F.col("embedding"), lambda x: x.cast("double").cast(VEC_DEC)
+    )
+    qd = emb.select(q.alias("q"))
+    qcol = F.col("q")
     pair_terms = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.lit(64)),
@@ -1469,14 +1475,16 @@ def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda j: F.struct(
                     i.cast("bigint").alias("i"),
                     j.cast("bigint").alias("j"),
-                    (dec(F.element_at(e, i)) * dec(F.element_at(e, j))).alias("pxy"),
-                    dec(F.element_at(e, i)).alias("px"),
-                    dec(F.element_at(e, j)).alias("py"),
+                    (F.element_at(qcol, i) * F.element_at(qcol, j)).alias(
+                        "pxy"
+                    ),
+                    F.element_at(qcol, i).alias("px"),
+                    F.element_at(qcol, j).alias("py"),
                 ),
             ),
         )
     )
-    t = emb.select(F.explode(pair_terms).alias("t")).select("t.*")
+    t = qd.select(F.explode(pair_terms).alias("t")).select("t.*")
     return t.groupBy("i", "j").agg(
         F.count(F.lit(1)).alias("n"),
         F.expr(_COV_E9.format("SUM(pxy)")).alias("sxy_e9"),

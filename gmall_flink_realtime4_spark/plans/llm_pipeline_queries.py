@@ -532,6 +532,27 @@ def _sqdist(a, b):
     )
 
 
+def _qdec(arr):
+    """Quantize a float array ONCE into the shared decimal ladder —
+    pair-scoring sites attach this per SIDE-ROW so the expensive
+    double->BigDecimal casts run once per vector, not once per pair."""
+    return F.transform(arr, _dec7)
+
+
+def _sqdist_q(a, b):
+    """``_sqdist`` over ALREADY-``_qdec``-quantized arrays: one subtract +
+    one multiply per element (the inline form evaluates four casts and
+    two subtracts per element, per pair). Identical decimal expression
+    values — only the redundant re-quantization is hoisted."""
+    from .llm_queries import VEC_ACC
+
+    return F.aggregate(
+        F.transform(F.zip_with(a, b, lambda x, y: x - y), lambda d: d * d),
+        F.lit(0).cast(VEC_ACC),
+        lambda acc, x: (acc + x).cast(VEC_ACC),
+    )
+
+
 def _pq_subvectors(emb: DataFrame) -> DataFrame:
     """(vec_id, m, sv): each vector exploded into its PQ_M subvectors."""
     ms = F.array([F.lit(m) for m in range(PQ_M)])
@@ -545,13 +566,13 @@ def _pq_assign(emb: DataFrame) -> DataFrame:
 
     Codebook = subvectors of vec_id < PQ_K, BROADCAST; argmin tie-broken
     on cid via one row_number window."""
-    sub = _pq_subvectors(emb)
+    sub = _pq_subvectors(emb).withColumn("svq", _qdec(F.col("sv")))
     cb = sub.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
+        F.col("vec_id").alias("cid"), "m", F.col("svq").alias("cvq")
     )
     cand = (
         sub.join(F.broadcast(cb), "m")
-        .withColumn("d2", _sqdist(F.col("sv"), F.col("cv")))
+        .withColumn("d2", _sqdist_q(F.col("svq"), F.col("cvq")))
         .select("vec_id", "m", "cid", "d2")
     )
     w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
@@ -727,13 +748,13 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T.load(spark, sf_dir, "embeddings")
     codes = _pq_assign(emb).select("vec_id", "m", "cid")
     qsub = _pq_subvectors(emb.filter(F.col("vec_id") < ADC_NQ)).select(
-        F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qv")
+        F.col("vec_id").alias("qid"), "m", _qdec(F.col("sv")).alias("qvq")
     )
     cbsub = _pq_subvectors(emb.filter(F.col("vec_id") < PQ_K)).select(
-        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+        "m", F.col("vec_id").alias("cid"), _qdec(F.col("sv")).alias("cvq")
     )
     dtab = qsub.join(cbsub, "m").select(
-        "qid", "m", "cid", _sqdist(F.col("qv"), F.col("cv")).alias("qd2")
+        "qid", "m", "cid", _sqdist_q(F.col("qvq"), F.col("cvq")).alias("qd2")
     )
     adc = (
         codes.join(F.broadcast(dtab), ["m", "cid"])
@@ -748,15 +769,17 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
     )
     q = emb.filter(F.col("vec_id") < ADC_NQ).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"), _qdec(F.col("embedding")).alias("qeq")
     )
+    # base side quantized once per ROW (not once per of the NQ pairs)
     ex = (
-        emb.crossJoin(F.broadcast(q))
+        emb.select("vec_id", _qdec(F.col("embedding")).alias("eq"))
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            _sqdist(F.col("embedding"), F.col("qe")).alias("xd2"),
+            _sqdist_q(F.col("eq"), F.col("qeq")).alias("xd2"),
         )
     )
     wx = Window.partitionBy("qid").orderBy("xd2", "vec_id")
