@@ -538,3 +538,97 @@ def dws_user_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_pii_redact — PII detection + redaction, the scrubbing pass every
+# training-data pipeline runs before text reaches a tokenizer. Three
+# pattern classes (email / phone / dotted-quad IP) applied SEQUENTIALLY:
+# count on the current text, then replace-all, so the counts are
+# well-defined even when patterns could overlap. Patterns stay inside the
+# Java-regex ∩ RE2 common subset (character classes + bounded repetition,
+# no backreferences/lookaround), so both engines match identically.
+#
+# The testdata text carries no natural PII, so deterministic PII derived
+# from doc_id is INJECTED JVM-side (same construction in the oracle —
+# the WAV/PPM trick applied to text): ~3/4 of docs gain exactly one
+# match, the rest stay clean negatives. Map-only: one scan, no shuffle.
+# ---------------------------------------------------------------------------
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\d{3}[- ]\d{3}[- ]\d{4}"
+PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+_PII_INJ_SQL = """
+    text || CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com today'
+        WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        WHEN 2 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                 || CAST((doc_id // 256) % 256 AS VARCHAR) || '.1'
+        ELSE '' END
+"""
+
+
+@query(
+    "llm_pii_redact",
+    oracle=f"""
+WITH inj AS (
+    SELECT doc_id, {_PII_INJ_SQL} AS t FROM documents
+), e AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g') AS t
+    FROM inj
+), p AS (
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT)
+               AS n_phones,
+           regexp_replace(t, '{PII_PHONE}', '<PHONE>', 'g') AS t
+    FROM e
+), i AS (
+    SELECT doc_id, n_emails, n_phones,
+           CAST(len(regexp_extract_all(t, '{PII_IP}')) AS BIGINT) AS n_ips,
+           regexp_replace(t, '{PII_IP}', '<IP>', 'g') AS t
+    FROM p
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       CAST(octet_length(encode(t)) AS BIGINT) AS redacted_len,
+       md5(t) AS redacted_md5
+FROM i
+""",
+    tags=("llm-text", "pii"),
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: per-doc email/phone/IP match counts + the md5 of the
+    fully-redacted text (proving the replacement bytes, not just the
+    counts, agree across engines). Patterns passed to the JVM regex
+    engine via function arguments (no SQL-string escaping ambiguity);
+    whole pipeline is one codegen projection over one scan."""
+    d = T.load(spark, sf_dir, "documents")
+    t0 = F.expr(
+        _PII_INJ_SQL.replace("//", "div").replace("AS VARCHAR", "AS STRING")
+    )
+    out = d.select("doc_id", t0.alias("t"))
+    for pat, tag, cnt in (
+        (PII_EMAIL, "<EMAIL>", "n_emails"),
+        (PII_PHONE, "<PHONE>", "n_phones"),
+        (PII_IP, "<IP>", "n_ips"),
+    ):
+        out = out.withColumn(
+            cnt,
+            F.size(F.regexp_extract_all("t", F.lit(pat), F.lit(0))).cast(
+                "bigint"
+            ),
+        ).withColumn("t", F.regexp_replace("t", pat, tag))
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.octet_length(F.encode("t", "utf-8")).cast("bigint").alias(
+            "redacted_len"
+        ),
+        F.md5(F.encode("t", "utf-8")).alias("redacted_md5"),
+    )

@@ -65,6 +65,7 @@ GATE_PRIORITY: list[str] = [
     # new in round 5 (need their first driver row)
     "llm_multimodal_resize",
     "llm_multimodal_audio_stats",
+    "llm_pii_redact",
     # plans rewritten in round 5 (double pre-scoring / CC operator) whose
     # freshest row (r04) predates the rewrite — the four riskiest get
     # fresh rows now; the rest of the rewritten family (cosine_topk is
@@ -100,7 +101,6 @@ GATE_PRIORITY: list[str] = [
     "llm_ann_pq_encode",
     "llm_ann_pq_adc_recall",
     "llm_dedup_edit_distance_verify",
-    "llm_corpus_rollup",
     # freshest row is r03 — analytics / windows / log pipelines
     "f_pivot_event_day",
     "f_window_suite_orders",
@@ -120,7 +120,7 @@ GATE_PRIORITY: list[str] = [
     # unchanged since their last green row): dim_app_router,
     # dim_app_materialize, dws_sliding_window_events,
     # dws_session_window_events, dws_user_event_funnel,
-    # dws_time_hierarchy_rollup
+    # dws_time_hierarchy_rollup, llm_corpus_rollup
 ]
 
 

@@ -412,3 +412,14 @@ def test_simhash_pairs_fingerprints_derived_once(spark):
     plan = _plan(spark, "llm_dedup_simhash_pairs")
     assert "ExistingRDD" in plan
     assert plan.count("documents.parquet") == 0
+
+
+def test_pii_redact_map_only_single_scan(spark):
+    """PII scrub is one codegen projection over one scan: no shuffle, no
+    join, no Python in the plan (the only allowed exchange is
+    tables.load's small-input spread)."""
+    plan = _plan(spark, "llm_pii_redact")
+    tree = plan.split("\n\n")[0]
+    assert plan.count("documents.parquet") == 1
+    assert "HashAggregate" not in tree and "Join" not in tree
+    assert tree.count("Exchange") <= 1

@@ -142,6 +142,7 @@ QUERIES = [
     # new in round 5
     "llm_multimodal_resize",
     "llm_multimodal_audio_stats",
+    "llm_pii_redact",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
