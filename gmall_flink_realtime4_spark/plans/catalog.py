@@ -116,11 +116,12 @@ GATE_PRIORITY: list[str] = [
     "dws_user_retention_cohort",
     "dws_gap_fill_locf_daily_orders",
     "dim_scd2_user_event_intervals",
-    # bumped to round 6 (r03-green + dedicated window/streaming/e2e tests,
-    # unchanged since their last green row): dim_app_router,
-    # dim_app_materialize, dws_sliding_window_events,
+    # bumped to round 6, all r03-green and unchanged since that row:
+    # dim_app_router, dim_app_materialize, dws_sliding_window_events,
     # dws_session_window_events, dws_user_event_funnel,
-    # dws_time_hierarchy_rollup, llm_corpus_rollup
+    # dws_time_hierarchy_rollup (each also covered by dedicated
+    # window/streaming/e2e tests) and llm_corpus_rollup (local parity +
+    # the corpus-family tests only — give it a gate slot early in r6)
 ]
 
 

@@ -1462,10 +1462,9 @@ def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (4,160 BigDecimal constructions per row), which dominated the whole
     # query (2.7x measured at x10). Same decimal values, so the sums and
     # the oracle hash are bit-identical.
-    q = F.transform(
-        F.col("embedding"), lambda x: x.cast("double").cast(VEC_DEC)
-    )
-    qd = emb.select(q.alias("q"))
+    from .llm_queries import _qdec
+
+    qd = emb.select(_qdec(F.col("embedding")).alias("q"))
     qcol = F.col("q")
     pair_terms = F.flatten(
         F.transform(

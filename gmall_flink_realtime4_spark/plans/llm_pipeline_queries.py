@@ -514,36 +514,15 @@ _PQ_DIFF = (
 ).format(d=PQ_D)
 
 
-def _dec7(x):
-    from .llm_queries import VEC_DEC
-
-    return x.cast("double").cast(VEC_DEC)
-
-
-def _sqdist(a, b):
-    """Exact-decimal squared L2 over two float arrays (array-fold; the
-    same construction as llm_queries._dot, with a difference inside)."""
-    from .llm_queries import VEC_ACC
-
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (_dec7(x) - _dec7(y)) * (_dec7(x) - _dec7(y))),
-        F.lit(0).cast(VEC_ACC),
-        lambda acc, x: (acc + x).cast(VEC_ACC),
-    )
-
-
-def _qdec(arr):
-    """Quantize a float array ONCE into the shared decimal ladder —
-    pair-scoring sites attach this per SIDE-ROW so the expensive
-    double->BigDecimal casts run once per vector, not once per pair."""
-    return F.transform(arr, _dec7)
+from .llm_queries import _qdec  # noqa: E402  (shared quantize-once ladder)
 
 
 def _sqdist_q(a, b):
-    """``_sqdist`` over ALREADY-``_qdec``-quantized arrays: one subtract +
-    one multiply per element (the inline form evaluates four casts and
-    two subtracts per element, per pair). Identical decimal expression
-    values — only the redundant re-quantization is hoisted."""
+    """Exact-decimal squared L2 over two ALREADY-``_qdec``-quantized
+    arrays: one subtract + one multiply per element. An inline-quantizing
+    form would evaluate four double->BigDecimal casts and two subtracts
+    per element PER PAIR — quantize once per side-row instead (the
+    decimal expression values are identical either way)."""
     from .llm_queries import VEC_ACC
 
     return F.aggregate(

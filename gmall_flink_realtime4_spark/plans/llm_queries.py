@@ -166,6 +166,21 @@ def _dot(a, b):
     )
 
 
+def _dec7(x):
+    """The shared element quantization ladder: double -> DECIMAL(9,7)."""
+    return x.cast("double").cast(VEC_DEC)
+
+
+def _qdec(arr):
+    """Quantize a float array ONCE into the shared decimal ladder —
+    pair-scoring sites attach this per SIDE-ROW so the expensive
+    double->BigDecimal casts run once per vector, not once per pair.
+    The ONE copy of the quantization (pipeline/corpus modules import it):
+    a second copy could silently diverge from VEC_DEC and break the
+    bit-identical-to-oracle guarantee."""
+    return F.transform(arr, _dec7)
+
+
 def _dot_dbl(a, b):
     """Plain-double twin of the exact-decimal ``_dot`` — the cheap
     PRE-SCORE for prerank/prefilter passes: no BigDecimal allocation per

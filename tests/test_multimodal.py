@@ -312,3 +312,45 @@ def test_wav_frame_is_genuine_riff_container(spark):
         channels, rate, bits, data = _wav_pcm(b)
         assert (channels, rate, bits) == (1, 8000, 8)
         assert meta["n_frames"] == len(data) == len(b) - 44
+
+
+def test_parsers_never_crash_on_arbitrary_bytes():
+    """Decode robustness: ANY byte string must either parse or raise the
+    two expected signal types (ValueError/struct.error -> fallback) —
+    never an unhandled exception, which at scale would kill a task retry
+    loop. Deterministic pseudo-fuzz: md5-chained bytes seeded per length,
+    plus adversarial prefixes that get PAST each magic check."""
+    import hashlib
+    import struct as _struct
+
+    from gmall_flink_realtime4_spark.plans.llm_multimodal import (
+        _parse_bmp,
+        _parse_mp4,
+        _parse_ppm,
+        _parse_wav,
+        _safe_decode,
+    )
+
+    def chained(seed: bytes, n: int) -> bytes:
+        out = b""
+        h = seed
+        while len(out) < n:
+            h = hashlib.md5(h).digest()
+            out += h
+        return out[:n]
+
+    parsers = (_parse_ppm, _parse_bmp, _parse_wav, _parse_mp4)
+    magics = (b"P6\n", b"BM", b"RIFF", b"\x00\x00\x00\x10ftyp")
+    for n in (0, 1, 7, 13, 44, 54, 100, 300):
+        blob = chained(str(n).encode(), n)
+        for parse in parsers:
+            for payload in (blob, *[m + blob for m in magics]):
+                try:
+                    meta = parse(payload)
+                    assert meta["width"] > 0  # a parse that survives is sane
+                except (ValueError, _struct.error):
+                    pass  # the designed rejection channel
+        # the dispatch layer must always produce a row
+        for mt in ("image", "audio", "video", "unknown"):
+            out = _safe_decode(blob, mt)
+            assert out["byte_len"] == n
