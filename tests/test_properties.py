@@ -434,3 +434,69 @@ def test_connected_components_both_algorithms_exact(spark, edges):
             for r in connected_components(df, algorithm=algo).collect()
         }
         assert got == want, algo
+
+
+# --- prescore-margin lemma: adversarial quantization-boundary vectors ----
+def _rand_vecs(seed, n, d=8):
+    """Deterministic float32-ish vectors with values engineered to sit
+    near DECIMAL(9,7) rounding boundaries (x.xxxxxxx5) — the worst case
+    for the double-vs-decimal margin argument."""
+    import hashlib
+
+    out = []
+    for i in range(n):
+        vec = []
+        for j in range(d):
+            h = int.from_bytes(
+                hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()[:8], "big"
+            )
+            base = (h % 2_000_000) / 1_000_000.0 - 1.0  # [-1, 1)
+            if h % 3 == 0:  # push onto a 7-dp half boundary
+                base = round(base, 7) + 5e-8
+            vec.append(float(base))
+        out.append((i, vec))
+    return out
+
+
+@given(seed=st.integers(0, 10**6))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_topcells_prerank_margin_survives_boundary_vectors(spark, seed):
+    """Property: the double pre-rank + decimal-rescore assignment equals
+    the one-pass decimal ranking even when vector elements sit exactly on
+    DECIMAL(9,7) rounding boundaries (the adversarial case for the
+    PRESCORE_MARGIN_E9 bound)."""
+    import pyspark.sql.functions as F
+
+    from gmall_flink_realtime4_spark.plans.llm_queries import _dot
+    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
+        _probe_cells,
+        _topcells,
+    )
+
+    emb = spark.createDataFrame(
+        _rand_vecs(seed, 24), "vec_id long, embedding array<float>"
+    )
+    embn = emb.select(
+        "vec_id",
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("n2"),
+    )
+    cent = embn.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("n2").alias("cn2"),
+    )
+    fast = {
+        r.vec_id: list(r.cells)
+        for r in _topcells(embn, cent, 2)
+        .select("vec_id", _probe_cells().alias("cells"))
+        .collect()
+    }
+    slow = {
+        r.vec_id: list(r.cells)
+        for r in _topcells(embn, cent, 2, dot=_dot)
+        .select("vec_id", _probe_cells().alias("cells"))
+        .collect()
+    }
+    assert fast == slow
