@@ -181,6 +181,18 @@ def _qdec(arr):
     return F.transform(arr, _dec7)
 
 
+def _dot_q(a, b):
+    """``_dot`` over two ALREADY-``_qdec``-quantized arrays: one multiply
+    + one accumulate per element (the inline form re-casts both operands
+    double->BigDecimal per element, per pair). Identical decimal values —
+    only the redundant re-quantization is hoisted to once per side-row."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast(VEC_ACC),
+        lambda acc, x: (acc + x).cast(VEC_ACC),
+    )
+
+
 def _dot_dbl(a, b):
     """Plain-double twin of the exact-decimal ``_dot`` — the cheap
     PRE-SCORE for prerank/prefilter passes: no BigDecimal allocation per

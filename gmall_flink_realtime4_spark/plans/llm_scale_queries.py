@@ -780,28 +780,57 @@ def _topcells(embn: DataFrame, cent: DataFrame, nprobe: int, dot=None) -> DataFr
     ``test_topcells_prerank_matches_full_decimal``).
     """
     custom_dot = dot is not None
-    dot = dot or _dot
-    cent_arr = cent.agg(F.collect_list(F.struct("cid", "ce", "cn2")).alias("_cents"))
-    crossed = embn.crossJoin(F.broadcast(cent_arr))
+    if custom_dot:
+        # caller-supplied dot: no double twin to prerank with — one pass
+        cent_arr = cent.agg(
+            F.collect_list(F.struct("cid", "ce", "cn2")).alias("_cents")
+        )
+        return (
+            embn.crossJoin(F.broadcast(cent_arr))
+            .withColumn(
+                "_top",
+                F.slice(
+                    F.reverse(
+                        F.array_sort(
+                            F.transform(
+                                "_cents",
+                                lambda c: F.struct(
+                                    _cos_e9(
+                                        dot(F.col("embedding"), c["ce"]),
+                                        F.col("n2"),
+                                        c["cn2"],
+                                    ).alias("ce9"),
+                                    (-c["cid"]).alias("negcid"),
+                                ),
+                            )
+                        )
+                    ),
+                    1,
+                    nprobe,
+                ),
+            )
+            .drop("_cents")
+        )
+    # default exact-decimal dot: quantize each side ONCE (the vector per
+    # row, the centroids per broadcast build) so the decimal rescore is
+    # one multiply + accumulate per element — no per-(row, cell) casts
+    from .llm_queries import _dot_q, _qdec
+
+    cent_arr = cent.withColumn("cq", _qdec(F.col("ce"))).agg(
+        F.collect_list(F.struct("cid", "ce", "cn2", "cq")).alias("_cents")
+    )
+    crossed = embn.crossJoin(F.broadcast(cent_arr)).withColumn(
+        "_qe", _qdec(F.col("embedding"))
+    )
 
     def _decimal_struct(c):
         return F.struct(
-            _cos_e9(dot(F.col("embedding"), c["ce"]), F.col("n2"), c["cn2"]).alias(
+            _cos_e9(_dot_q(F.col("_qe"), c["cq"]), F.col("n2"), c["cn2"]).alias(
                 "ce9"
             ),
             (-c["cid"]).alias("negcid"),
         )
 
-    if custom_dot:
-        # caller-supplied dot: no double twin to prerank with — one pass
-        return crossed.withColumn(
-            "_top",
-            F.slice(
-                F.reverse(F.array_sort(F.transform("_cents", _decimal_struct))),
-                1,
-                nprobe,
-            ),
-        ).drop("_cents")
     pre = F.reverse(
         F.array_sort(
             F.transform(
@@ -813,7 +842,7 @@ def _topcells(embn: DataFrame, cent: DataFrame, nprobe: int, dot=None) -> DataFr
                         c["cn2"],
                     ).alias("pce9"),
                     c["cid"].alias("cid"),
-                    c["ce"].alias("ce"),
+                    c["cq"].alias("cq"),
                     c["cn2"].alias("cn2"),
                 ),
             )
@@ -839,7 +868,7 @@ def _topcells(embn: DataFrame, cent: DataFrame, nprobe: int, dot=None) -> DataFr
                 nprobe,
             ),
         )
-        .drop("_cents", "_pre", "_cut", "_kept")
+        .drop("_cents", "_pre", "_cut", "_kept", "_qe")
     )
 
 
@@ -908,14 +937,19 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probes.join(assign, "cell").filter(
         F.col("vec_id") != F.col("query_vec_id")
     ).select("query_vec_id", F.col("vec_id").alias("neighbor_vec_id"))
+    # rerank sides carry the ONCE-quantized arrays (_qdec): candidates are
+    # a constant fraction of the base (nprobe/K), so per-row quantization
+    # below the join beats per-pair re-casting inside the dot by ~6x
+    from .llm_queries import _dot_q, _qdec
+
     qe = embn.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_vec_id"),
-        F.col("embedding").alias("qe"),
+        _qdec(F.col("embedding")).alias("qeq"),
         F.col("n2").alias("qn2"),
     )
     ne = embn.select(
         F.col("vec_id").alias("neighbor_vec_id"),
-        F.col("embedding").alias("ne"),
+        _qdec(F.col("embedding")).alias("neq"),
         F.col("n2").alias("nn2"),
     )
     scored = (
@@ -924,9 +958,9 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_vec_id",
             "neighbor_vec_id",
-            _cos_e9(_dot(F.col("qe"), F.col("ne")), F.col("qn2"), F.col("nn2")).alias(
-                "cos_sim_e9"
-            ),
+            _cos_e9(
+                _dot_q(F.col("qeq"), F.col("neq")), F.col("qn2"), F.col("nn2")
+            ).alias("cos_sim_e9"),
         )
     )
     wr = Window.partitionBy("query_vec_id").orderBy(
