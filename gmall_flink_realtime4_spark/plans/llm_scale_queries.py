@@ -133,17 +133,41 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = T.load(spark, sf_dir, "documents")
     sh = _shingles(d)
+    bands = minhash_bands(sh)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+        # LSH-recall-sized (tiny vs corpus); feeds the verify join AND the
+        # final score join — materialize so the band self-join runs once.
+        .localCheckpoint()
+    )
+    return minhash_verify(cand, sh)
+
+
+def minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH band keys from a shingle frame — the
+    shared construction for the batch query and the streaming-incremental
+    twin (`streaming.incremental.incremental_minhash_pairs`).
+
+    One row per doc at the signature stage (K hex minhashes). The band
+    frame is typically self-joined, so without materialization the
+    shingle explode + K-way min-agg would run once per join SIDE and
+    once more per verify consumer — 8 documents scans in the r4 census.
+    Checkpointing the signatures caps the corpus at 2 scans."""
     mh = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
             for i in range(MINHASH_K)
         ]
-    # one row per doc (K hex signatures). The band frame is self-joined, so
-    # without materialization the shingle explode + K-way min-agg runs once
-    # per join SIDE and once more per verify consumer — 8 documents scans in
-    # the r4 census. Checkpointing the signatures caps the corpus at 2 scans.
     ).localCheckpoint()
-    bands = mh.select(
+    return mh.select(
         "doc_id",
         F.explode(
             F.array(
@@ -161,24 +185,18 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared_bands"))
-        # LSH-recall-sized (tiny vs corpus); feeds the verify join AND the
-        # final score join — materialize so the band self-join runs once.
-        .localCheckpoint()
-    )
-    # exact verify touches only candidate docs: semi-join prune the shingle
-    # frame BEFORE the intersection join (same pattern as containment-LSH),
-    # then materialize the pruned shingles — sizes and both intersection
-    # sides read the pruned frame, so the corpus is never re-scanned.
+
+
+def minhash_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs against a
+    shingle frame; returns the final (doc_a, doc_b, shared_bands,
+    inter_ct, jaccard_permille) columns. Shared by the batch query and
+    the streaming-incremental twin.
+
+    The verify touches only candidate docs: semi-join prune the shingle
+    frame BEFORE the intersection join (same pattern as containment-LSH),
+    then materialize the pruned shingles — sizes and both intersection
+    sides read the pruned frame, so the corpus is never re-scanned."""
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))

@@ -1185,3 +1185,35 @@ def test_incremental_anomaly_partials_merge(spark, tmp_path):
     n_cells = partials.select("event_type", "day").distinct().count()
     assert partials.count() > n_cells
     assert _rows(anomaly_finalize(partials), cols) == expected and expected
+
+
+def test_incremental_minhash_pairs_matches_batch(spark, tmp_path):
+    """Streaming x near-dup twin: documents arriving in micro-batches
+    through the incremental MinHash-LSH index must emit, across all
+    batches, EXACTLY the batch query's verified pair set — every pair
+    once (in the batch where its later doc arrives), with identical
+    shared_bands / inter_ct / jaccard_permille."""
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.streaming.incremental import (
+        incremental_minhash_pairs,
+    )
+
+    cols = ["doc_a", "doc_b", "shared_bands", "inter_ct", "jaccard_permille"]
+    expected = _rows(queries()["llm_dedup_minhash_lsh"](spark, SF), cols)
+
+    docs = T.load(spark, SF, "documents")
+    state = str(tmp_path / "mh_state")
+    sink = str(tmp_path / "mh_pairs")
+    _, src = stream_from_dataframe(docs, n_files=3, base_dir=str(tmp_path))
+    s = stream_parquet_source(spark, src, docs.schema)
+    run_foreach_batch(
+        s,
+        lambda bdf, _bid: incremental_minhash_pairs(spark, bdf, state)
+        .write.mode("append")
+        .parquet(sink),
+        output_mode="append",
+    )
+    got = _rows(spark.read.parquet(sink), cols)
+    # equality with the (unique-pair) batch set also proves each pair was
+    # emitted exactly once across the micro-batches
+    assert got == expected and expected
