@@ -31,6 +31,8 @@ from .llm_queries import (
     _cos_e9,
     _dot,
     _dot_dbl,
+    _dot_q,
+    _qdec,
     llm_ann_cosine_topk,
 )
 
@@ -832,8 +834,6 @@ def _topcells(embn: DataFrame, cent: DataFrame, nprobe: int, dot=None) -> DataFr
     # default exact-decimal dot: quantize each side ONCE (the vector per
     # row, the centroids per broadcast build) so the decimal rescore is
     # one multiply + accumulate per element — no per-(row, cell) casts
-    from .llm_queries import _dot_q, _qdec
-
     cent_arr = cent.withColumn("cq", _qdec(F.col("ce"))).agg(
         F.collect_list(F.struct("cid", "ce", "cn2", "cq")).alias("_cents")
     )
@@ -958,8 +958,6 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rerank sides carry the ONCE-quantized arrays (_qdec): candidates are
     # a constant fraction of the base (nprobe/K), so per-row quantization
     # below the join beats per-pair re-casting inside the dot by ~6x
-    from .llm_queries import _dot_q, _qdec
-
     qe = embn.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_vec_id"),
         _qdec(F.col("embedding")).alias("qeq"),
@@ -1975,14 +1973,16 @@ def llm_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tcand = tprobes.join(tassign, "cell").filter(
         F.col("neighbor_vec_id") != F.col("query_vec_id")
     ).select("query_vec_id", "neighbor_vec_id")
+    # rerank with side-quantized arrays (same as llm_ann_ivf's rerank —
+    # the per-pair re-casting _dot is the ~6x overhead _dot_q removes)
     qe = embn.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_vec_id"),
-        F.col("embedding").alias("qe"),
+        _qdec(F.col("embedding")).alias("qeq"),
         F.col("n2").alias("qn2"),
     )
     ne = embn.select(
         F.col("vec_id").alias("neighbor_vec_id"),
-        F.col("embedding").alias("ne"),
+        _qdec(F.col("embedding")).alias("neq"),
         F.col("n2").alias("nn2"),
     )
     wr = Window.partitionBy("query_vec_id").orderBy(
@@ -1995,7 +1995,7 @@ def llm_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_vec_id",
             "neighbor_vec_id",
             _cos_e9(
-                _dot(F.col("qe"), F.col("ne")), F.col("qn2"), F.col("nn2")
+                _dot_q(F.col("qeq"), F.col("neq")), F.col("qn2"), F.col("nn2")
             ).alias("cos_sim_e9"),
         )
         .withColumn("rank", F.row_number().over(wr))

@@ -5,22 +5,27 @@ A production corpus grows continuously; re-running batch MinHash-LSH over
 the whole corpus per ingest is O(corpus) every time. The incremental form
 is O(batch x collision-rate) per micro-batch:
 
-- STATE (parquet, append-only): the (doc_id, band, bucket) band-key table
-  and the (doc_id, text) doc table of everything seen so far. Band keys
-  are the tiny index (4 rows/doc); texts are retained because the exact
-  verify needs shingles of BOTH pair sides, recomputed only for the
-  candidate docs of a batch (semi-join prune — the stored-shingle
-  alternative trades that recompute for ~50x more state).
+- STATE (parquet, one sub-directory per micro-batch id): the
+  (doc_id, band, bucket) band-key table and the (doc_id, text) doc table
+  of everything seen so far. Band keys are the tiny index (4 rows/doc);
+  texts are retained because the exact verify needs shingles of BOTH pair
+  sides — recomputed only for a batch's CANDIDATE docs (the doc state is
+  semi-join-pruned by candidate ids before any tokenize/explode, so
+  per-batch verify cost tracks collisions, not corpus size).
 - PER BATCH: band keys of the batch docs join against state ∪ batch —
   every emitted pair has >= 1 batch side, so a pair is emitted in exactly
   one batch (the batch where its LATER doc arrives) and the union of all
   emissions equals the one-shot batch result
   (`tests/test_streaming.py::test_incremental_minhash_pairs_matches_batch`).
-- Exactly-once across retries: both state appends happen AFTER the output
-  frame is materialized, and batch_fn runs under foreachBatch's
-  checkpointed batch ids (the runner's upsert pattern; a re-delivered
-  batch with the same docs would re-emit the same pairs — dedup on
-  (doc_a, doc_b) at the sink, exactly like the K3 MERGE sink).
+- RETRY SAFETY: state writes go to deterministic ``batch_id=<n>``
+  sub-directories in overwrite mode, so a foreachBatch replay rewrites
+  the identical bytes instead of appending duplicates (duplicated doc
+  rows would silently corrupt every future pair's jaccard denominator);
+  reads EXCLUDE the current batch id, so a replay that crashed between
+  the two state writes heals on re-execution. Replayed batches re-emit
+  the same pairs — dedup on (doc_a, doc_b) at the sink, exactly like the
+  K3 MERGE sink. State existence is probed by attempting the read (never
+  a driver-local os.path check — state may live on HDFS/S3).
 
 At 100 TB the band-key state is the classic inverted index: shuffle-keyed
 by (band, bucket) and bounded by 4 rows/doc; the per-batch join touches
@@ -29,31 +34,50 @@ only the buckets the batch lands in.
 
 from __future__ import annotations
 
-import os
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
 
 from ..plans.llm_scale_queries import _shingles, minhash_bands, minhash_verify
 
 
+def _read_state(
+    spark: SparkSession, path: str, exclude_batch_id: int
+) -> DataFrame | None:
+    """Read a batch_id-partitioned state table, excluding the (possibly
+    half-written, replayed) current batch. Probe-by-read: works on any
+    Hadoop-compatible filesystem, unlike a driver-local isdir check."""
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        return None  # first batch: no state yet
+    return df.filter(F.col("batch_id") != exclude_batch_id).drop("batch_id")
+
+
 def incremental_minhash_pairs(
-    spark: SparkSession, docs_batch: DataFrame, state_dir: str
+    spark: SparkSession,
+    docs_batch: DataFrame,
+    state_dir: str,
+    batch_id: int = 0,
 ) -> DataFrame:
     """One micro-batch step: returns the VERIFIED near-dup pairs with at
     least one side in ``docs_batch`` (same columns as the batch query),
-    then appends the batch to the band-key and doc state tables."""
-    bands_path = os.path.join(state_dir, "bands")
-    docs_path = os.path.join(state_dir, "docs")
+    then writes the batch's state under its ``batch_id`` partition.
+    Pass foreachBatch's batch id for replay-safe state."""
+    bands_path = f"{state_dir}/bands"
+    docs_path = f"{state_dir}/docs"
 
     batch = docs_batch.select("doc_id", "text").localCheckpoint(eager=True)
-    bands_b = minhash_bands(_shingles(batch)).localCheckpoint(eager=True)
+    # minhash_bands checkpoints the signature frame internally; the band
+    # explode above it is cheap, so no second materialization here
+    bands_b = minhash_bands(_shingles(batch))
 
-    if os.path.isdir(bands_path):
-        bands_all = spark.read.parquet(bands_path).unionByName(bands_b)
-        docs_all = spark.read.parquet(docs_path).unionByName(batch)
-    else:
-        bands_all, docs_all = bands_b, batch
+    prev_bands = _read_state(spark, bands_path, batch_id)
+    prev_docs = _read_state(spark, docs_path, batch_id)
+    bands_all = (
+        bands_b if prev_bands is None else prev_bands.unionByName(bands_b)
+    )
+    docs_all = batch if prev_docs is None else prev_docs.unionByName(batch)
 
     left, right = bands_b.alias("l"), bands_all.alias("r")
     # normalize pair direction, then de-dup (a new-new pair matches in
@@ -75,11 +99,25 @@ def incremental_minhash_pairs(
         .agg(F.count(F.lit(1)).alias("shared_bands"))
         .localCheckpoint(eager=True)
     )
-    # verify BEFORE the state append (docs_all lazily reads the state
-    # parquet — appending first would double-count the batch), and
-    # materialize the result for the same reason
-    out = minhash_verify(cand, _shingles(docs_all)).localCheckpoint(eager=True)
+    # prune the doc state to candidate docs BEFORE shingling: the verify
+    # cost must track collisions, not corpus size (a semi-join above the
+    # shingle Generate would not push down through it)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs_cand = docs_all.join(cand_ids, "doc_id", "left_semi")
+    # verify BEFORE the state writes (docs_all lazily reads the state
+    # parquet) and materialize the result for the same reason
+    out = minhash_verify(cand, _shingles(docs_cand)).localCheckpoint(
+        eager=True
+    )
 
-    bands_b.write.mode("append").parquet(bands_path)
-    batch.write.mode("append").parquet(docs_path)
+    # deterministic per-batch locations, overwrite mode: a replay
+    # rewrites identical bytes (idempotent), never double-appends
+    bands_b.write.mode("overwrite").parquet(
+        f"{bands_path}/batch_id={batch_id}"
+    )
+    batch.write.mode("overwrite").parquet(f"{docs_path}/batch_id={batch_id}")
     return out

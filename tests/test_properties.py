@@ -475,7 +475,7 @@ def test_topcells_prerank_margin_survives_boundary_vectors(spark, seed):
     )
 
     emb = spark.createDataFrame(
-        _rand_vecs(seed, 24), "vec_id long, embedding array<float>"
+        _rand_vecs(seed, 24), "vec_id long, embedding array<double>"
     )
     embn = emb.select(
         "vec_id",

@@ -1208,7 +1208,7 @@ def test_incremental_minhash_pairs_matches_batch(spark, tmp_path):
     s = stream_parquet_source(spark, src, docs.schema)
     run_foreach_batch(
         s,
-        lambda bdf, _bid: incremental_minhash_pairs(spark, bdf, state)
+        lambda bdf, bid: incremental_minhash_pairs(spark, bdf, state, bid)
         .write.mode("append")
         .parquet(sink),
         output_mode="append",
@@ -1217,3 +1217,31 @@ def test_incremental_minhash_pairs_matches_batch(spark, tmp_path):
     # equality with the (unique-pair) batch set also proves each pair was
     # emitted exactly once across the micro-batches
     assert got == expected and expected
+
+
+def test_incremental_minhash_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch replays a batch after a downstream failure; the state
+    writes must be idempotent (same batch_id -> same bytes, never a
+    double-append that would corrupt every future pair's jaccard
+    denominator) and the replay must re-emit the same pairs."""
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.streaming.incremental import (
+        incremental_minhash_pairs,
+    )
+
+    cols = ["doc_a", "doc_b", "shared_bands", "inter_ct", "jaccard_permille"]
+    docs = T.load(spark, SF, "documents")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "mh_state")
+
+    first = _rows(incremental_minhash_pairs(spark, half, state, 0), cols)
+    # REPLAY batch 0: same pairs out, state unchanged (overwrite, not append)
+    replay = _rows(incremental_minhash_pairs(spark, half, state, 0), cols)
+    assert replay == first
+    n_docs_state = spark.read.parquet(f"{state}/docs").count()
+    assert n_docs_state == half.count()
+
+    second = _rows(incremental_minhash_pairs(spark, rest, state, 1), cols)
+    expected = _rows(queries()["llm_dedup_minhash_lsh"](spark, SF), cols)
+    assert sorted(first + second) == expected and expected
