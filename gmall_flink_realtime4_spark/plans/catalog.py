@@ -66,6 +66,10 @@ GATE_PRIORITY: list[str] = [
     "llm_multimodal_resize",
     "llm_multimodal_audio_stats",
     "llm_pii_redact",
+    "llm_text_unigram_surprisal",
+    "llm_bpe_pair_counts",
+    "f_entity_resolution_customers",
+    "llm_sketch_countmin",
     # plans rewritten in round 5 (double pre-scoring / CC operator) whose
     # freshest row (r04) predates the rewrite — the four riskiest get
     # fresh rows now; the rest of the rewritten family (cosine_topk is
@@ -102,10 +106,6 @@ GATE_PRIORITY: list[str] = [
     "llm_ann_pq_adc_recall",
     "llm_dedup_edit_distance_verify",
     # freshest row is r03 — analytics / windows / log pipelines
-    "f_pivot_event_day",
-    "f_window_suite_orders",
-    "dws_cube_event_stats",
-    "f_top_users_per_event_type",
     "dq_outlier_mad_events",
     "f_range_band_join",
     "dwd_base_log_page",
@@ -120,8 +120,13 @@ GATE_PRIORITY: list[str] = [
     # dim_app_router, dim_app_materialize, dws_sliding_window_events,
     # dws_session_window_events, dws_user_event_funnel,
     # dws_time_hierarchy_rollup (each also covered by dedicated
-    # window/streaming/e2e tests) and llm_corpus_rollup (local parity +
-    # the corpus-family tests only — give it a gate slot early in r6)
+    # window/streaming/e2e tests), llm_corpus_rollup (local parity +
+    # the corpus-family tests only — give it a gate slot early in r6),
+    # and — displaced by the four round-5 late additions
+    # (surprisal/bpe/entity-resolution/countmin) — f_pivot_event_day,
+    # f_window_suite_orders, dws_cube_event_stats,
+    # f_top_users_per_event_type (each r03-green with a dedicated test in
+    # tests/test_corpus_ops.py)
 ]
 
 

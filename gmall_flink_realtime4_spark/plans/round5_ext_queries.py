@@ -1,0 +1,366 @@
+"""Round-5 extensions: corpus language-model statistics, tokenizer
+induction, record linkage, and a mergeable frequency sketch.
+
+Four ops a 100 TB training-data platform runs that the registry did not yet
+cover:
+
+- ``llm_text_unigram_surprisal`` — corpus-trained unigram-LM rarity score
+  per document (the perplexity-lite quality signal), in exact integer
+  floor-log2 bits so it hash-matches across engines.
+- ``llm_bpe_pair_counts``        — the first BPE merge step: corpus-frequency-
+  weighted adjacent character-pair counts computed over the *distinct-word*
+  table (vocabulary-sized, not corpus-sized).
+- ``f_entity_resolution_customers`` — blocked record linkage: candidate
+  pairs via a bounded blocking key, Levenshtein verify within blocks only
+  (never a cross product).
+- ``llm_sketch_countmin``        — count-min sketch (d=4, w=256) with
+  exact-vs-estimate honesty columns; counters are plain sums, so partial
+  sketches merge losslessly (pinned by a partials test).
+
+Determinism (catalog.py contract): every score is exact integer arithmetic.
+Floor-log2 is computed as ``length(bin(x)) - 1`` — both Spark and DuckDB
+render ``bin(BIGINT)`` without leading zeros, so the result is an exact
+integer on both engines where ``floor(log2(double))`` would be libm-
+dependent at power-of-two boundaries. Levenshtein is the standard
+character-level edit distance in both engines (ASCII inputs).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .. import tables as T
+from .catalog import query
+from .llm_scale_queries import _hexval_sql
+
+# ---------------------------------------------------------------------------
+# llm_text_unigram_surprisal — unigram-LM document rarity score.
+#
+# Train: token -> corpus count (one corpus shuffle, map-side combined; the
+# (doc, term) tf frame is built first so the vocab agg runs over tf, not the
+# raw token stream). Score: surprisal(token) = floor(log2(total_tokens /
+# count(token))) bits — the integer part of the ideal code length; a doc's
+# sum/mean over tokens is the perplexity-lite quality signal (word-salad and
+# rare-token docs score high, boilerplate scores low).
+#
+# Scale: tf agg shuffles the corpus once on (doc_id, term) with map-side
+# combine; the vocab is orders of magnitude smaller than the corpus and is
+# joined back with a broadcast hint (same posture as llm_tfidf_top_terms);
+# the final per-doc agg shuffles tf — already the compressed representation —
+# on doc_id. No floating point anywhere.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_text_unigram_surprisal",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+), vocab AS (
+    SELECT term, CAST(SUM(tf) AS BIGINT) AS tc FROM tf GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(tc) AS BIGINT) AS total_tokens FROM vocab
+), s AS (
+    SELECT tf.doc_id, tf.tf,
+           CAST(length(bin(t.total_tokens // v.tc)) - 1 AS BIGINT) AS bits
+    FROM tf JOIN vocab v USING (term) CROSS JOIN tot t
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT)        AS n_tokens,
+       CAST(SUM(tf * bits) AS BIGINT) AS sum_surprisal_bits,
+       CAST((1000 * SUM(tf * bits)) // greatest(SUM(tf), 1) AS BIGINT)
+                                      AS mean_surprisal_millibits
+FROM s GROUP BY 1
+""",
+    tags=("llm-text", "quality"),
+)
+def llm_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM surprisal: mean/sum of floor(log2(N/count))
+    bits per token, trained on the corpus itself.
+
+    ``bin()``-length floor-log2 keeps the score exact-integer on both
+    engines (transcendental log2 is libm-dependent and never hash-stable).
+    total // tc >= 1 always (tc <= total), so bin() never sees 0.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("tc"))
+    tot = vocab.agg(F.sum("tc").cast("bigint").alias("total_tokens"))
+    s = (
+        tf.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bits",
+            F.expr("CAST(length(bin(total_tokens div tc)) - 1 AS BIGINT)"),
+        )
+    )
+    return s.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("bits")).cast("bigint").alias(
+            "sum_surprisal_bits"
+        ),
+        F.expr(
+            "CAST((1000 * SUM(tf * bits)) div greatest(SUM(tf), 1) AS BIGINT)"
+        ).alias("mean_surprisal_millibits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_bpe_pair_counts — tokenizer induction, step one of BPE: count adjacent
+# character pairs weighted by word frequency; the top pair is the first
+# merge a BPE trainer would perform.
+#
+# Scale: the corpus is folded to the word-frequency table first (one
+# map-combined shuffle); pair explosion runs over DISTINCT WORDS — a
+# vocabulary-sized frame — so a trillion-token corpus costs one shuffle plus
+# vocab-sized work. The final ranking windows over the aggregated PAIR table,
+# whose cardinality is bounded by charset^2 (~single-digit thousands for
+# ASCII text) independent of corpus size, so the single-partition sort is a
+# constant-size step at any scale.
+# ---------------------------------------------------------------------------
+BPE_TOP_K = 20
+
+
+@query(
+    "llm_bpe_pair_counts",
+    oracle=f"""
+WITH w AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), wf AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM w WHERE length(word) >= 2 GROUP BY 1
+), idx AS (
+    SELECT word, freq, unnest(range(1, length(word))) AS i FROM wf
+), p AS (
+    SELECT substr(word, i, 2) AS pair, freq FROM idx
+), pc AS (
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM p GROUP BY 1
+), r AS (
+    SELECT pair, pair_count,
+           CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS BIGINT)
+               AS rnk
+    FROM pc
+)
+SELECT pair, pair_count, rnk FROM r WHERE rnk <= {BPE_TOP_K}
+""",
+    tags=("llm-text", "tokenizer"),
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} adjacent character pairs by corpus-frequency-weighted count —
+    the first merge step of a BPE tokenizer trainer.
+
+    Pairs are generated from the distinct-word table (vocab-sized), weighted
+    by word frequency; rank ties broken by the pair string so the top-K set
+    is deterministic on both engines.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    wf = w.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    p = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    pc = p.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("pair_count"))
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("pair_count").desc(), "pair")
+    )
+    return (
+        pc.withColumn("rnk", rnk.cast("bigint"))
+        .filter(F.col("rnk") <= BPE_TOP_K)
+        .select("pair", "pair_count", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# f_entity_resolution_customers — blocked record linkage (entity dedup).
+#
+# Candidate generation by a bounded blocking key (nation x segment x
+# account-balance band), Levenshtein verify WITHIN blocks only — the classic
+# blocking-then-verify shape; the pair space never crosses block boundaries
+# and no cross product appears in the plan (equi-join on the block key).
+#
+# Scale: block count grows with key cardinality, block size with data/blocks;
+# at 100 TB the blocking key must keep block sizes bounded (add more key
+# components — zip/prefix/phonetic — exactly as the band component does
+# here); AQE skew-join splits any hot block. Verification cost is
+# sum(block_size^2), never N^2.
+# ---------------------------------------------------------------------------
+ER_MAX_DIST = 2
+ER_BAND = 2000.0
+
+
+@query(
+    "f_entity_resolution_customers",
+    oracle=f"""
+WITH b AS (
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / {ER_BAND}) AS BIGINT) AS bal_band
+    FROM customer
+)
+SELECT a.c_custkey                  AS custkey_a,
+       b.c_custkey                  AS custkey_b,
+       a.c_nationkey                AS c_nationkey,
+       a.c_mktsegment               AS c_mktsegment,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev_dist
+FROM b a JOIN b b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.bal_band = b.bal_band
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {ER_MAX_DIST}
+""",
+    tags=("functions", "record-linkage"),
+)
+def f_entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy customer matching: equi-join on (nation, segment,
+    balance band), edit-distance <= 2 verify inside blocks.
+
+    The band component demonstrates the bounded-block discipline: double
+    division + floor is IEEE-exact and identical on both engines, so block
+    membership never diverges.
+    """
+    c = T.load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(ER_BAND)).cast("bigint").alias(
+            "bal_band"
+        ),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.bal_band") == F.col("b.bal_band"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .withColumn(
+            "lev_dist",
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).cast("bigint"),
+        )
+        .filter(F.col("lev_dist") <= ER_MAX_DIST)
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.col("a.c_nationkey").alias("c_nationkey"),
+            F.col("a.c_mktsegment").alias("c_mktsegment"),
+            "lev_dist",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_sketch_countmin — count-min sketch over corpus token frequencies.
+#
+# d=4 independent hash rows x w=256 buckets; counters are plain sums of the
+# token counts that hash into them, so per-partition / per-batch partial
+# sketches merge by element-wise addition (the property the streaming twin
+# test pins). Estimates are the row-wise MIN of the bucket counters — always
+# >= the exact count (one-sided error), surfaced per token next to the exact
+# count as honesty columns.
+#
+# Scale: the corpus folds to the vocab-count table first (one map-combined
+# shuffle); everything after — hashing, the (rw, bucket) agg, the estimate
+# join — is vocab-sized. The sketch itself is d*w = 1024 counters regardless
+# of corpus size.
+# ---------------------------------------------------------------------------
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+_CM_HV = _hexval_sql("hx", "instr")
+_CM_HV_ORA = _hexval_sql("md5(token || ':cm' || CAST(rw AS VARCHAR))", "strpos")
+
+
+def countmin_sketch(tc: DataFrame) -> DataFrame:
+    """Build the (rw, bucket, bucket_count) sketch from a (token,
+    exact_count) frame. Counters are sums -> two sketches over disjoint
+    corpus halves merge by summing bucket_count (pinned by
+    test_countmin_partials_merge)."""
+    rows = tc.select(
+        "token",
+        "exact_count",
+        F.explode(F.array([F.lit(i) for i in range(CM_DEPTH)])).alias("rw"),
+    )
+    hashed = rows.withColumn(
+        "hx", F.md5(F.concat(F.col("token"), F.lit(":cm"), F.col("rw").cast("string")))
+    ).withColumn("bucket", F.expr(f"({_CM_HV}) % {CM_WIDTH}"))
+    return hashed.groupBy("rw", "bucket").agg(
+        F.sum("exact_count").cast("bigint").alias("bucket_count")
+    )
+
+
+@query(
+    "llm_sketch_countmin",
+    oracle=f"""
+WITH t AS (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), tc AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count FROM t GROUP BY 1
+), r AS (
+    SELECT token, exact_count, unnest(range(0, {CM_DEPTH})) AS rw FROM tc
+), h AS (
+    SELECT token, exact_count, rw,
+           ({_CM_HV_ORA}) % {CM_WIDTH} AS bucket
+    FROM r
+), sk AS (
+    SELECT rw, bucket, CAST(SUM(exact_count) AS BIGINT) AS bucket_count
+    FROM h GROUP BY 1, 2
+), est AS (
+    SELECT h.token, h.exact_count,
+           CAST(MIN(sk.bucket_count) AS BIGINT) AS cm_estimate
+    FROM h JOIN sk USING (rw, bucket) GROUP BY 1, 2
+)
+SELECT token, exact_count, cm_estimate,
+       CAST(cm_estimate - exact_count AS BIGINT) AS overestimate
+FROM est
+""",
+    tags=("llm-sketch",),
+)
+def llm_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min estimates vs exact token counts (one-sided overestimate).
+
+    tc is localCheckpoint'ed so the sketch branch and the estimate branch
+    share one corpus scan (same discipline as the LSH/mix queries).
+    """
+    d = T.load(spark, sf_dir, "documents")
+    t = d.select(F.explode(F.split("text", " ")).alias("token"))
+    tc = (
+        t.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .localCheckpoint()
+    )
+    sk = countmin_sketch(tc)
+    rows = tc.select(
+        "token",
+        "exact_count",
+        F.explode(F.array([F.lit(i) for i in range(CM_DEPTH)])).alias("rw"),
+    )
+    hashed = rows.withColumn(
+        "hx", F.md5(F.concat(F.col("token"), F.lit(":cm"), F.col("rw").cast("string")))
+    ).withColumn("bucket", F.expr(f"({_CM_HV}) % {CM_WIDTH}"))
+    est = (
+        hashed.join(F.broadcast(sk), ["rw", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("bucket_count").cast("bigint").alias("cm_estimate"))
+    )
+    return est.select(
+        "token",
+        "exact_count",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_count")).cast("bigint").alias(
+            "overestimate"
+        ),
+    )

@@ -143,6 +143,10 @@ QUERIES = [
     "llm_multimodal_resize",
     "llm_multimodal_audio_stats",
     "llm_pii_redact",
+    "llm_text_unigram_surprisal",
+    "llm_bpe_pair_counts",
+    "f_entity_resolution_customers",
+    "llm_sketch_countmin",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
