@@ -52,10 +52,15 @@ REGISTRY: dict[str, QuerySpec] = {}
 #
 # ROUND-6 ROTATION RECIPE (do this first next round): replace this list
 # with the queries whose freshest driver row is CORRECTNESS_r04 or older —
-# i.e. ``[k for k in queries() if k not in CORRECTNESS_r05]`` — that set is
-# 52 names (50 rotated out of the r05 gate + the two bumped), so pick the
-# 50 leading with dim_app_router/dim_app_materialize (oldest rows, r03) and
-# any queries new in round 6, bumping test-covered names as needed.
+# i.e. ``[k for k in queries() if k not in CORRECTNESS_r05]``. That set is
+# 57 names: 46 whose freshest row is r04, plus 11 whose freshest row is
+# r03 (dim_app_router, dim_app_materialize, llm_corpus_rollup,
+# dws_sliding_window_events, dws_session_window_events,
+# dws_user_event_funnel, dws_time_hierarchy_rollup, f_pivot_event_day,
+# f_window_suite_orders, dws_cube_event_stats,
+# f_top_users_per_event_type). Lead the prefix with those 11 (oldest
+# rows), add any queries new in round 6, and bump test-covered r04-fresh
+# names to round 7 to stay at exactly 50.
 GATE_PRIORITY: list[str] = [
     # plans changed late in round 4 — freshest driver row predates the change
     "llm_dedup_containment_lsh",
