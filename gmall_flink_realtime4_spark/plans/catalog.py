@@ -53,12 +53,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 # ROUND-6 ROTATION RECIPE (do this first next round): replace this list
 # with the queries whose freshest driver row is CORRECTNESS_r04 or older —
 # i.e. ``[k for k in queries() if k not in CORRECTNESS_r05]``. That set is
-# 57 names: 46 whose freshest row is r04, plus 11 whose freshest row is
+# 58 names: 46 whose freshest row is r04, plus 12 whose freshest row is
 # r03 (dim_app_router, dim_app_materialize, llm_corpus_rollup,
 # dws_sliding_window_events, dws_session_window_events,
 # dws_user_event_funnel, dws_time_hierarchy_rollup, f_pivot_event_day,
-# f_window_suite_orders, dws_cube_event_stats,
-# f_top_users_per_event_type). Lead the prefix with those 11 (oldest
+# f_window_suite_orders, dws_cube_event_stats, f_top_users_per_event_type,
+# dws_user_retention_cohort). Lead the prefix with those 12 (oldest
 # rows), add any queries new in round 6, and bump test-covered r04-fresh
 # names to round 7 to stay at exactly 50.
 GATE_PRIORITY: list[str] = [
@@ -72,6 +72,7 @@ GATE_PRIORITY: list[str] = [
     "llm_multimodal_audio_stats",
     "llm_pii_redact",
     "llm_text_unigram_surprisal",
+    "llm_text_bigram_surprisal",
     "llm_bpe_pair_counts",
     "f_entity_resolution_customers",
     "llm_sketch_countmin",
@@ -118,7 +119,6 @@ GATE_PRIORITY: list[str] = [
     "dwd_base_log_err",
     "dwd_base_log_display",
     "dwd_base_log_action",
-    "dws_user_retention_cohort",
     "dws_gap_fill_locf_daily_orders",
     "dim_scd2_user_event_intervals",
     # bumped to round 6, all r03-green and unchanged since that row:
@@ -131,7 +131,10 @@ GATE_PRIORITY: list[str] = [
     # (surprisal/bpe/entity-resolution/countmin) — f_pivot_event_day,
     # f_window_suite_orders, dws_cube_event_stats,
     # f_top_users_per_event_type (each r03-green with a dedicated test in
-    # tests/test_corpus_ops.py)
+    # tests/test_corpus_ops.py), and dws_user_retention_cohort (r03-green,
+    # unchanged, displaced by llm_text_bigram_surprisal; like every
+    # registered query it stays parity-covered in-suite by
+    # tests/test_oracle_parity.py)
 ]
 
 

@@ -112,6 +112,100 @@ def llm_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# llm_text_bigram_surprisal — conditional (bigram) LM surprisal per doc.
+#
+# The bigram upgrade of the unigram score: surprisal of token w2 given its
+# predecessor w1 is floor(log2(count(w1 as context) / count(w1,w2))) bits —
+# docs whose word order is improbable under the corpus bigram model score
+# high even when every individual token is common (word-salad detection the
+# unigram score misses).
+#
+# Scale: the corpus folds to (doc, w1, w2, btf) in one map-combined shuffle;
+# the bigram and context-count tables are vocab²-/vocab-sized and broadcast
+# back; the per-doc agg reruns over the compressed dtf frame. Exact integer
+# arithmetic throughout (bin()-length floor-log2); cc >= bc always because
+# cc(w1) sums bc(w1, *).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_text_bigram_surprisal",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), tf AS (
+    SELECT doc_id, t FROM t WHERE len(t) >= 2
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tf
+), pr AS (
+    SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM idx
+), dtf AS (
+    SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS btf
+    FROM pr GROUP BY 1, 2, 3
+), bc AS (
+    SELECT w1, w2, CAST(SUM(btf) AS BIGINT) AS bc FROM dtf GROUP BY 1, 2
+), cc AS (
+    SELECT w1, CAST(SUM(bc) AS BIGINT) AS cc FROM bc GROUP BY 1
+), s AS (
+    SELECT dtf.doc_id, dtf.btf,
+           CAST(length(bin(cc.cc // bc.bc)) - 1 AS BIGINT) AS bits
+    FROM dtf JOIN bc USING (w1, w2) JOIN cc USING (w1)
+)
+SELECT doc_id,
+       CAST(SUM(btf) AS BIGINT)        AS n_bigrams,
+       CAST(SUM(btf * bits) AS BIGINT) AS sum_bigram_bits,
+       CAST((1000 * SUM(btf * bits)) // greatest(SUM(btf), 1) AS BIGINT)
+                                       AS mean_bigram_millibits
+FROM s GROUP BY 1
+""",
+    tags=("llm-text", "quality"),
+)
+def llm_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document conditional bigram surprisal: mean/sum of
+    floor(log2(context_count / bigram_count)) bits over adjacent token
+    pairs, trained on the corpus itself.
+
+    element_at indices are in [1, size] by the sequence bounds (i up to
+    size-1, i+1 up to size), so ANSI mode never faults; docs with fewer
+    than two tokens drop out on both engines (len filter / inner join).
+    """
+    d = T.load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    dtf = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("btf")
+    )
+    bc = dtf.groupBy("w1", "w2").agg(F.sum("btf").cast("bigint").alias("bc"))
+    cc = bc.groupBy("w1").agg(F.sum("bc").cast("bigint").alias("cc"))
+    s = (
+        dtf.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(cc), "w1")
+        .withColumn(
+            "bits", F.expr("CAST(length(bin(cc div bc)) - 1 AS BIGINT)")
+        )
+    )
+    return s.groupBy("doc_id").agg(
+        F.sum("btf").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("btf") * F.col("bits")).cast("bigint").alias(
+            "sum_bigram_bits"
+        ),
+        F.expr(
+            "CAST((1000 * SUM(btf * bits)) div greatest(SUM(btf), 1) AS BIGINT)"
+        ).alias("mean_bigram_millibits"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # llm_bpe_pair_counts — tokenizer induction, step one of BPE: count adjacent
 # character pairs weighted by word frequency; the top pair is the first
 # merge a BPE trainer would perform.

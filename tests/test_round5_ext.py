@@ -60,6 +60,32 @@ def test_surprisal_vocab_join_is_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bigram_surprisal_joins_broadcast(spark):
+    """Both model joins (bigram table, context table) must broadcast —
+    vocab²/vocab-sized frames against the corpus-compressed dtf stream."""
+    plan = _plan(spark, "llm_text_bigram_surprisal")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_surprisal_scores_word_order(spark):
+    """The conditional score must react to word order: every doc scores
+    >= 0 bits, and total bigram count equals sum(len(tokens) - 1)."""
+    out = queries()["llm_text_bigram_surprisal"](spark, SF)
+    rows = out.collect()
+    assert rows
+    assert all(r.sum_bigram_bits >= 0 for r in rows)
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    expected_pairs = (
+        d.selectExpr("greatest(size(split(text, ' ')) - 1, 0) AS n")
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    got_pairs = out.agg(F.sum("n_bigrams")).collect()[0][0]
+    assert got_pairs == expected_pairs
+
+
 def test_bpe_pairs_window_is_over_aggregated_pairs(spark):
     """The global top-K window must run over the aggregated pair table
     (charset^2-bounded), i.e. AFTER a HashAggregate on pair — never over the

@@ -866,6 +866,46 @@ def test_incremental_checksum_partials_merge(spark, tmp_path):
     assert got == expected and got
 
 
+def test_incremental_countmin_sketch_stream(spark, tmp_path):
+    """Streaming twin of the count-min sketch: documents arrive in
+    micro-batches, each batch appends its partial sketch (bucket counters
+    over the batch's token counts), and the element-wise sum of all
+    partials equals the one-shot whole-corpus sketch — bucket assignment
+    depends only on the token, so counters are commutative/associative
+    and batch boundaries cannot matter."""
+    from gmall_flink_realtime4_spark.plans.round5_ext_queries import (
+        countmin_sketch,
+    )
+
+    docs = T.load(spark, SF, "documents")
+
+    def tc(df):
+        return (
+            df.select(F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        )
+
+    expected = _rows(countmin_sketch(tc(docs)), ["rw", "bucket", "bucket_count"])
+
+    target = str(tmp_path / "cm_partials")
+    _, src = stream_from_dataframe(docs, n_files=3, base_dir=str(tmp_path))
+    s = stream_parquet_source(spark, src, docs.schema)
+    run_foreach_batch(
+        s,
+        lambda bdf, _bid: countmin_sketch(tc(bdf))
+        .write.mode("append")
+        .parquet(target),
+        output_mode="append",
+    )
+    partials = spark.read.parquet(target)
+    merged = partials.groupBy("rw", "bucket").agg(
+        F.sum("bucket_count").cast("bigint").alias("bucket_count")
+    )
+    got = _rows(merged, ["rw", "bucket", "bucket_count"])
+    assert got == expected and got
+
+
 def test_incremental_path_transitions_state_table(spark, tmp_path):
     """Streaming twin of dws_user_path_transitions: events arrive in
     event-time-ordered micro-batches; a per-user LAST-EVENT state table

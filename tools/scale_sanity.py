@@ -144,6 +144,7 @@ QUERIES = [
     "llm_multimodal_audio_stats",
     "llm_pii_redact",
     "llm_text_unigram_surprisal",
+    "llm_text_bigram_surprisal",
     "llm_bpe_pair_counts",
     "f_entity_resolution_customers",
     "llm_sketch_countmin",
