@@ -500,3 +500,81 @@ def test_topcells_prerank_margin_survives_boundary_vectors(spark, seed):
         .collect()
     }
     assert fast == slow
+
+
+# ---------------------------------------------------------------------------
+# Round-5 extensions: integer floor-log2 exactness and count-min soundness.
+# ---------------------------------------------------------------------------
+
+
+@given(xs=st.lists(st.integers(1, 2**62), min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_bin_length_floor_log2_property(spark, xs):
+    """The surprisal primitive: length(bin(x)) - 1 == floor(log2(x)) for
+    arbitrary positive BIGINTs — including values where double log2
+    rounds across the integer boundary (2^k and 2^k - 1 neighbours)."""
+    probe = sorted(set(xs) | {x - 1 for x in xs if x > 1} | {x + 1 for x in xs})
+    df = spark.createDataFrame([(x,) for x in probe], "x long")
+    got = {
+        r.x: r.fl2
+        for r in df.selectExpr(
+            "x", "CAST(length(bin(x)) - 1 AS BIGINT) AS fl2"
+        ).collect()
+    }
+    for x in probe:
+        assert got[x] == x.bit_length() - 1, x
+
+
+@given(
+    tokens=st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee", "ff", "g h", ""]),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_countmin_sound_on_arbitrary_corpora(spark, tokens):
+    """CM soundness on hypothesis-generated token multisets: the estimate
+    is never below the exact count, and the whole-corpus sketch equals the
+    merged per-half sketches (mergeability independent of the data)."""
+    from collections import Counter
+
+    from gmall_flink_realtime4_spark.plans.round5_ext_queries import (
+        countmin_sketch,
+    )
+
+    exact = Counter(tokens)
+    tc = spark.createDataFrame(
+        [(t, c) for t, c in exact.items()], "token string, exact_count long"
+    )
+    sk = countmin_sketch(tc)
+    rows = tc.select(
+        "token",
+        "exact_count",
+        F.explode(F.array([F.lit(i) for i in range(4)])).alias("rw"),
+    )
+    from gmall_flink_realtime4_spark.plans.round5_ext_queries import _CM_HV
+
+    hashed = rows.withColumn(
+        "hx",
+        F.md5(F.concat(F.col("token"), F.lit(":cm"), F.col("rw").cast("string"))),
+    ).withColumn("bucket", F.expr(f"({_CM_HV}) % 256"))
+    est = (
+        hashed.join(sk, ["rw", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("bucket_count").alias("cm_estimate"))
+        .collect()
+    )
+    assert {r.token for r in est} == set(exact)
+    for r in est:
+        assert r.cm_estimate >= r.exact_count >= 1
+
+    half_a = tc.filter(F.md5("token").substr(1, 1) < "8")
+    half_b = tc.filter(F.md5("token").substr(1, 1) >= "8")
+    merged = (
+        countmin_sketch(half_a)
+        .unionByName(countmin_sketch(half_b))
+        .groupBy("rw", "bucket")
+        .agg(F.sum("bucket_count").cast("bigint").alias("bucket_count"))
+    )
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in sk.collect()}
