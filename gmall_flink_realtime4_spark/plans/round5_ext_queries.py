@@ -87,8 +87,14 @@ def llm_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = T.load(spark, sf_dir, "documents")
     t = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = t.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
+    tf = (
+        t.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        # tf feeds BOTH the model derivation (vocab -> tot) and the scoring
+        # join — without this the corpus is scanned and shuffled once per
+        # consumer (censused at 3 scans); checkpointing the compressed
+        # (doc,term,tf) frame is the standard fan-out trade
+        .localCheckpoint()
     )
     vocab = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("tc"))
     tot = vocab.agg(F.sum("tc").cast("bigint").alias("total_tokens"))
@@ -182,8 +188,12 @@ def llm_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    dtf = pairs.groupBy("doc_id", "w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("btf")
+    dtf = (
+        pairs.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("btf"))
+        # dtf feeds the bigram/context model AND the scoring join — same
+        # checkpoint-the-fan-out discipline as the unigram twin
+        .localCheckpoint()
     )
     bc = dtf.groupBy("w1", "w2").agg(F.sum("btf").cast("bigint").alias("bc"))
     cc = bc.groupBy("w1").agg(F.sum("bc").cast("bigint").alias("cc"))

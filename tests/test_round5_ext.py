@@ -60,6 +60,16 @@ def test_surprisal_vocab_join_is_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_surprisal_tf_derived_once(spark):
+    """The (doc,term,tf) fold feeds the model AND the scoring join; the
+    checkpoint must collapse the fan-out to zero documents scans in the
+    final plan (same contract as the LSH corpus-derived-once guards)."""
+    for name in ("llm_text_unigram_surprisal", "llm_text_bigram_surprisal"):
+        plan = _plan(spark, name)
+        assert "documents.parquet" not in plan, name
+        assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, name
+
+
 def test_bigram_surprisal_joins_broadcast(spark):
     """Both model joins (bigram table, context table) must broadcast —
     vocab²/vocab-sized frames against the corpus-compressed dtf stream."""
