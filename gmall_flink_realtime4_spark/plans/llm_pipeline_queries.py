@@ -446,17 +446,19 @@ def llm_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition is the point: each stage is the already-gated operator
     (llm_corpus_prepare's filter+dedup, llm_decontaminate's overlap set,
-    llm_sample_stratified's hash mix) fused into a single DAG — no
-    intermediate materialization, every filter applied before the next
-    shuffle, contaminated ids arrive as a broadcast anti-join. The shape a
-    nightly 100 TB corpus build actually ships.
+    llm_sample_stratified's hash mix) fused into a single DAG — the text
+    column is projected away at the scan (everything downstream needs only
+    the fingerprint and counts, so no shuffle ever carries document
+    bytes), the two fan-out frames (quality-filtered features, shingles)
+    are checkpointed so the corpus is scanned once per derivation instead
+    of once per consumer, and contaminated ids arrive as a broadcast
+    anti-join. The shape a nightly 100 TB corpus build actually ships.
     """
     d = T.load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     feat = d.select(
         "doc_id",
         "lang",
-        "text",
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars"),
         F.md5(F.trim(F.regexp_replace(F.translate("text", "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), "[ \\t\\n\\f\\r]+", " "))).alias("fp"),
@@ -470,12 +472,12 @@ def llm_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") >= 5)
         & (F.col("n_chars") >= 30)
         & (F.col("stop_pm") <= 500)
-    )
+    ).localCheckpoint()  # two consumers: keeper agg + the semi-join probe
     keepers = kept.groupBy("fp").agg(F.min("doc_id").alias("keeper_doc_id"))
     deduped = kept.join(
         keepers, kept.doc_id == keepers.keeper_doc_id, "left_semi"
     )
-    sh = _shingles(d)
+    sh = _shingles(d).localCheckpoint()  # two consumers: eval set + probes
     ev = sh.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select("shingle")
     contaminated = (
         sh.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)

@@ -117,6 +117,9 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # mirror the oracle's range(1, len-1): drop the tail shingles that
         # would index past the end (concat_ws skips nulls -> short shingles)
         .filter(F.size(F.split("shingle", " ")) == 3)
+        # four consumers (join sides a/b + size joins sa/sb): checkpoint so
+        # the explode+distinct derivation runs once, not 4x
+        .localCheckpoint()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
