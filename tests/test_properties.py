@@ -578,3 +578,92 @@ def test_countmin_sound_on_arbitrary_corpora(spark, tokens):
         .agg(F.sum("bucket_count").cast("bigint").alias("bucket_count"))
     )
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in sk.collect()}
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "dd", "e", "ff g"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_unigram_surprisal_matches_python_model(spark, tmp_path_factory, docs):
+    """Engine-independent intent check: the registered unigram-surprisal
+    query must equal a from-scratch Python unigram LM (floor-log2 integer
+    bits) on arbitrary corpora — catching any shared-wrong-assumption bug
+    where Spark and the DuckDB oracle agree with each other but not with
+    the model definition."""
+    from collections import Counter
+
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+
+    texts = [" ".join(d) for d in docs]
+    # sampled words may contain spaces ("ff g") — the engine tokenizes the
+    # JOINED text, so compute the python model over the same split
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    counts = Counter(w for ws in toks.values() for w in ws)
+    total = sum(counts.values())
+    expected = {}
+    for i, ws in toks.items():
+        bits = sum((total // counts[w]).bit_length() - 1 for w in ws)
+        expected[i] = (len(ws), bits, (1000 * bits) // max(len(ws), 1))
+
+    sf = str(tmp_path_factory.mktemp("surprisal_prop"))
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {
+        r.doc_id: (r.n_tokens, r.sum_surprisal_bits, r.mean_surprisal_millibits)
+        for r in queries()["llm_text_unigram_surprisal"](spark, sf).collect()
+    }
+    assert out == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "dd", "e"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_bigram_surprisal_matches_python_model(spark, tmp_path_factory, docs):
+    """Same engine-independent check for the conditional bigram model:
+    bits = floor(log2(context_count / bigram_count)) summed over adjacent
+    pairs; single-token docs drop out."""
+    from collections import Counter
+
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+
+    pairs_per_doc = {
+        i: list(zip(d, d[1:])) for i, d in enumerate(docs) if len(d) >= 2
+    }
+    bc = Counter(p for ps in pairs_per_doc.values() for p in ps)
+    cc = Counter()
+    for (w1, _), n in bc.items():
+        cc[w1] += n
+    expected = {}
+    for i, ps in pairs_per_doc.items():
+        bits = sum((cc[w1] // bc[(w1, w2)]).bit_length() - 1 for (w1, w2) in ps)
+        expected[i] = (len(ps), bits, (1000 * bits) // max(len(ps), 1))
+
+    sf = str(tmp_path_factory.mktemp("bigram_prop"))
+    spark.createDataFrame(
+        [(i, " ".join(d), "en", "s", 1) for i, d in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {
+        r.doc_id: (r.n_bigrams, r.sum_bigram_bits, r.mean_bigram_millibits)
+        for r in queries()["llm_text_bigram_surprisal"](spark, sf).collect()
+    }
+    assert out == expected
