@@ -667,3 +667,40 @@ def test_bigram_surprisal_matches_python_model(spark, tmp_path_factory, docs):
         for r in queries()["llm_text_bigram_surprisal"](spark, sf).collect()
     }
     assert out == expected
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["aaa", "ab", "abc", "x", "yy", "abab", "ba"]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_bpe_pair_counts_matches_python_model(spark, tmp_path_factory, words):
+    """From-scratch BPE step-1 check: pair counts must weight by word
+    frequency and count OVERLAPPING occurrences within a word ("aaa"
+    contributes "aa" twice), dropping words shorter than 2 chars."""
+    from collections import Counter
+
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.round5_ext_queries import BPE_TOP_K
+
+    pc = Counter()
+    for w in words:
+        if len(w) >= 2:
+            for i in range(len(w) - 1):
+                pc[w[i : i + 2]] += 1
+    ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
+    expected = {p: (n, r) for r, (p, n) in enumerate(ranked, start=1)}
+
+    sf = str(tmp_path_factory.mktemp("bpe_prop"))
+    spark.createDataFrame(
+        [(0, " ".join(words), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {
+        r.pair: (r.pair_count, r.rnk)
+        for r in queries()["llm_bpe_pair_counts"](spark, sf).collect()
+    }
+    assert out == expected
