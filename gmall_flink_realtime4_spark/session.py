@@ -28,6 +28,12 @@ from pyspark.sql import SparkSession
 # on Spark 4.1).
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # the engine is built and tested under Spark 4's ANSI default; pin it
+    # so a hostile session with ansi=false runs the tested configuration
+    # (expressions are written to be mode-agnostic — in-range element_at,
+    # overflow-free decimal accumulators, try_*/guarded casts — but the
+    # pin removes the matrix)
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
