@@ -76,6 +76,7 @@ GATE_PRIORITY: list[str] = [
     "llm_bpe_pair_counts",
     "f_entity_resolution_customers",
     "llm_sketch_countmin",
+    "llm_dedup_url_normalize",
     # plans rewritten in round 5 (double pre-scoring / CC operator) whose
     # freshest row (r04) predates the rewrite — the four riskiest get
     # fresh rows now; the rest of the rewritten family (cosine_topk is
@@ -120,7 +121,6 @@ GATE_PRIORITY: list[str] = [
     "dwd_base_log_display",
     "dwd_base_log_action",
     "dws_gap_fill_locf_daily_orders",
-    "dim_scd2_user_event_intervals",
     # bumped to round 6, all r03-green and unchanged since that row:
     # dim_app_router, dim_app_materialize, dws_sliding_window_events,
     # dws_session_window_events, dws_user_event_funnel,
@@ -131,10 +131,11 @@ GATE_PRIORITY: list[str] = [
     # (surprisal/bpe/entity-resolution/countmin) — f_pivot_event_day,
     # f_window_suite_orders, dws_cube_event_stats,
     # f_top_users_per_event_type (each r03-green with a dedicated test in
-    # tests/test_corpus_ops.py), and dws_user_retention_cohort (r03-green,
-    # unchanged, displaced by llm_text_bigram_surprisal; like every
-    # registered query it stays parity-covered in-suite by
-    # tests/test_oracle_parity.py)
+    # tests/test_corpus_ops.py), dws_user_retention_cohort (r03-green,
+    # unchanged, displaced by llm_text_bigram_surprisal), and
+    # dim_scd2_user_event_intervals (r03-green, displaced by
+    # llm_dedup_url_normalize); like every registered query the bumped
+    # names stay parity-covered in-suite by tests/test_oracle_parity.py
 ]
 
 

@@ -367,6 +367,141 @@ def f_entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# llm_dedup_url_normalize — URL canonicalization dedup (the Common-Crawl-
+# style fetch-dedup step: the same resource reached via scheme/case/www/
+# default-port/trailing-slash/param-order/fragment variants must collapse
+# to ONE canonical key before refetch/storage).
+#
+# The documents table carries no URL column, so a deterministic raw URL is
+# INJECTED JVM-side from doc_id (the PII/WAV/PPM construction applied to
+# URLs): four docs share each canonical resource, each presenting a
+# different obfuscation. The normalizer then has to genuinely earn the
+# collapse. Cross-engine discipline: no regex backreferences (Spark uses
+# $1, DuckDB \1 — divergent), only anchored regexes (Spark regexp_replace
+# is global, DuckDB first-match: anchors make both replace exactly once),
+# literal `replace` for port/slash folding, and engine-native
+# sort-split-join for query-param ordering.
+#
+# Scale: one scan, one map-side projection chain, one map-combined
+# groupBy on the canonical key — the same single-shuffle shape as exact
+# dedup.
+# ---------------------------------------------------------------------------
+_URL_INJ_SQL = """
+    CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN 'https://example.com/p' || CAST(doc_id // 4 AS VARCHAR)
+                 || '?b=2&a=1'
+        WHEN 1 THEN 'HTTP://WWW.EXAMPLE.COM/p' || CAST(doc_id // 4 AS VARCHAR)
+                 || '/?a=1&b=2'
+        WHEN 2 THEN 'https://example.com:443/p' || CAST(doc_id // 4 AS VARCHAR)
+                 || '?a=1&b=2#frag'
+        ELSE 'http://example.com/p' || CAST(doc_id // 4 AS VARCHAR)
+                 || '?a=1&b=2'
+    END
+"""
+
+# normalization chain shared by both engines (text is identical modulo the
+# split/sort/join function names): lower -> drop fragment -> fold scheme ->
+# strip www. -> fold default ports -> fold '/?' -> sort query params ->
+# strip trailing slash
+_URL_NORM_ORA = """
+    CASE WHEN strpos(u4, '?') > 0
+         THEN regexp_replace(split_part(u4, '?', 1), '/$', '')
+              || '?'
+              || array_to_string(list_sort(string_split(
+                     split_part(u4, '?', 2), '&')), '&')
+         ELSE regexp_replace(u4, '/$', '')
+    END
+"""
+
+
+@query(
+    "llm_dedup_url_normalize",
+    oracle=f"""
+WITH inj AS (
+    SELECT doc_id, {_URL_INJ_SQL} AS raw_url FROM documents
+), n1 AS (
+    SELECT doc_id, raw_url,
+           replace(replace(regexp_replace(
+               split_part(lower(raw_url), '#', 1), '^https?://', ''),
+               ':443/', '/'), ':80/', '/') AS u3
+    FROM inj
+), n2 AS (
+    SELECT doc_id, raw_url,
+           replace(regexp_replace(u3, '^www\\.', ''), '/?', '?') AS u4
+    FROM n1
+), canon AS (
+    SELECT doc_id, raw_url, {_URL_NORM_ORA} AS canonical_url FROM n2
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT)                 AS n_docs,
+       CAST(COUNT(DISTINCT raw_url) AS BIGINT)  AS n_raw_variants,
+       MIN(doc_id)                              AS keeper_doc_id
+FROM canon GROUP BY 1
+""",
+    tags=("llm-dedup", "url"),
+)
+def llm_dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: normalize injected raw URL variants and group
+    by the canonical key (keeper = min doc_id).
+
+    Every step is a deterministic string op with identical semantics on
+    both engines; the '/?' fold is a LITERAL replace (not regex). Expected
+    shape on the synthetic input: 4 raw variants per canonical resource.
+    """
+    d = T.load(spark, sf_dir, "documents")
+    inj = d.select(
+        "doc_id",
+        # NOTE: targeted replace — a blanket '//'->'div' would also rewrite
+        # the URL literals' scheme separators
+        F.expr(
+            _URL_INJ_SQL.replace("doc_id // 4", "doc_id div 4").replace(
+                "AS VARCHAR", "AS STRING"
+            )
+        ).alias("raw_url"),
+    )
+    u3 = F.replace(
+        F.replace(
+            F.regexp_replace(
+                F.split_part(F.lower(F.col("raw_url")), F.lit("#"), F.lit(1)),
+                F.lit("^https?://"),
+                F.lit(""),
+            ),
+            F.lit(":443/"),
+            F.lit("/"),
+        ),
+        F.lit(":80/"),
+        F.lit("/"),
+    )
+    n2 = inj.withColumn(
+        "u4",
+        F.replace(
+            F.regexp_replace(u3, F.lit("^www\\."), F.lit("")),
+            F.lit("/?"),
+            F.lit("?"),
+        ),
+    )
+    base = F.regexp_replace(
+        F.split_part(F.col("u4"), F.lit("?"), F.lit(1)), F.lit("/$"), F.lit("")
+    )
+    qsorted = F.array_join(
+        F.array_sort(F.split(F.split_part(F.col("u4"), F.lit("?"), F.lit(2)), "&")),
+        "&",
+    )
+    canon = n2.withColumn(
+        "canonical_url",
+        F.when(
+            F.instr(F.col("u4"), "?") > 0,
+            F.concat(base, F.lit("?"), qsorted),
+        ).otherwise(F.regexp_replace(F.col("u4"), F.lit("/$"), F.lit(""))),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("raw_url").cast("bigint").alias("n_raw_variants"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # llm_sketch_countmin — count-min sketch over corpus token frequencies.
 #
 # d=4 independent hash rows x w=256 buckets; counters are plain sums of the

@@ -142,6 +142,32 @@ def test_entity_resolution_pairs_are_within_blocks(spark):
         assert 0 <= r.lev_dist <= 2
 
 
+def test_url_normalize_collapses_every_variant_class(spark):
+    """Each canonical resource must absorb all four injected obfuscations
+    (case+www, default port+fragment, scheme, param order+trailing slash):
+    every group ends with n_docs == n_raw_variants == 4 (500-doc corpus ->
+    125 canonical URLs), and the canonical form carries no scheme, www,
+    port, fragment, or unsorted query."""
+    out = queries()["llm_dedup_url_normalize"](spark, SF).collect()
+    assert len(out) == 125
+    for r in out:
+        assert r.n_docs == 4 and r.n_raw_variants == 4
+        u = r.canonical_url
+        assert u.startswith("example.com/p")
+        assert "://" not in u and "www." not in u and "#" not in u
+        assert ":443" not in u and u.endswith("?a=1&b=2")
+
+
+def test_url_normalize_single_scan_map_side(spark):
+    """Normalization is one projection chain over one scan; the only
+    shuffle is the canonical-key aggregate (same shape as exact dedup)."""
+    plan = _plan(spark, "llm_dedup_url_normalize")
+    # count source locations, not the "Scan parquet" label (formatted
+    # output repeats each node once in the tree and once in the details)
+    assert plan.count("InMemoryFileIndex") == 1
+    assert "CartesianProduct" not in plan and "Join" not in plan
+
+
 def test_countmin_estimate_is_one_sided(spark):
     """CM never underestimates: estimate >= exact for every token, and for
     tokens alone in all their buckets the estimate is exact."""

@@ -148,6 +148,7 @@ QUERIES = [
     "llm_bpe_pair_counts",
     "f_entity_resolution_customers",
     "llm_sketch_countmin",
+    "llm_dedup_url_normalize",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
