@@ -1,21 +1,27 @@
 """Round-5 extensions: corpus language-model statistics, tokenizer
-induction, record linkage, and a mergeable frequency sketch.
+induction, record linkage, URL canonicalization, and a mergeable
+frequency sketch.
 
-Four ops a 100 TB training-data platform runs that the registry did not yet
+Ops a 100 TB training-data platform runs that the registry did not yet
 cover:
 
 - ``llm_text_unigram_surprisal`` — corpus-trained unigram-LM rarity score
   per document (the perplexity-lite quality signal), in exact integer
   floor-log2 bits so it hash-matches across engines.
+- ``llm_text_bigram_surprisal``  — the conditional (bigram) upgrade:
+  word-order improbability the unigram score misses.
 - ``llm_bpe_pair_counts``        — the first BPE merge step: corpus-frequency-
   weighted adjacent character-pair counts computed over the *distinct-word*
   table (vocabulary-sized, not corpus-sized).
 - ``f_entity_resolution_customers`` — blocked record linkage: candidate
   pairs via a bounded blocking key, Levenshtein verify within blocks only
   (never a cross product).
+- ``llm_dedup_url_normalize``    — Common-Crawl-style URL canonicalization
+  dedup over injected raw-URL variants.
 - ``llm_sketch_countmin``        — count-min sketch (d=4, w=256) with
   exact-vs-estimate honesty columns; counters are plain sums, so partial
-  sketches merge losslessly (pinned by a partials test).
+  sketches merge losslessly (pinned by a partials test and a foreachBatch
+  streaming twin).
 
 Determinism (catalog.py contract): every score is exact integer arithmetic.
 Floor-log2 is computed as ``length(bin(x)) - 1`` — both Spark and DuckDB
