@@ -529,20 +529,27 @@ _CM_HV = _hexval_sql("hx", "instr")
 _CM_HV_ORA = _hexval_sql("md5(token || ':cm' || CAST(rw AS VARCHAR))", "strpos")
 
 
-def countmin_sketch(tc: DataFrame) -> DataFrame:
-    """Build the (rw, bucket, bucket_count) sketch from a (token,
-    exact_count) frame. Counters are sums -> two sketches over disjoint
-    corpus halves merge by summing bucket_count (pinned by
-    test_countmin_partials_merge)."""
+def _cm_hashed(tc: DataFrame) -> DataFrame:
+    """(token, exact_count, rw, bucket) — every token fanned out to its
+    CM_DEPTH row/bucket coordinates. Unambiguous hash input: rw is a
+    single char, so token1||':cm'||rw1 == token2||':cm'||rw2 forces equal
+    lengths and hence equal (token, rw)."""
     rows = tc.select(
         "token",
         "exact_count",
         F.explode(F.array([F.lit(i) for i in range(CM_DEPTH)])).alias("rw"),
     )
-    hashed = rows.withColumn(
+    return rows.withColumn(
         "hx", F.md5(F.concat(F.col("token"), F.lit(":cm"), F.col("rw").cast("string")))
     ).withColumn("bucket", F.expr(f"({_CM_HV}) % {CM_WIDTH}"))
-    return hashed.groupBy("rw", "bucket").agg(
+
+
+def countmin_sketch(tc: DataFrame) -> DataFrame:
+    """Build the (rw, bucket, bucket_count) sketch from a (token,
+    exact_count) frame. Counters are sums -> two sketches over disjoint
+    corpus halves merge by summing bucket_count (pinned by
+    test_countmin_partials_merge)."""
+    return _cm_hashed(tc).groupBy("rw", "bucket").agg(
         F.sum("exact_count").cast("bigint").alias("bucket_count")
     )
 
@@ -588,14 +595,7 @@ def llm_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     sk = countmin_sketch(tc)
-    rows = tc.select(
-        "token",
-        "exact_count",
-        F.explode(F.array([F.lit(i) for i in range(CM_DEPTH)])).alias("rw"),
-    )
-    hashed = rows.withColumn(
-        "hx", F.md5(F.concat(F.col("token"), F.lit(":cm"), F.col("rw").cast("string")))
-    ).withColumn("bucket", F.expr(f"({_CM_HV}) % {CM_WIDTH}"))
+    hashed = _cm_hashed(tc)
     est = (
         hashed.join(F.broadcast(sk), ["rw", "bucket"])
         .groupBy("token", "exact_count")
