@@ -53,14 +53,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 # ROUND-6 ROTATION RECIPE (do this first next round): replace this list
 # with the queries whose freshest driver row is CORRECTNESS_r04 or older —
 # i.e. ``[k for k in queries() if k not in CORRECTNESS_r05]``. That set is
-# 58 names: 46 whose freshest row is r04, plus 12 whose freshest row is
+# 59 names: 46 whose freshest row is r04, plus 13 whose freshest row is
 # r03 (dim_app_router, dim_app_materialize, llm_corpus_rollup,
 # dws_sliding_window_events, dws_session_window_events,
 # dws_user_event_funnel, dws_time_hierarchy_rollup, f_pivot_event_day,
 # f_window_suite_orders, dws_cube_event_stats, f_top_users_per_event_type,
-# dws_user_retention_cohort). Lead the prefix with those 12 (oldest
-# rows), add any queries new in round 6, and bump test-covered r04-fresh
-# names to round 7 to stay at exactly 50.
+# dws_user_retention_cohort, dim_scd2_user_event_intervals). Lead the
+# prefix with those 13 (oldest rows), add any queries new in round 6, and
+# bump test-covered r04-fresh names to round 7 to stay at exactly 50.
 GATE_PRIORITY: list[str] = [
     # plans changed late in round 4 — freshest driver row predates the change
     "llm_dedup_containment_lsh",
