@@ -906,6 +906,70 @@ def test_incremental_countmin_sketch_stream(spark, tmp_path):
     assert got == expected and got
 
 
+def test_incremental_surprisal_model_accumulate_then_score(spark, tmp_path):
+    """Streaming twin of the unigram-LM surprisal: the MODEL sufficient
+    statistics — (doc, term, tf) partials — accumulate per micro-batch
+    (sum-mergeable), and scoring the accumulated model reproduces the
+    one-shot batch query exactly. This is the two-phase pattern a periodic
+    corpus-quality re-score ships: ingest updates the model incrementally,
+    the scoring pass runs on the frozen model."""
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+
+    docs = T.load(spark, SF, "documents")
+    expected = _rows(
+        queries()["llm_text_unigram_surprisal"](spark, SF),
+        ["doc_id", "n_tokens", "sum_surprisal_bits", "mean_surprisal_millibits"],
+    )
+
+    target = str(tmp_path / "tf_partials")
+    _, src = stream_from_dataframe(docs, n_files=3, base_dir=str(tmp_path))
+    s = stream_parquet_source(spark, src, docs.schema)
+
+    def tf_partials(bdf):
+        return (
+            bdf.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        )
+
+    run_foreach_batch(
+        s,
+        lambda bdf, _bid: tf_partials(bdf).write.mode("append").parquet(target),
+        output_mode="append",
+    )
+    # fold partials (a doc straddling batches merges by summing tf), then
+    # score against the accumulated model — same expressions as the query
+    tf = (
+        spark.read.parquet(target)
+        .groupBy("doc_id", "term")
+        .agg(F.sum("tf").cast("bigint").alias("tf"))
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("tc"))
+    tot = vocab.agg(F.sum("tc").cast("bigint").alias("total_tokens"))
+    scored = (
+        tf.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bits", F.expr("CAST(length(bin(total_tokens div tc)) - 1 AS BIGINT)")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("bits")).cast("bigint").alias(
+                "sum_surprisal_bits"
+            ),
+            F.expr(
+                "CAST((1000 * SUM(tf * bits)) div greatest(SUM(tf), 1) AS BIGINT)"
+            ).alias("mean_surprisal_millibits"),
+        )
+    )
+    got = _rows(
+        scored,
+        ["doc_id", "n_tokens", "sum_surprisal_bits", "mean_surprisal_millibits"],
+    )
+    assert got == expected and got
+
+
 def test_incremental_path_transitions_state_table(spark, tmp_path):
     """Streaming twin of dws_user_path_transitions: events arrive in
     event-time-ordered micro-batches; a per-user LAST-EVENT state table
