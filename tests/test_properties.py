@@ -704,3 +704,70 @@ def test_bpe_pair_counts_matches_python_model(spark, tmp_path_factory, words):
         for r in queries()["llm_bpe_pair_counts"](spark, sf).collect()
     }
     assert out == expected
+
+
+def test_countmin_matches_python_model_exactly(spark):
+    """Full from-scratch reproduction of the registered count-min query on
+    the real corpus: python computes the identical md5-derived buckets,
+    bucket sums, and row-min estimates — pinning the WHOLE pipeline
+    (hashing, fan-out, fold, min) against intent, not just one-sidedness."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("text").collect()
+    counts = Counter(w for r in docs for w in r.text.split(" "))
+
+    def bucket(token, rw):
+        hx = hashlib.md5(f"{token}:cm{rw}".encode()).hexdigest()
+        return int(hx[:12], 16) % 256
+
+    sketch = defaultdict(int)
+    for t, c in counts.items():
+        for rw in range(4):
+            sketch[(rw, bucket(t, rw))] += c
+    expected = {
+        t: (c, min(sketch[(rw, bucket(t, rw))] for rw in range(4)))
+        for t, c in counts.items()
+    }
+
+    out = queries()["llm_sketch_countmin"](spark, sf).collect()
+    got = {r.token: (r.exact_count, r.cm_estimate) for r in out}
+    assert got == expected
+
+
+def test_kmv_estimate_matches_python_model_exactly(spark):
+    """Same full reproduction for the KMV sketch: python recomputes the
+    md5 hash space, the k-th order statistic, and the (k-1)*M // v_k
+    estimate per event_type."""
+    import hashlib
+
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("event_type", "user_id")
+        .filter("user_id IS NOT NULL")
+        .collect()
+    )
+    groups = {}
+    for r in ev:
+        groups.setdefault(r.event_type, set()).add(r.user_id)
+    K, M = 64, 16**12
+    expected = {}
+    for et, users in groups.items():
+        hashes = sorted(hashlib.md5(str(u).encode()).hexdigest() for u in users)
+        n = len(hashes)
+        if n < K:
+            est = n
+        else:
+            v = int(hashes[K - 1][:12], 16)
+            est = ((K - 1) * M) // max(v, 1)
+        expected[et] = (n, est)
+
+    out = queries()["llm_sketch_kmv_distinct"](spark, sf).collect()
+    got = {r.event_type: (r.exact_distinct, r.kmv_estimate) for r in out}
+    assert got == expected
