@@ -771,3 +771,29 @@ def test_kmv_estimate_matches_python_model_exactly(spark):
     out = queries()["llm_sketch_kmv_distinct"](spark, sf).collect()
     got = {r.event_type: (r.exact_distinct, r.kmv_estimate) for r in out}
     assert got == expected
+
+
+def test_fingerprint_matches_python_model_exactly(spark):
+    """From-scratch reproduction of the document fingerprint (ASCII case
+    fold -> whitespace collapse -> trim -> md5) on the real corpus."""
+    import hashlib
+    import re as _re
+
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    tbl = str.maketrans(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+    )
+    expected = {
+        r.doc_id: hashlib.md5(
+            _re.sub(r"[ \t\n\f\r]+", " ", r.text.translate(tbl)).strip().encode()
+        ).hexdigest()
+        for r in rows
+    }
+    out = queries()["llm_text_fingerprint"](spark, sf).collect()
+    got = {r.doc_id: r.fingerprint for r in out}
+    assert got == expected
