@@ -797,3 +797,56 @@ def test_fingerprint_matches_python_model_exactly(spark):
     out = queries()["llm_text_fingerprint"](spark, sf).collect()
     got = {r.doc_id: r.fingerprint for r in out}
     assert got == expected
+
+
+def test_minhash_lsh_matches_python_model_exactly(spark):
+    """Full from-scratch reproduction of the MinHash-LSH near-dup pipeline
+    on the real corpus: python recomputes shingles, the K=12 md5-seeded
+    minhash signature (lexicographic hex min), the 4x3 band buckets, the
+    candidate pairs with shared-band counts, and the exact-Jaccard verify
+    — pinning every stage of the flagship dedup against intent."""
+    import hashlib
+
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
+        MINHASH_B,
+        MINHASH_K,
+        MINHASH_R,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    def md5hex(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    shingles, bands = {}, {}
+    for r in rows:
+        t = r.text.split(" ")
+        idx = range(0, max(len(t) - 3, 0) + 1)
+        sh = {" ".join(x for x in t[i : i + 3] if x is not None) for i in idx}
+        shingles[r.doc_id] = sh
+        sig = [min(md5hex(f"{i}:{s}") for s in sh) for i in range(MINHASH_K)]
+        bands[r.doc_id] = [
+            md5hex("".join(sig[MINHASH_R * j + k] for k in range(MINHASH_R)))
+            for j in range(MINHASH_B)
+        ]
+
+    ids = sorted(bands)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = sum(1 for j in range(MINHASH_B) if bands[a][j] == bands[b][j])
+            if shared:
+                inter = len(shingles[a] & shingles[b])
+                union = len(shingles[a]) + len(shingles[b]) - inter
+                expected[(a, b)] = (shared, inter, (1000 * inter) // union)
+
+    out = queries()["llm_dedup_minhash_lsh"](spark, sf).collect()
+    got = {
+        (r.doc_a, r.doc_b): (r.shared_bands, r.inter_ct, r.jaccard_permille)
+        for r in out
+    }
+    assert got == expected and got
