@@ -850,3 +850,60 @@ def test_minhash_lsh_matches_python_model_exactly(spark):
         for r in out
     }
     assert got == expected and got
+
+
+def test_pii_redact_matches_python_model_exactly(spark):
+    """Three-engine regex agreement: python `re` reproduces the PII scrub
+    (injection, per-class counts, sequential replacement, redacted md5)
+    that Spark's java.util.regex and DuckDB's RE2 already hash-match —
+    the patterns were designed for the common subset of all three."""
+    import hashlib
+    import re as _re
+
+    from gmall_flink_realtime4_spark.plans.analytics_ext_queries import (
+        PII_EMAIL,
+        PII_IP,
+        PII_PHONE,
+    )
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    expected = {}
+    for r in rows:
+        did = r.doc_id
+        k = did % 4
+        if k == 0:
+            t = f"{r.text} contact user{did}@example.com today"
+        elif k == 1:
+            t = (
+                f"{r.text} call 555-{str(did % 1000).rjust(3, '0')}"
+                f"-{str(did % 10000).rjust(4, '0')}"
+            )
+        elif k == 2:
+            t = f"{r.text} from 10.{did % 256}.{(did // 256) % 256}.1"
+        else:
+            t = r.text
+        counts = []
+        for pat, tag in (
+            (PII_EMAIL, "<EMAIL>"),
+            (PII_PHONE, "<PHONE>"),
+            (PII_IP, "<IP>"),
+        ):
+            counts.append(len(_re.findall(pat, t)))
+            t = _re.sub(pat, tag, t)
+        expected[did] = (
+            *counts,
+            len(t.encode()),
+            hashlib.md5(t.encode()).hexdigest(),
+        )
+
+    out = queries()["llm_pii_redact"](spark, sf).collect()
+    got = {
+        r.doc_id: (r.n_emails, r.n_phones, r.n_ips, r.redacted_len, r.redacted_md5)
+        for r in out
+    }
+    assert got == expected
