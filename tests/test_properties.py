@@ -907,3 +907,38 @@ def test_pii_redact_matches_python_model_exactly(spark):
         for r in out
     }
     assert got == expected
+
+
+def test_simhash_matches_python_model_exactly(spark):
+    """From-scratch SimHash: python recomputes the 64-bit (16 hex digit)
+    Charikar fingerprint — per-token md5-prefix hash, frequency-weighted
+    ±1 bit votes, sign rounding — for every real document."""
+    import hashlib
+
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    expected = {}
+    for r in rows:
+        votes = [0] * 64  # votes[4*p + b] for hex position p, bit b
+        for tok in r.text.split(" "):
+            h = hashlib.md5(tok.encode()).hexdigest()[:16]
+            for p in range(16):
+                v = int(h[p], 16)
+                for b in range(4):
+                    votes[4 * p + b] += 1 if (v >> b) & 1 else -1
+        digits = []
+        for p in range(16):
+            dv = sum(
+                (1 << b) for b in range(4) if votes[4 * p + b] > 0
+            )
+            digits.append(format(dv, "x"))
+        expected[r.doc_id] = "".join(digits)
+
+    out = queries()["llm_dedup_simhash"](spark, sf).collect()
+    got = {r.doc_id: r.simhash64 for r in out}
+    assert got == expected
