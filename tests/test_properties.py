@@ -942,3 +942,56 @@ def test_simhash_matches_python_model_exactly(spark):
     out = queries()["llm_dedup_simhash"](spark, sf).collect()
     got = {r.doc_id: r.simhash64 for r in out}
     assert got == expected
+
+
+def test_cosine_topk_matches_python_model_exactly(spark):
+    """From-scratch reproduction of the decimal-exact brute-force cosine
+    top-k: python requantizes every float element to DECIMAL(9,7)
+    (integer e7-units, ROUND_HALF_UP — Spark's double->decimal mode),
+    folds exact integer dot products, converts through correctly-rounded
+    float(Fraction), and reranks. Pins the entire numeric ladder the ANN
+    family (ivf/pq/cells) shares."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
+
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+
+    def q7(x):  # exact double value -> e7-unit int, half-up
+        return int(
+            (Decimal(float(x)) * (10**7)).quantize(Decimal(1), ROUND_HALF_UP)
+        )
+
+    vecs = {r.vec_id: [q7(x) for x in r.embedding] for r in rows}
+    n2 = {i: sum(a * a for a in v) for i, v in vecs.items()}  # e14 units
+
+    def cos_e9(i, j):
+        dot_e14 = sum(a * b for a, b in zip(vecs[i], vecs[j]))
+        dot_d = float(Fraction(dot_e14, 10**14))
+        den = math.sqrt(
+            float(Fraction(n2[i], 10**14)) * float(Fraction(n2[j], 10**14))
+        )
+        if den == 0.0:
+            return None
+        return math.floor(1e9 * dot_d / den)
+
+    expected = {}
+    for qid in [i for i in vecs if i < 8]:
+        scored = [
+            (cos_e9(qid, nid), nid) for nid in vecs if nid != qid
+        ]
+        scored = [(s, nid) for s, nid in scored if s is not None]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (s, nid) in enumerate(scored[:5], start=1):
+            expected[(qid, nid)] = (rank, s)
+
+    out = queries()["llm_ann_cosine_topk"](spark, sf).collect()
+    got = {
+        (r.query_vec_id, r.neighbor_vec_id): (r.rank, r.cos_sim_e9) for r in out
+    }
+    assert got == expected
