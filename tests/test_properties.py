@@ -995,3 +995,71 @@ def test_cosine_topk_matches_python_model_exactly(spark):
         (r.query_vec_id, r.neighbor_vec_id): (r.rank, r.cos_sim_e9) for r in out
     }
     assert got == expected
+
+
+def test_clusters_match_python_union_find_exactly(spark):
+    """From-scratch reproduction of the near-dup clustering flagship:
+    python rebuilds the LSH pair graph (already model-verified above),
+    thresholds it, and runs union-find with min-id labels — the
+    distributed label propagation must land on the identical components."""
+    import hashlib
+
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
+        DUP_CLUSTER_THRESHOLD_PM,
+        MINHASH_B,
+        MINHASH_K,
+        MINHASH_R,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    def md5hex(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    shingles, bands = {}, {}
+    for r in rows:
+        t = r.text.split(" ")
+        sh = {
+            " ".join(t[i : i + 3]) for i in range(0, max(len(t) - 3, 0) + 1)
+        }
+        shingles[r.doc_id] = sh
+        sig = [min(md5hex(f"{i}:{s}") for s in sh) for i in range(MINHASH_K)]
+        bands[r.doc_id] = [
+            md5hex("".join(sig[MINHASH_R * j + k] for k in range(MINHASH_R)))
+            for j in range(MINHASH_B)
+        ]
+
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+            parent.setdefault(lo, lo)
+
+    ids = sorted(bands)
+    nodes = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if any(bands[a][j] == bands[b][j] for j in range(MINHASH_B)):
+                inter = len(shingles[a] & shingles[b])
+                union_ct = len(shingles[a]) + len(shingles[b]) - inter
+                if (1000 * inter) // union_ct >= DUP_CLUSTER_THRESHOLD_PM:
+                    union(a, b)
+                    nodes.update((a, b))
+    expected = {n: find(n) for n in nodes}
+
+    out = queries()["llm_dedup_clusters"](spark, sf).collect()
+    got = {r.doc_id: r.cluster_id for r in out}
+    assert got == expected and got
