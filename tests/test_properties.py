@@ -1063,3 +1063,84 @@ def test_clusters_match_python_union_find_exactly(spark):
     out = queries()["llm_dedup_clusters"](spark, sf).collect()
     got = {r.doc_id: r.cluster_id for r in out}
     assert got == expected and got
+
+
+def test_embedding_cells_match_python_model_exactly(spark):
+    """From-scratch reproduction of the SemDeDup embedding-cells flagship:
+    python recomputes the sqrt(N) coarse quantizer (decimal-exact centroid
+    scores via int64 e14 dots), the (ce9 DESC, cid ASC) top-2 probe cells,
+    the home-cell emission rule (a<b candidate iff home(b) in probes(a)),
+    and the thresholded exact cosine — triangulating the compressed
+    production path against intent on the real corpus (the compressed ==
+    uncompressed equality is already pinned separately)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
+
+    import numpy as np
+
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
+        CELLS_NPROBE,
+        IVF_N_CENTROIDS,
+        NEARDUP_THRESHOLD_E9,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+
+    def q7(x):
+        return int(
+            (Decimal(float(x)) * (10**7)).quantize(Decimal(1), ROUND_HALF_UP)
+        )
+
+    ids = sorted(r.vec_id for r in rows)
+    V = np.array(
+        [[q7(x) for x in r.embedding] for r in sorted(rows, key=lambda r: r.vec_id)],
+        dtype=np.int64,
+    )
+    pos = {vid: i for i, vid in enumerate(ids)}
+    n2 = (V.astype(object) * V.astype(object)).sum(axis=1)  # exact python ints
+    assert all(int(v) > 0 for v in n2), "zero-norm vector would need NULL path"
+
+    def cos_e9(dot_e14, na, nb):
+        den = math.sqrt(
+            float(Fraction(int(na), 10**14)) * float(Fraction(int(nb), 10**14))
+        )
+        return math.floor(1e9 * float(Fraction(int(dot_e14), 10**14)) / den)
+
+    N = len(ids)
+    k = max(IVF_N_CENTROIDS, math.floor(math.sqrt(N)))
+    cent_ids = [vid for vid in ids if vid < k]
+    C = V[[pos[c] for c in cent_ids]]
+    S = V.astype(object) @ C.astype(object).T  # exact e14 dots
+
+    probes, home = {}, {}
+    for vid in ids:
+        scored = [
+            (cos_e9(S[pos[vid]][j], n2[pos[vid]], n2[pos[c]]), c)
+            for j, c in enumerate(cent_ids)
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        cells = [c for _, c in scored[:CELLS_NPROBE]]
+        probes[vid], home[vid] = cells, cells[0]
+
+    members_by_home = {}
+    for vid in ids:
+        members_by_home.setdefault(home[vid], []).append(vid)
+
+    expected = {}
+    for a in ids:
+        for cell in probes[a]:
+            for b in members_by_home.get(cell, ()):
+                if a < b:
+                    d = int((V[pos[a]].astype(object) * V[pos[b]].astype(object)).sum())
+                    s = cos_e9(d, n2[pos[a]], n2[pos[b]])
+                    if s >= NEARDUP_THRESHOLD_E9:
+                        expected[(a, b)] = s
+
+    out = queries()["llm_dedup_embedding_cells"](spark, sf).collect()
+    got = {(r.vec_a, r.vec_b): r.cos_sim_e9 for r in out}
+    assert got == expected
