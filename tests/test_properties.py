@@ -1144,3 +1144,87 @@ def test_embedding_cells_match_python_model_exactly(spark):
     out = queries()["llm_dedup_embedding_cells"](spark, sf).collect()
     got = {(r.vec_a, r.vec_b): r.cos_sim_e9 for r in out}
     assert got == expected
+
+
+def test_ann_ivf_matches_python_model_exactly(spark):
+    """From-scratch reproduction of the IVF ANN query: python recomputes
+    the 16-centroid coarse quantizer, per-query top-2 probe cells, the
+    home-cell candidate rule (neighbor's top-1 cell probed by the query,
+    self excluded), the decimal-exact rerank, and the (cos DESC, id ASC)
+    top-5 — completing the model coverage of the ANN family's
+    probe/rerank semantics."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
+
+    import numpy as np
+
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
+        ANN_N_QUERIES,
+        IVF_N_CENTROIDS,
+        IVF_NPROBE,
+        IVF_TOPK,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+
+    def q7(x):
+        return int(
+            (Decimal(float(x)) * (10**7)).quantize(Decimal(1), ROUND_HALF_UP)
+        )
+
+    ids = sorted(r.vec_id for r in rows)
+    V = np.array(
+        [[q7(x) for x in r.embedding] for r in sorted(rows, key=lambda r: r.vec_id)],
+        dtype=np.int64,
+    )
+    pos = {vid: i for i, vid in enumerate(ids)}
+    Vo = V.astype(object)
+    n2 = (Vo * Vo).sum(axis=1)
+
+    def cos_e9(dot_e14, na, nb):
+        den = math.sqrt(
+            float(Fraction(int(na), 10**14)) * float(Fraction(int(nb), 10**14))
+        )
+        return math.floor(1e9 * float(Fraction(int(dot_e14), 10**14)) / den)
+
+    cent_ids = [vid for vid in ids if vid < IVF_N_CENTROIDS]
+    S = Vo @ Vo[[pos[c] for c in cent_ids]].T
+
+    def top_cells(vid, n):
+        scored = [
+            (cos_e9(S[pos[vid]][j], n2[pos[vid]], n2[pos[c]]), c)
+            for j, c in enumerate(cent_ids)
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        return [c for _, c in scored[:n]]
+
+    home = {vid: top_cells(vid, 1)[0] for vid in ids}
+    expected = {}
+    for qid in [i for i in ids if i < ANN_N_QUERIES]:
+        probed = set(top_cells(qid, IVF_NPROBE))
+        cands = [b for b in ids if b != qid and home[b] in probed]
+        scored = [
+            (
+                cos_e9(
+                    int((Vo[pos[qid]] * Vo[pos[b]]).sum()),
+                    n2[pos[qid]],
+                    n2[pos[b]],
+                ),
+                b,
+            )
+            for b in cands
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (s, b) in enumerate(scored[:IVF_TOPK], start=1):
+            expected[(qid, b)] = (rank, s)
+
+    out = queries()["llm_ann_ivf"](spark, sf).collect()
+    got = {
+        (r.query_vec_id, r.neighbor_vec_id): (r.rank, r.cos_sim_e9) for r in out
+    }
+    assert got == expected
