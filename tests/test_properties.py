@@ -1228,3 +1228,38 @@ def test_ann_ivf_matches_python_model_exactly(spark):
         (r.query_vec_id, r.neighbor_vec_id): (r.rank, r.cos_sim_e9) for r in out
     }
     assert got == expected
+
+
+@given(seed=st.integers(0, 10**6), n_batches=st.integers(1, 5))
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_incremental_minhash_batch_boundary_invariance(
+    spark, tmp_path_factory, seed, n_batches
+):
+    """The incremental near-dup index must emit the SAME total pair set
+    under ANY partition of the corpus into micro-batches — hypothesis
+    chooses the batch count and a seeded assignment of docs to batches
+    (including skewed/empty batches), the foreachBatch body is driven
+    directly, and the union of emissions is compared to the one-shot
+    batch query."""
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.streaming.incremental import (
+        incremental_minhash_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["doc_a", "doc_b", "shared_bands", "inter_ct", "jaccard_permille"]
+    expected = sorted(
+        tuple(r[c] for c in cols)
+        for r in queries()["llm_dedup_minhash_lsh"](spark, sf).collect()
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    state = str(tmp_path_factory.mktemp("mh_state_prop"))
+    emitted = []
+    for bid in range(n_batches):
+        bdf = docs.filter(
+            F.pmod(F.xxhash64(F.col("doc_id") + seed), F.lit(n_batches)) == bid
+        )
+        out = incremental_minhash_pairs(spark, bdf, state, batch_id=bid)
+        emitted.extend(tuple(r[c] for c in cols) for r in out.collect())
+    assert sorted(emitted) == expected and expected
