@@ -1263,3 +1263,57 @@ def test_incremental_minhash_batch_boundary_invariance(
         out = incremental_minhash_pairs(spark, bdf, state, batch_id=bid)
         emitted.extend(tuple(r[c] for c in cols) for r in out.collect())
     assert sorted(emitted) == expected and expected
+
+
+def test_pq_encode_matches_python_model_exactly(spark):
+    """From-scratch reproduction of the PQ encoder: python recomputes the
+    8x8 subspace split, the exact-decimal squared L2 to every codeword
+    (integer e14 units), the (d2, cid) argmin per subspace, the assembled
+    code string, and the e9-scaled reconstruction error."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
+
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.llm_pipeline_queries import (
+        PQ_D,
+        PQ_K,
+        PQ_M,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+
+    def q7(x):
+        return int(
+            (Decimal(float(x)) * (10**7)).quantize(Decimal(1), ROUND_HALF_UP)
+        )
+
+    vecs = {r.vec_id: [q7(x) for x in r.embedding] for r in rows}
+
+    def sub(v, m):
+        return v[m * PQ_D : (m + 1) * PQ_D]
+
+    cb = {
+        m: {cid: sub(vecs[cid], m) for cid in vecs if cid < PQ_K}
+        for m in range(PQ_M)
+    }
+    expected = {}
+    for vid, v in vecs.items():
+        codes, err_e14 = [], 0
+        for m in range(PQ_M):
+            sv = sub(v, m)
+            best = min(
+                (sum((a - c) ** 2 for a, c in zip(sv, cv)), cid)
+                for cid, cv in cb[m].items()
+            )
+            codes.append(str(best[1]))
+            err_e14 += best[0]
+        qerr = math.floor(1e9 * float(Fraction(err_e14, 10**14)))
+        expected[vid] = ("-".join(codes), qerr)
+
+    out = queries()["llm_ann_pq_encode"](spark, sf).collect()
+    got = {r.vec_id: (r.pq_code, r.qerr_e9) for r in out}
+    assert got == expected
