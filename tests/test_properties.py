@@ -1317,3 +1317,63 @@ def test_pq_encode_matches_python_model_exactly(spark):
     out = queries()["llm_ann_pq_encode"](spark, sf).collect()
     got = {r.vec_id: (r.pq_code, r.qerr_e9) for r in out}
     assert got == expected
+
+
+def test_split_and_mix_match_python_model_exactly(spark):
+    """From-scratch reproduction of the two md5-threshold sampling ops:
+    the 90/5/5 split (hash of doc_id||':split' vs per-mille thresholds)
+    and the temperature-sampled domain mixture (integer sqrt-weight
+    rates, hash of doc_id||':mix' acceptance) — the reproducible-sampling
+    family that replaces RNG state."""
+    import hashlib
+    import math
+
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang", "source", "text", "n_chars"
+    ).collect()
+    M = 16**12
+
+    def hv(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    # --- split ---
+    agg = {}
+    for r in rows:
+        u = hv(f"{r.doc_id}:split")
+        split = (
+            "train" if u * 1000 < 900 * M else "val" if u * 1000 < 950 * M else "test"
+        )
+        k = (split, r.lang)
+        n, t = agg.get(k, (0, 0))
+        agg[k] = (n + 1, t + len(r.text.split(" ")))
+    out = queries()["llm_split_train_val_test"](spark, sf).collect()
+    got = {(r.split, r.lang): (r.n_docs, r.total_tokens) for r in out}
+    assert got == agg
+
+    # --- mix ---
+    counts = {}
+    for r in rows:
+        counts[r.source] = counts.get(r.source, 0) + 1
+    w = {s: math.floor(math.sqrt(float(n)) * 1000000.0) for s, n in counts.items()}
+    total_docs, sum_w = sum(counts.values()), sum(w.values())
+    rates = {
+        s: min(1000, (1000 * (((total_docs // 2) * w[s]) // sum_w)) // counts[s])
+        for s in counts
+    }
+    sampled = {}
+    for r in rows:
+        if hv(f"{r.doc_id}:mix") % 1000 < rates[r.source]:
+            n, c = sampled.get(r.source, (0, 0))
+            sampled[r.source] = (n + 1, c + r.n_chars)
+    expected_mix = {
+        s: (counts[s], rates[s], *sampled.get(s, (0, 0))) for s in counts
+    }
+    out2 = queries()["llm_mix_domains"](spark, sf).collect()
+    got2 = {
+        r.source: (r.n_docs, r.rate_permille, r.n_sampled, r.sampled_chars)
+        for r in out2
+    }
+    assert got2 == expected_mix
