@@ -1377,3 +1377,33 @@ def test_split_and_mix_match_python_model_exactly(spark):
         for r in out2
     }
     assert got2 == expected_mix
+
+
+def test_pack_sequences_matches_python_model_exactly(spark):
+    """From-scratch reproduction of the sequence packer: python computes
+    the plain sequential prefix sum over doc_id order and the SEQ_LEN
+    chunk assignment — the distributed two-phase bucket prefix sum must
+    land every doc in the identical chunk."""
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.llm_pipeline_queries import SEQ_LEN
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    chunks = {}
+    cum = 0
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        n = len(r.text.split(" "))
+        cid = cum // SEQ_LEN
+        nd, ct, fd, ld = chunks.get(cid, (0, 0, r.doc_id, r.doc_id))
+        chunks[cid] = (nd + 1, ct + n, min(fd, r.doc_id), max(ld, r.doc_id))
+        cum += n
+
+    out = queries()["llm_pack_sequences"](spark, sf).collect()
+    got = {
+        r.chunk_id: (r.n_docs, r.chunk_tokens, r.first_doc, r.last_doc)
+        for r in out
+    }
+    assert got == chunks
