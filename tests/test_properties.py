@@ -1407,3 +1407,52 @@ def test_pack_sequences_matches_python_model_exactly(spark):
         for r in out
     }
     assert got == chunks
+
+
+def test_decontaminate_matches_python_model_exactly(spark):
+    """From-scratch reproduction of eval-set decontamination: python
+    rebuilds the shingle sets, the mod-97 eval/train partition, and the
+    per-train-doc shared-shingle / eval-partner counts with the >= 5
+    contamination flag."""
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.llm_pipeline_queries import (
+        DECON_EVAL_MOD,
+        DECON_MIN_SHARED,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    shingles = {}
+    for r in rows:
+        t = r.text.split(" ")
+        shingles[r.doc_id] = {
+            " ".join(t[i : i + 3]) for i in range(0, max(len(t) - 3, 0) + 1)
+        }
+    eval_ids = [d for d in shingles if d % DECON_EVAL_MOD == 0]
+    inv = {}
+    for e in eval_ids:
+        for s in shingles[e]:
+            inv.setdefault(s, set()).add(e)
+
+    expected = {}
+    for d, sh in shingles.items():
+        if d % DECON_EVAL_MOD == 0:
+            continue
+        shared = {s for s in sh if s in inv}
+        if shared:
+            partners = set().union(*(inv[s] for s in shared))
+            expected[d] = (
+                len(shared),
+                len(partners),
+                int(len(shared) >= DECON_MIN_SHARED),
+            )
+
+    out = queries()["llm_decontaminate"](spark, sf).collect()
+    got = {
+        r.doc_id: (r.n_shared_shingles, r.n_eval_partners, r.contaminated)
+        for r in out
+    }
+    assert got == expected
