@@ -103,15 +103,22 @@ def test_is_new_repair_idempotent_and_monotone(spark, rows):
     """W10: repair never turns 0 into 1 (monotone) and repairing a repaired
     stream is a no-op (idempotent) — the reference state machine's fixed
     point."""
+    # rid = row identity: (mid, ts) does NOT identify a row once two
+    # same-user events share a millisecond but differ in is_new — joining
+    # on it cross-matched a legitimately-kept '1' output against the
+    # OTHER row's '0' input (hypothesis found the collision; the operator
+    # itself can never emit '1' from a '0' input row)
     log = spark.createDataFrame(
-        [(k, "1" if i % 2 == 0 else "0", t) for (i, k, t, _) in rows],
-        "mid string, is_new string, ts long",
+        [
+            (rid, k, "1" if i % 2 == 0 else "0", t)
+            for rid, (i, k, t, _) in enumerate(rows)
+        ],
+        "rid long, mid string, is_new string, ts long",
     )
     once = repair_is_new_batch(log)
-    # monotone: every '1' in the output was a '1' in the input
+    # monotone: every '1' in the output was a '1' in the SAME input row
     joined = once.alias("o").join(
-        log.alias("i"),
-        (F.col("o.mid") == F.col("i.mid")) & (F.col("o.ts") == F.col("i.ts")),
+        log.alias("i"), F.col("o.rid") == F.col("i.rid")
     )
     bad = joined.filter(
         (F.col("o.is_new") == "1") & (F.col("i.is_new") == "0")
