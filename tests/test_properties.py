@@ -1463,3 +1463,98 @@ def test_decontaminate_matches_python_model_exactly(spark):
         for r in out
     }
     assert got == expected
+
+
+def test_chunk_dedup_matches_python_model_exactly(spark):
+    """From-scratch reproduction of sub-document chunk dedup: python
+    splits each real doc into aligned 10-token chunks, picks the global
+    min-(doc_id, chunk_idx) keeper per chunk text, and accounts kept
+    tokens / duplicate chunks per doc."""
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.corpus_ops_queries import (
+        CHUNK_TOKENS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    occurrences = {}  # chunk_text -> keeper (doc_id, chunk_idx)
+    per_doc = {}  # doc_id -> [(chunk_idx, chunk_text)]
+    for r in rows:
+        t = r.text.split(" ")
+        n = (len(t) + CHUNK_TOKENS - 1) // CHUNK_TOKENS
+        cl = []
+        for i in range(n):
+            ct = " ".join(t[i * CHUNK_TOKENS : (i + 1) * CHUNK_TOKENS])
+            cl.append((i, ct))
+            k = occurrences.get(ct)
+            if k is None or (r.doc_id, i) < k:
+                occurrences[ct] = (r.doc_id, i)
+        per_doc[r.doc_id] = cl
+
+    expected = {}
+    for did, cl in per_doc.items():
+        n_dup = sum(1 for i, ct in cl if occurrences[ct] != (did, i))
+        kept = sum(
+            len(ct.split(" ")) for i, ct in cl if occurrences[ct] == (did, i)
+        )
+        expected[did] = (len(cl), n_dup, kept)
+
+    out = queries()["llm_chunk_dedup"](spark, sf).collect()
+    got = {r.doc_id: (r.n_chunks, r.n_dup_chunks, r.kept_tokens) for r in out}
+    assert got == expected
+
+
+def test_containment_matches_python_model_exactly(spark):
+    """From-scratch reproduction of asymmetric shingle containment: python
+    rebuilds the distinct 3-gram sets, the shared-shingle candidate pairs,
+    and the per-mille containment scores with the >= 800 either-side
+    emission rule."""
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.corpus_ops_queries import (
+        CONTAIN_PM_MIN,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    shingles = {}
+    inv = {}
+    for r in rows:
+        t = r.text.split(" ")
+        sh = {
+            " ".join(t[i : i + 3]) for i in range(0, max(len(t) - 3, 0) + 1)
+        }
+        shingles[r.doc_id] = sh
+        for s in sh:
+            inv.setdefault(s, []).append(r.doc_id)
+
+    inter = {}
+    for s, docs in inv.items():
+        docs = sorted(docs)
+        for i, a in enumerate(docs):
+            for b in docs[i + 1 :]:
+                inter[(a, b)] = inter.get((a, b), 0) + 1
+
+    expected = {}
+    for (a, b), n in inter.items():
+        na, nb = len(shingles[a]), len(shingles[b])
+        ca, cb = (1000 * n) // na, (1000 * n) // nb
+        if ca >= CONTAIN_PM_MIN or cb >= CONTAIN_PM_MIN:
+            expected[(a, b)] = (n, na, nb, ca, cb)
+
+    out = queries()["llm_dedup_containment"](spark, sf).collect()
+    got = {
+        (r.doc_a, r.doc_b): (
+            r.n_common,
+            r.n_sh_a,
+            r.n_sh_b,
+            r.contain_a_pm,
+            r.contain_b_pm,
+        )
+        for r in out
+    }
+    assert got == expected
