@@ -62,6 +62,20 @@ REGISTRY: dict[str, QuerySpec] = {}
 # prefix with those 13 (oldest rows), add any queries new in round 6, and
 # bump test-covered r04-fresh names to round 7 to stay at exactly 50.
 GATE_PRIORITY: list[str] = [
+    # ROUND-6 NOTE: the round-5 driver artifacts (CORRECTNESS_r05 /
+    # BENCH_r05) never landed in the repo, so the round-5 prefix below is
+    # still the set whose freshest VISIBLE driver row is r03-or-none — it
+    # stays for round 6 unchanged (re-gating is harmless if r05 did run;
+    # required if it did not). The three queries new in round 6 join the
+    # head; dwd_base_log_display / dwd_base_log_action /
+    # dws_gap_fill_locf_daily_orders rotate to round 7 to keep the prefix
+    # at exactly 50 (each r03-green, unchanged, with dedicated suite
+    # coverage: the side-output split e2e tests and the LOCF window tests,
+    # plus tests/test_oracle_parity.py in-suite parity like every query).
+    # new in round 6 (need their first driver row)
+    "llm_multimodal_image_dedup",
+    "llm_sample_domain_cap",
+    "f_zorder_layout_audit",
     # plans changed late in round 4 — freshest driver row predates the change
     "llm_dedup_containment_lsh",
     "f_set_ops_source_overlap",
@@ -118,9 +132,9 @@ GATE_PRIORITY: list[str] = [
     "dwd_base_log_page",
     "dwd_base_log_start",
     "dwd_base_log_err",
-    "dwd_base_log_display",
-    "dwd_base_log_action",
-    "dws_gap_fill_locf_daily_orders",
+    # bumped to round 7 (displaced by the three round-6 queries):
+    # dwd_base_log_display, dwd_base_log_action,
+    # dws_gap_fill_locf_daily_orders
     # bumped to round 6, all r03-green and unchanged since that row:
     # dim_app_router, dim_app_materialize, dws_sliding_window_events,
     # dws_session_window_events, dws_user_event_funnel,

@@ -833,3 +833,75 @@ def llm_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes exactly from character codes (isqrt == floor(sqrt) here:
     sum_sq/n <= 128^2 is exact in doubles). Map-only plan, no shuffle."""
     return audio_stats(wav_frame(spark, sf_dir))
+
+
+AHASH_SCHEMA = (
+    "doc_id bigint, ok boolean, width bigint, height bigint,"
+    " ahash bigint, n_ones bigint"
+)
+
+
+def ahash_image(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over the DECODED pixel plane.
+
+    The classic near-dup image fingerprint: one bit per pixel, set iff the
+    pixel's summed RGB intensity is >= the image mean. Everything stays in
+    exact integers — the mean compare is the cross-multiplied
+    ``n_pixels * luma3_i >= sum(luma3)`` so no division ever rounds, and
+    ties land on 1 on every engine. Bits pack raster-order into a BIGINT
+    (geometry is capped at 63 pixels so the hash always fits; production
+    variants downsample to 8x8 first — here the oracle-gated frame is
+    already fixed 8x6 = 48 bits).
+
+    Same row-level error channel as the other codec kernels: a non-PPM or
+    geometry-mismatched payload yields ok=false + NULL hash instead of
+    killing the task. Map-only ``mapInPandas`` — one Arrow batch in, one
+    fingerprint row per image out; no shuffle at any scale.
+    """
+    import numpy as np
+
+    cols = [c.split()[0] for c in AHASH_SCHEMA.replace(",", " ").split()[::2]]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media_bytes"]):
+                b = bytes(payload)
+                try:
+                    meta = _parse_ppm(b)  # real header parse
+                    off = _ppm_plane_offset(b)
+                    w, h = meta["width"], meta["height"]
+                    n = w * h
+                    plane = np.frombuffer(b, dtype=np.uint8, offset=off)
+                    if n == 0 or n > 63 or len(plane) != 3 * n:
+                        raise ValueError("ahash: unsupported geometry")
+                    luma3 = plane.reshape(n, 3).sum(axis=1, dtype=np.int64)
+                    total = int(luma3.sum())
+                    bits = (n * luma3 >= total).astype(np.int64)
+                    ah = 0
+                    for bit in bits:
+                        ah = (ah << 1) | int(bit)
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "ok": True,
+                            "width": w,
+                            "height": h,
+                            "ahash": ah,
+                            "n_ones": int(bits.sum()),
+                        }
+                    )
+                except (ValueError, struct.error):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "ok": False,
+                            "width": None,
+                            "height": None,
+                            "ahash": None,
+                            "n_ones": None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(fn, schema=AHASH_SCHEMA)

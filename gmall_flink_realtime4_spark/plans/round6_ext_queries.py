@@ -1,0 +1,312 @@
+"""Round-6 extensions: perceptual image dedup, skew-resistant per-domain
+cap sampling, and a multi-dimensional (z-order) file-layout audit.
+
+Three ops a 100 TB training-data platform runs that the registry did not
+yet cover:
+
+- ``llm_multimodal_image_dedup`` — near-dup IMAGE dedup via perceptual
+  average-hash (aHash) computed from the real decoded pixel plane: the
+  multimodal sibling of the text near-dup family (minhash/simhash/
+  embedding-cosine). Quantizing each pixel against the image mean makes
+  byte-different but visually-identical images collide, which exact
+  payload-md5 dedup cannot.
+- ``llm_sample_domain_cap`` — the Common-Crawl-style "at most K documents
+  per domain" policy, implemented as a two-phase (salted partial top-K ->
+  final top-K) selection so one hot domain with billions of pages never
+  single-threads a reducer.
+- ``f_zorder_layout_audit`` — Z-ORDER vs linear-sort data-layout audit:
+  interleave the bits of two scan dimensions, bucket rows into files under
+  both layouts, and report each file's per-dimension min/max span — the
+  exact statistics a lakehouse file-skipping planner prunes on. Both
+  layouts tile ~the same cell AREA per file (span_product ~ cells/file);
+  the difference is the SHAPE: z-order files are ~square (32x32 here — a
+  point predicate on EITHER dimension skips ~7/8 of files) while linear
+  files are 4x256 (a b2-only predicate skips nothing) — why single-column
+  sort cannot serve two predicate columns.
+
+Determinism (catalog.py contract): aHash bits are exact-integer mean
+compares (cross-multiplied, no division); the sampling rank orders on the
+48-bit md5 prefix + doc_id (total order); z-values are pure integer bit
+arithmetic generated from ONE template for both engines.
+
+Reference scope: the reference engine (gmall-flink-realtime4) has no
+multimodal/sampling/layout surface — these extend the LLM-pipeline family
+the build brief names as first-class (dedup / sampling / storage layout).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .. import tables as T
+from .catalog import query
+from .llm_multimodal import _fixed_ppm_frame, ahash_image
+from .llm_scale_queries import _hexval_sql
+
+# ---------------------------------------------------------------------------
+# llm_multimodal_image_dedup — perceptual aHash near-dup grouping.
+#
+# Plan: scan -> JVM P6 construction -> Arrow batch -> one 48-bit fingerprint
+# row per image (map-only; the decode never shuffles) -> fingerprint frame is
+# localCheckpoint'ed (it feeds both the group agg and the join-back — the
+# census discipline: never re-run a codec for fan-out) -> groupBy(ahash)
+# keeper/size -> join back on ahash. Both shuffles move 1 row per image of
+# a few BIGINTs — at 100 TB of image bytes the shuffled bytes are ~1e-6 of
+# the scan, and the join is an AQE-splittable equi join (a degenerate hash
+# bucket of identical frames splits fine because only min/count cross it).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_multimodal_image_dedup",
+    oracle="""
+WITH img AS (
+    SELECT doc_id, rpad(text, 144, 'x') AS plane
+    FROM documents WHERE CAST(doc_id % 3 AS INT) = 0
+), px AS (
+    SELECT doc_id, i,
+           ascii(substr(plane, CAST(3 * i + 1 AS INT), 1))
+         + ascii(substr(plane, CAST(3 * i + 2 AS INT), 1))
+         + ascii(substr(plane, CAST(3 * i + 3 AS INT), 1)) AS luma3
+    FROM img, range(48) t(i)
+), bt AS (
+    SELECT doc_id, i,
+           CASE WHEN 48 * luma3 >= SUM(luma3) OVER (PARTITION BY doc_id)
+                THEN 1 ELSE 0 END AS bit
+    FROM px
+), hs AS (
+    SELECT doc_id,
+           SUM(bit * (CAST(1 AS BIGINT) << CAST(47 - i AS INT))) AS ahash,
+           CAST(SUM(bit) AS BIGINT) AS n_ones
+    FROM bt GROUP BY doc_id
+), grp AS (
+    SELECT ahash, CAST(COUNT(*) AS BIGINT) AS group_size,
+           MIN(doc_id) AS keeper_doc_id
+    FROM hs GROUP BY ahash
+)
+SELECT h.doc_id,
+       lower(lpad(hex(h.ahash), 12, '0')) AS ahash_hex,
+       h.n_ones, g.group_size, g.keeper_doc_id,
+       h.doc_id <> g.keeper_doc_id AS is_dup
+FROM hs h JOIN grp g USING (ahash)
+""",
+    tags=("llm-multimodal", "dedup"),
+)
+def llm_multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup image dedup by perceptual average-hash over REAL decoded
+    P6 pixel planes (header parse + numpy byte reduction in mapInPandas).
+
+    The oracle reproduces every fingerprint bit from the container
+    construction rule (plane == rpad'ed ASCII text bytes), proving the
+    codec read exactly the bytes the container carries AND that the
+    mean-threshold quantization is integer-identical across engines.
+    Keeper = min(doc_id) per hash — a deterministic total order on both
+    engines (catalog dedup contract)."""
+    fp = (
+        ahash_image(_fixed_ppm_frame(spark, sf_dir))
+        .filter(F.col("ok"))
+        .select("doc_id", "ahash", "n_ones")
+        .localCheckpoint()  # codec runs once; agg + join-back reuse it
+    )
+    grp = fp.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+    return fp.join(grp, "ahash").select(
+        "doc_id",
+        F.lower(F.lpad(F.hex("ahash"), 12, "0")).alias("ahash_hex"),
+        "n_ones",
+        "group_size",
+        "keeper_doc_id",
+        (F.col("doc_id") != F.col("keeper_doc_id")).alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_sample_domain_cap — "at most K docs per domain", skew-resistant.
+#
+# The pick is a pure function of the data (smallest 48-bit md5(doc_id)
+# prefix wins, doc_id breaks ties), so the sample is reproducible across
+# engines, retries and repartitioning. The two-phase shape is the scale
+# point: phase 1 ranks within (domain, salt) — a hot domain's rows are
+# split across NSALT reducers, each keeping at most CAP — so phase 2 ranks
+# at most NSALT*CAP survivors per domain (constant, broadcast-sized).
+# Global-top-K-per-domain == top-K of per-salt top-Ks exactly (any final
+# winner is also a winner within its salt bucket), pinned by
+# tests/test_round6_ext.py against the one-window form.
+# ---------------------------------------------------------------------------
+DOMAIN_CAP = 10  # keep at most this many docs per source
+CAP_NSALT = 16  # phase-1 fanout (4096+ on a real cluster)
+
+
+@query(
+    "llm_sample_domain_cap",
+    oracle=f"""
+WITH h AS (
+    SELECT source, doc_id,
+           {_hexval_sql("md5(CAST(doc_id AS VARCHAR))", "strpos")} AS u
+    FROM documents
+), r AS (
+    SELECT source, doc_id, u,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY u, doc_id) AS pick_rank
+    FROM h
+)
+SELECT source, CAST(pick_rank AS BIGINT) AS pick_rank, doc_id, u
+FROM r WHERE pick_rank <= {DOMAIN_CAP}
+""",
+    tags=("llm-text", "sampling"),
+)
+def llm_sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the C4/Common-Crawl anti-spam policy):
+    keep the CAP docs with the smallest deterministic hash per source.
+
+    Oracle is the textbook single window; the Spark plan is the two-phase
+    salted top-K that survives a billion-page domain. Phase-1 output is
+    bounded (NSALT*CAP rows per domain) so the final window's partitions
+    are constant-size no matter how skewed the input."""
+    d = T.load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("hx"),
+    )
+    h = d.withColumn("u", F.expr(_hexval_sql("hx", "instr"))).drop("hx")
+    phase1 = Window.partitionBy(
+        "source", F.col("doc_id") % CAP_NSALT
+    ).orderBy("u", "doc_id")
+    cand = (
+        h.withColumn("rn1", F.row_number().over(phase1))
+        .filter(F.col("rn1") <= DOMAIN_CAP)
+        .drop("rn1")
+    )
+    phase2 = Window.partitionBy("source").orderBy("u", "doc_id")
+    return (
+        cand.withColumn(
+            "pick_rank", F.row_number().over(phase2).cast("bigint")
+        )
+        .filter(F.col("pick_rank") <= DOMAIN_CAP)
+        .select("source", "pick_rank", "doc_id", "u")
+    )
+
+
+# ---------------------------------------------------------------------------
+# f_zorder_layout_audit — z-order vs linear file layout, quantified.
+#
+# Both engines compute z-values from ONE generated integer-arithmetic
+# template (no engine-specific bit intrinsics), so the audit is exact.
+# One scan -> per-row (b1, b2, file under each layout) -> explode the two
+# layout assignments -> one (layout, file_id) agg. A single shuffle whose
+# key count is 2 * N_FILES regardless of table size.
+# ---------------------------------------------------------------------------
+ZB_BITS = 8  # 256 buckets per dimension
+ZB = 1 << ZB_BITS
+Z_FILES = 64  # files per layout
+CK_SPAN = 1500  # o_custkey in [0, 1500)
+DATE_EPOCH = "1995-01-01"
+DAY_SPAN = 2406  # datediff(max o_orderdate, epoch) == 2404 < 2406
+
+
+def _interleave_sql(c1: str, c2: str, divtok: str) -> str:
+    """Bit-interleave two ZB_BITS-wide non-negative ints: c1 takes the odd
+    bit positions, c2 the even — plain div/mod arithmetic valid in both
+    Spark SQL (divtok='div') and DuckDB (divtok='//')."""
+    terms = []
+    for i in range(ZB_BITS):
+        terms.append(f"(({c1} {divtok} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({c2} {divtok} {1 << i}) % 2) * {1 << (2 * i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_oracle() -> str:
+    z = _interleave_sql("b1", "b2", "//")
+    return f"""
+WITH b AS (
+    SELECT (o_custkey * {ZB}) // {CK_SPAN} AS b1,
+           (date_diff('day', DATE '{DATE_EPOCH}', CAST(o_orderdate AS DATE))
+            * {ZB}) // {DAY_SPAN} AS b2
+    FROM orders
+), f AS (
+    SELECT 'zorder' AS layout,
+           ({z} * {Z_FILES}) // {ZB * ZB} AS file_id, b1, b2 FROM b
+    UNION ALL
+    SELECT 'linear' AS layout,
+           ((b1 * {ZB} + b2) * {Z_FILES}) // {ZB * ZB} AS file_id, b1, b2
+    FROM b
+)
+SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(b1) AS BIGINT) AS min_b1, CAST(MAX(b1) AS BIGINT) AS max_b1,
+       CAST(MIN(b2) AS BIGINT) AS min_b2, CAST(MAX(b2) AS BIGINT) AS max_b2,
+       CAST(MAX(b1) - MIN(b1) + 1 AS BIGINT) AS span_b1,
+       CAST(MAX(b2) - MIN(b2) + 1 AS BIGINT) AS span_b2,
+       CAST((MAX(b1) - MIN(b1) + 1) * (MAX(b2) - MIN(b2) + 1) AS BIGINT)
+           AS span_product
+FROM f GROUP BY 1, 2
+"""
+
+
+@query(
+    "f_zorder_layout_audit",
+    oracle=_zorder_oracle(),
+    tags=("storage-layout",),
+)
+def f_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout audit for two-dimensional scan pruning: bucket orders by
+    (customer, order-day) into 256x256 cells, assign each row to one of 64
+    files under (a) z-order and (b) linear (b1-major) sort, and emit every
+    file's per-dimension min/max footprint + span_product — the rectangle
+    a min/max-pruning reader must intersect with a predicate. At 100 TB
+    this IS the OPTIMIZE ZORDER decision input: z-order keeps both spans
+    small (point predicates on EITHER dimension skip most files); linear
+    keeps only b1 small while every file spans all of b2."""
+    z = _interleave_sql("b1", "b2", "div")
+    b = T.load(spark, sf_dir, "orders").select(
+        F.expr(f"(o_custkey * {ZB}) div {CK_SPAN}").alias("b1"),
+        F.expr(
+            f"(datediff(cast(o_orderdate as date), date'{DATE_EPOCH}')"
+            f" * {ZB}) div {DAY_SPAN}"
+        ).alias("b2"),
+    )
+    lay = b.select(
+        "b1",
+        "b2",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(f"({z} * {Z_FILES}) div {ZB * ZB}").alias(
+                        "file_id"
+                    ),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.expr(
+                        f"((b1 * {ZB} + b2) * {Z_FILES}) div {ZB * ZB}"
+                    ).alias("file_id"),
+                ),
+            )
+        ).alias("a"),
+    ).select("a.layout", F.col("a.file_id").cast("bigint").alias("file_id"), "b1", "b2")
+    return (
+        lay.groupBy("layout", "file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("b1").cast("bigint").alias("min_b1"),
+            F.max("b1").cast("bigint").alias("max_b1"),
+            F.min("b2").cast("bigint").alias("min_b2"),
+            F.max("b2").cast("bigint").alias("max_b2"),
+        )
+        .withColumn(
+            "span_b1",
+            (F.col("max_b1") - F.col("min_b1") + 1).cast("bigint"),
+        )
+        .withColumn(
+            "span_b2",
+            (F.col("max_b2") - F.col("min_b2") + 1).cast("bigint"),
+        )
+        .withColumn(
+            "span_product",
+            (F.col("span_b1") * F.col("span_b2")).cast("bigint"),
+        )
+    )

@@ -149,6 +149,9 @@ QUERIES = [
     "f_entity_resolution_customers",
     "llm_sketch_countmin",
     "llm_dedup_url_normalize",
+    "llm_multimodal_image_dedup",
+    "llm_sample_domain_cap",
+    "f_zorder_layout_audit",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
