@@ -74,7 +74,9 @@ GATE_PRIORITY: list[str] = [
     # plus tests/test_oracle_parity.py in-suite parity like every query).
     # new in round 6 (need their first driver row)
     "llm_multimodal_image_dedup",
+    "llm_multimodal_image_neardup_pairs",
     "llm_sample_domain_cap",
+    "llm_embedding_quantize_int8",
     "f_zorder_layout_audit",
     # plans changed late in round 4 — freshest driver row predates the change
     "llm_dedup_containment_lsh",
@@ -130,11 +132,11 @@ GATE_PRIORITY: list[str] = [
     "dq_outlier_mad_events",
     "f_range_band_join",
     "dwd_base_log_page",
-    "dwd_base_log_start",
-    "dwd_base_log_err",
-    # bumped to round 7 (displaced by the three round-6 queries):
-    # dwd_base_log_display, dwd_base_log_action,
-    # dws_gap_fill_locf_daily_orders
+    # bumped to round 7 (displaced by the five round-6 queries):
+    # dwd_base_log_start, dwd_base_log_err, dwd_base_log_display,
+    # dwd_base_log_action, dws_gap_fill_locf_daily_orders — all r03-green,
+    # unchanged, each exercised by the side-output split e2e / LOCF window
+    # tests plus the in-suite parity sweep
     # bumped to round 6, all r03-green and unchanged since that row:
     # dim_app_router, dim_app_materialize, dws_sliding_window_events,
     # dws_session_window_events, dws_user_event_funnel,

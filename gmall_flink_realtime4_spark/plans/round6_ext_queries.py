@@ -310,3 +310,228 @@ def f_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("span_b1") * F.col("span_b2")).cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_multimodal_image_neardup_pairs — banded hamming search over aHash.
+#
+# Extends exact-hash grouping to NEAR hashes: 48-bit fingerprints split
+# into 4 bands of 12 bits; candidate pairs share >= 1 band; verify is two
+# integer intrinsics (xor + bit_count) per pair. Pigeonhole guarantee:
+# hamming <= 3 differing bits cannot touch all 4 bands, so recall within
+# the radius is exactly 100% — same banding contract as llm_dedup_simhash.
+# The fingerprint frame is checkpointed (codec once); the band self-join
+# is an AQE-splittable equi join whose fan-out tracks true collisions.
+# ---------------------------------------------------------------------------
+AHASH_BANDS = 4
+AHASH_BAND_BITS = 12
+AHASH_HAM_MAX = 3
+
+
+@query(
+    "llm_multimodal_image_neardup_pairs",
+    oracle=f"""
+WITH img AS (
+    SELECT doc_id, rpad(text, 144, 'x') AS plane
+    FROM documents WHERE CAST(doc_id % 3 AS INT) = 0
+), px AS (
+    SELECT doc_id, i,
+           ascii(substr(plane, CAST(3 * i + 1 AS INT), 1))
+         + ascii(substr(plane, CAST(3 * i + 2 AS INT), 1))
+         + ascii(substr(plane, CAST(3 * i + 3 AS INT), 1)) AS luma3
+    FROM img, range(48) t(i)
+), bt AS (
+    SELECT doc_id, i,
+           CASE WHEN 48 * luma3 >= SUM(luma3) OVER (PARTITION BY doc_id)
+                THEN 1 ELSE 0 END AS bit
+    FROM px
+), hs AS (
+    SELECT doc_id,
+           SUM(bit * (CAST(1 AS BIGINT) << CAST(47 - i AS INT))) AS ahash
+    FROM bt GROUP BY doc_id
+), bands AS (
+    SELECT doc_id, ahash, k,
+           (ahash // (CAST(1 AS BIGINT) << CAST({AHASH_BAND_BITS} * k AS INT)))
+               % {1 << AHASH_BAND_BITS} AS bv
+    FROM hs, range({AHASH_BANDS}) t(k)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.ahash AS ha, b.ahash AS hb
+    FROM bands a JOIN bands b
+      ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
+       bit_count(xor(ha, hb)) = 0 AS is_exact
+FROM cand WHERE bit_count(xor(ha, hb)) <= {AHASH_HAM_MAX}
+""",
+    tags=("llm-multimodal", "dedup"),
+)
+def llm_multimodal_image_neardup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs within hamming radius 3 of the 48-bit
+    perceptual hash — LSH banding (4 x 12-bit bands) generates candidates,
+    two integer intrinsics verify. 100% recall inside the radius by
+    pigeonhole (3 flipped bits cannot touch 4 bands). The multimodal twin
+    of llm_dedup_simhash_pairs; candidates — never the image corpus —
+    cross the shuffle."""
+    fp = (
+        ahash_image(_fixed_ppm_frame(spark, sf_dir))
+        .filter(F.col("ok"))
+        .select("doc_id", "ahash")
+        .localCheckpoint()  # codec once; both join sides read the frame
+    )
+    bands = fp.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.expr(
+                            f"(ahash div {1 << (AHASH_BAND_BITS * k)})"
+                            f" % {1 << AHASH_BAND_BITS}"
+                        ).alias("bv"),
+                    )
+                    for k in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "ahash", "b.k", "b.bv")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(ha ^ hb)")
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= AHASH_HAM_MAX)
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            (F.col("hamming") == 0).alias("is_exact"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_embedding_quantize_int8 — per-dimension scalar quantization audit.
+#
+# The vector-compression recipe every large ANN deployment runs before
+# IVF/PQ: per-dim [min, max] over the corpus, 8-bit codes
+# code = (v - min) * 255 div (max - min), reconstruction
+# v' = min + code * (max - min) div 255. Everything runs on the shared
+# DECIMAL(9,7) e7-integer ladder (llm_queries._dec7), so codes and error
+# statistics are exact integers on both engines.
+#
+# Scale: classic two-pass — pass 1 folds the corpus to 64 (dim, min, max)
+# rows with map-side combine (the shuffle moves 64 rows per map task, not
+# N*64); pass 2 re-scans with the broadcast stats row set and folds the
+# error stats the same way. Re-scanning beats materializing an N*64-row
+# exploded frame at 100 TB; both aggs are mergeable partials (the
+# streaming form appends pass-1 partials per micro-batch).
+# ---------------------------------------------------------------------------
+_E7 = 10**7
+_V7 = (
+    "cast(cast(cast(v as double) as decimal(9,7)) * {e7} as bigint)".format(
+        e7=_E7
+    )
+)
+
+
+@query(
+    "llm_embedding_quantize_int8",
+    oracle=f"""
+WITH ix AS (
+    SELECT unnest(range(1, 65)) AS i
+), v AS (
+    SELECT ix.i - 1 AS dim,
+           CAST(CAST(CAST(e.embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7))
+                * {_E7} AS BIGINT) AS v7
+    FROM embeddings e, ix
+), s AS (
+    SELECT dim, MIN(v7) AS mn, MAX(v7) AS mx, CAST(COUNT(*) AS BIGINT) AS n
+    FROM v GROUP BY 1
+), q AS (
+    SELECT v.dim, s.n, s.mn, s.mx,
+           abs(v7 - (s.mn + (CASE WHEN s.mx > s.mn
+                                  THEN ((v7 - s.mn) * 255) // (s.mx - s.mn)
+                                  ELSE 0 END * (s.mx - s.mn)) // 255))
+               AS err
+    FROM v JOIN s USING (dim)
+)
+SELECT CAST(dim AS BIGINT) AS dim, n, mn AS min_e7, mx AS max_e7,
+       CAST(MAX(err) AS BIGINT) AS max_abs_err_e7,
+       CAST(SUM(err) // n AS BIGINT) AS mean_abs_err_e7
+FROM q GROUP BY 1, 2, 3, 4
+""",
+    tags=("llm-embedding", "compression"),
+)
+def llm_embedding_quantize_int8(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scalar 8-bit quantization audit over the embedding corpus: per-dim
+    corpus [min, max] (pass 1), then exact reconstruction-error statistics
+    of the 255-level code (pass 2 with the 64-row stats frame broadcast).
+    Integer-exact end-to-end on the shared e7 decimal ladder; the
+    mean/max error columns are the honesty metric that decides whether
+    int8 is safe for a given corpus before rolling it into IVF/PQ."""
+
+    def exploded() -> DataFrame:
+        e = T.load(spark, sf_dir, "embeddings")
+        return e.select(
+            F.posexplode("embedding").alias("dim", "v")
+        ).select(F.col("dim").cast("bigint").alias("dim"), F.expr(_V7).alias("v7"))
+
+    stats = exploded().groupBy("dim").agg(
+        F.min("v7").alias("mn"),
+        F.max("v7").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    code = F.expr(
+        "case when mx > mn then ((v7 - mn) * 255) div (mx - mn)"
+        " else 0 end"
+    )
+    err = F.abs(
+        F.col("v7")
+        - (F.col("mn") + F.expr("code * (mx - mn) div 255"))
+    )
+    q = (
+        exploded()
+        .join(F.broadcast(stats), "dim")
+        .withColumn("code", code)
+        .withColumn("err", err)
+    )
+    return (
+        q.groupBy("dim", "n", "mn", "mx")
+        .agg(
+            F.max("err").cast("bigint").alias("max_abs_err_e7"),
+            F.expr("cast(sum(err) div any_value(n) as bigint)").alias(
+                "mean_abs_err_e7"
+            ),
+        )
+        .select(
+            "dim",
+            "n",
+            F.col("mn").alias("min_e7"),
+            F.col("mx").alias("max_e7"),
+            "max_abs_err_e7",
+            "mean_abs_err_e7",
+        )
+    )

@@ -193,3 +193,107 @@ def test_domain_cap_rank_key_matches_md5(spark):
     for r in rows:
         hx = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:12]
         assert r["u"] == int(hx, 16)
+
+
+# ---------------------------------------------------------------------------
+# second wave: banded hamming pairs + int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def test_image_neardup_recall_is_total_within_radius(spark):
+    """Pigeonhole contract: EVERY pair of fingerprints within hamming <= 3
+    must be emitted (4 bands, 3 flipped bits cannot touch all 4). Compute
+    the full exact pair set from the fingerprint frame in Python and
+    compare — banding may never lose a pair inside the radius."""
+    from gmall_flink_realtime4_spark.plans.llm_multimodal import (
+        _fixed_ppm_frame,
+        ahash_image,
+    )
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        AHASH_HAM_MAX,
+    )
+
+    fps = {
+        r["doc_id"]: r["ahash"]
+        for r in ahash_image(_fixed_ppm_frame(spark, SF))
+        .filter(F.col("ok"))
+        .collect()
+    }
+    ids = sorted(fps)
+    exact = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= AHASH_HAM_MAX
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in queries()["llm_multimodal_image_neardup_pairs"](
+            spark, SF
+        ).collect()
+    }
+    assert got == exact and len(exact) > 0
+
+
+def test_image_neardup_codec_materialized_once(spark):
+    """Both sides of the band self-join must read the checkpointed
+    fingerprint frame — no second codec run, no documents rescan."""
+    plan = _plan(spark, "llm_multimodal_image_neardup_pairs")
+    assert "ExistingRDD" in plan
+    assert plan.count("documents.parquet") == 0
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantize_int8_stats_broadcast_and_two_pass(spark):
+    """The 64-row per-dim stats frame joins back via BROADCAST (shuffling
+    the exploded corpus against it would be the N*64 shuffle the two-pass
+    design avoids); the only exchanges are the two map-combined dim aggs
+    + input spreads."""
+    plan = _plan(spark, "llm_embedding_quantize_int8")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_quantize_int8_python_model(spark):
+    """Reproduce the whole quantizer from scratch in Python over the raw
+    parquet floats (same e7 ladder via Decimal HALF_UP) and require exact
+    per-dim equality of min/max/max_err/mean_err."""
+    import decimal
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pylist()
+    dims: dict[int, list[int]] = {}
+    for rec in t:
+        for d, x in enumerate(rec["embedding"]):
+            v7 = int(
+                decimal.Decimal(repr(float(x))).quantize(
+                    decimal.Decimal("0.0000001"),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+                * 10**7
+            )
+            dims.setdefault(d, []).append(v7)
+    model = {}
+    for d, vs in dims.items():
+        mn, mx, n = min(vs), max(vs), len(vs)
+        errs = []
+        for v in vs:
+            code = ((v - mn) * 255) // (mx - mn) if mx > mn else 0
+            recon = mn + (code * (mx - mn)) // 255
+            errs.append(abs(v - recon))
+        model[d] = (n, mn, mx, max(errs), sum(errs) // n)
+    got = {
+        r["dim"]: (
+            r["n"],
+            r["min_e7"],
+            r["max_e7"],
+            r["max_abs_err_e7"],
+            r["mean_abs_err_e7"],
+        )
+        for r in queries()["llm_embedding_quantize_int8"](spark, SF).collect()
+    }
+    assert got == model and len(model) == 64

@@ -150,7 +150,9 @@ QUERIES = [
     "llm_sketch_countmin",
     "llm_dedup_url_normalize",
     "llm_multimodal_image_dedup",
+    "llm_multimodal_image_neardup_pairs",
     "llm_sample_domain_cap",
+    "llm_embedding_quantize_int8",
     "f_zorder_layout_audit",
 ]
 
