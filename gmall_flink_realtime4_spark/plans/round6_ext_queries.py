@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from .. import tables as T
 from .catalog import query
 from .llm_multimodal import _fixed_ppm_frame, ahash_image
-from .llm_scale_queries import _hexval_sql
+from .llm_scale_queries import _KMV_M, KMV_K, _hexval_sql
 
 # ---------------------------------------------------------------------------
 # llm_multimodal_image_dedup — perceptual aHash near-dup grouping.
@@ -534,4 +534,372 @@ def llm_embedding_quantize_int8(
             "max_abs_err_e7",
             "mean_abs_err_e7",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_table_stats_profile — ANALYZE-style per-column statistics.
+#
+# The CBO input every warehouse collects (ANALYZE TABLE ... COMPUTE
+# STATISTICS FOR COLUMNS): per column, row/null counts, exact NDV, typed
+# min/max, and the KMV NDV *estimate* beside its exact twin — the honesty
+# column that shows what a sketch-only (single-scan, mergeable) profile
+# would have reported at 100 TB, where the exact NDV's per-column distinct
+# shuffle is the expensive part.
+#
+# Shape: one stack() Generate turns the row into 6 (col_name, canonical
+# repr) rows; the profile agg and the salted KMV fold both run over that
+# long frame (recomputed, not checkpointed: materializing a 6N-row frame
+# is exactly what a 100 TB profile avoids — the scan is the cheaper side);
+# typed min/max come from a third single-output-row agg unpivoted by a
+# second stack. Every repr is canonical across engines: ints as decimal
+# strings, money as e2-integer strings, dates as yyyy-MM-dd.
+# ---------------------------------------------------------------------------
+_PROF_COLS: list[tuple[str, str, str]] = [
+    # (column, spark repr expr, duckdb repr expr)
+    ("o_orderkey", "cast(o_orderkey as string)", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "cast(o_custkey as string)", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+    (
+        "o_totalprice",
+        "cast(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+        " as string)",
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " AS VARCHAR)",
+    ),
+    (
+        "o_orderdate",
+        "date_format(o_orderdate, 'yyyy-MM-dd')",
+        "strftime(o_orderdate, '%Y-%m-%d')",
+    ),
+    (
+        "o_orderpriority",
+        "o_orderpriority",
+        "o_orderpriority",
+    ),
+]
+
+
+def _stats_kmv_sql() -> str:
+    units = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, {dk} AS repr FROM orders"
+        for c, _, dk in _PROF_COLS
+    )
+    minmax = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, MIN({dk}) AS min_repr,"
+        f" MAX({dk}) AS max_repr FROM orders"
+        if c in ("o_orderstatus", "o_orderpriority", "o_orderdate")
+        else (
+            f"SELECT '{c}' AS col_name,"
+            f" CAST(MIN({_mm}) AS VARCHAR) AS min_repr,"
+            f" CAST(MAX({_mm}) AS VARCHAR) AS max_repr FROM orders"
+        )
+        for c, _, dk in _PROF_COLS
+        for _mm in [
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            if c == "o_totalprice"
+            else c
+        ]
+    )
+    return f"""
+WITH s AS (
+    {units}
+), prof AS (
+    SELECT col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(repr) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT repr) AS BIGINT) AS ndv_exact
+    FROM s GROUP BY 1
+), h AS (
+    SELECT DISTINCT col_name, md5(repr) AS hx FROM s WHERE repr IS NOT NULL
+), r AS (
+    SELECT col_name, hx,
+           row_number() OVER (PARTITION BY col_name ORDER BY hx) AS rn,
+           COUNT(*) OVER (PARTITION BY col_name) AS n
+    FROM h
+), kth AS (
+    SELECT col_name, n, {_hexval_sql("hx", "strpos")} AS v
+    FROM r WHERE rn = LEAST(n, {KMV_K})
+), mm AS (
+    {minmax}
+)
+SELECT p.col_name, p.n_rows, p.n_nonnull, p.ndv_exact,
+       CAST(CASE WHEN k.n < {KMV_K} THEN k.n
+                 ELSE ({KMV_K - 1} * {_KMV_M}) // greatest(k.v, 1) END
+            AS BIGINT) AS ndv_kmv_est,
+       CAST((1000 * abs(CASE WHEN k.n < {KMV_K} THEN k.n
+                             ELSE ({KMV_K - 1} * {_KMV_M})
+                                  // greatest(k.v, 1) END
+                        - p.ndv_exact)) // greatest(p.ndv_exact, 1)
+            AS BIGINT) AS ndv_err_permille,
+       mm.min_repr, mm.max_repr
+FROM prof p
+JOIN kth k USING (col_name)
+JOIN mm USING (col_name)
+"""
+
+
+@query(
+    "dq_table_stats_profile",
+    oracle=_stats_kmv_sql(),
+    tags=("dq", "stats"),
+)
+def dq_table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column ANALYZE profile of orders: rows / non-nulls / exact NDV /
+    canonical min-max, plus the deterministic KMV NDV estimate with its
+    measured per-mille error — exact-vs-sketch honesty in one row per
+    column, the statistics a cost-based optimizer and a partition-pruning
+    planner both feed on."""
+    o = T.load(spark, sf_dir, "orders")
+    stacked = o.select(
+        F.expr(
+            "stack("
+            + str(len(_PROF_COLS))
+            + ", "
+            + ", ".join(f"'{c}', {sp}" for c, sp, _ in _PROF_COLS)
+            + ") as (col_name, repr)"
+        )
+    )
+    prof = stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("repr").cast("bigint").alias("n_nonnull"),
+        F.countDistinct("repr").cast("bigint").alias("ndv_exact"),
+    )
+    # salted k-min fold (the llm_sketch_kmv pattern, keyed by col_name)
+    h = stacked.filter(F.col("repr").isNotNull()).select(
+        "col_name", F.md5("repr").alias("hx")
+    )
+    salted = h.withColumn(
+        "salt", F.expr(f"instr('0123456789abcdef', substr(hx, 1, 1)) % 16")
+    )
+    partial = (
+        salted.groupBy("col_name", "salt")
+        .agg(F.array_sort(F.collect_set("hx")).alias("hs"))
+        .select(
+            "col_name",
+            F.slice("hs", 1, KMV_K).alias("kmin"),
+            F.size("hs").cast("bigint").alias("n_bucket"),
+        )
+    )
+    kth = (
+        partial.groupBy("col_name")
+        .agg(
+            F.sum("n_bucket").alias("n"),
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("kmin"))), 1, KMV_K
+            ).alias("kmin_all"),
+        )
+        .select(
+            "col_name",
+            "n",
+            F.expr(
+                _hexval_sql(
+                    f"element_at(kmin_all, cast(least(n, {KMV_K}) as int))",
+                    "instr",
+                )
+            ).alias("v"),
+        )
+    )
+    # typed min/max: one single-row agg, unpivoted by a second stack
+    mm_aggs = []
+    for c, _, _ in _PROF_COLS:
+        src = (
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            if c == "o_totalprice"
+            else c
+        )
+        mm_aggs.append(F.expr(f"min({src})").alias(f"mn_{c}"))
+        mm_aggs.append(F.expr(f"max({src})").alias(f"mx_{c}"))
+    one = o.agg(*mm_aggs)
+    reprs = {
+        "o_orderdate": lambda s: f"date_format({s}, 'yyyy-MM-dd')",
+    }
+    mm = one.select(
+        F.expr(
+            "stack("
+            + str(len(_PROF_COLS))
+            + ", "
+            + ", ".join(
+                "'{c}', {mn}, {mx}".format(
+                    c=c,
+                    mn=reprs.get(c, lambda s: f"cast({s} as string)")(
+                        f"mn_{c}"
+                    ),
+                    mx=reprs.get(c, lambda s: f"cast({s} as string)")(
+                        f"mx_{c}"
+                    ),
+                )
+                for c, _, _ in _PROF_COLS
+            )
+            + ") as (col_name, min_repr, max_repr)"
+        )
+    )
+    est = F.when(F.col("n") < KMV_K, F.col("n")).otherwise(
+        F.expr(f"({KMV_K - 1} * {_KMV_M}) div greatest(v, 1)")
+    )
+    return (
+        prof.join(kth, "col_name")
+        .join(F.broadcast(mm), "col_name")
+        .withColumn("ndv_kmv_est", est.cast("bigint"))
+        .select(
+            "col_name",
+            "n_rows",
+            "n_nonnull",
+            "ndv_exact",
+            "ndv_kmv_est",
+            F.expr(
+                "cast((1000 * abs(ndv_kmv_est - ndv_exact))"
+                " div greatest(ndv_exact, 1) as bigint)"
+            ).alias("ndv_err_permille"),
+            "min_repr",
+            "max_repr",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_sketch_join_cardinality — theta-style KMV intersection estimate.
+#
+# The join planner's question — "how many keys will this join match?" —
+# answered from two mergeable k-min sketches WITHOUT joining the key sets:
+# theta = min(kth_A, kth_B); every sketch hash below theta is a uniform
+# sample of the union at rate theta/M; the intersection estimate is
+# |S_A ∩ S_B ∩ [0, theta)| * M / theta (Dasgupta et al., theta sketches).
+# md5 as the hash makes the estimate deterministic, so the oracle computes
+# the IDENTICAL number, and the exact intersection (key-only join) rides
+# along as the honesty column. At 100 TB the two sketches fold map-side
+# (the salted k-min fold) and meet on the driver as 64-value arrays — the
+# exact twin is the expensive path the sketch replaces.
+# ---------------------------------------------------------------------------
+
+
+def _kmv_set_sketch(df: DataFrame, key: str) -> DataFrame:
+    """Global (ungrouped) salted k-min fold over DISTINCT md5(key):
+    one row out: (n = exact distinct count, kmin = 64 smallest hashes)."""
+    h = df.filter(F.col(key).isNotNull()).select(
+        F.md5(F.col(key).cast("string")).alias("hx")
+    )
+    salted = h.withColumn(
+        "salt", F.expr("instr('0123456789abcdef', substr(hx, 1, 1)) % 16")
+    )
+    partial = (
+        salted.groupBy("salt")
+        .agg(F.array_sort(F.collect_set("hx")).alias("hs"))
+        .select(
+            F.slice("hs", 1, KMV_K).alias("kmin"),
+            F.size("hs").cast("bigint").alias("n_bucket"),
+        )
+    )
+    return partial.agg(
+        F.sum("n_bucket").alias("n"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("kmin"))), 1, KMV_K
+        ).alias("kmin"),
+    )
+
+
+@query(
+    "dq_sketch_join_cardinality",
+    oracle=f"""
+WITH a AS (
+    SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS hx FROM orders
+), b AS (
+    SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS hx
+    FROM events WHERE user_id IS NOT NULL
+), ra AS (
+    SELECT hx, row_number() OVER (ORDER BY hx) AS rn, COUNT(*) OVER () AS n
+    FROM a
+), rb AS (
+    SELECT hx, row_number() OVER (ORDER BY hx) AS rn, COUNT(*) OVER () AS n
+    FROM b
+), ka AS (SELECT hx FROM ra WHERE rn <= {KMV_K}),
+   kb AS (SELECT hx FROM rb WHERE rn <= {KMV_K}),
+   kth AS (
+    SELECT (SELECT hx FROM ra WHERE rn = LEAST(n, {KMV_K})) AS tha,
+           (SELECT hx FROM rb WHERE rn = LEAST(n, {KMV_K})) AS thb,
+           (SELECT n FROM ra LIMIT 1) AS n_a,
+           (SELECT n FROM rb LIMIT 1) AS n_b
+), th AS (
+    SELECT n_a, n_b, LEAST(tha, thb) AS theta_hx,
+           {_hexval_sql("LEAST(tha, thb)", "strpos")} AS theta_v
+    FROM kth
+), below AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_below
+    FROM ka JOIN kb USING (hx), th
+    WHERE ka.hx < th.theta_hx
+), exact AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS inter_exact
+    FROM (SELECT DISTINCT o_custkey AS k FROM orders) x
+    JOIN (SELECT DISTINCT user_id AS k FROM events
+          WHERE user_id IS NOT NULL) y USING (k)
+)
+SELECT CAST(th.n_a AS BIGINT) AS n_a_exact,
+       CAST(th.n_b AS BIGINT) AS n_b_exact,
+       e.inter_exact,
+       CAST((below.n_below * {_KMV_M}) // greatest(th.theta_v, 1) AS BIGINT)
+           AS inter_est,
+       CAST((1000 * abs((below.n_below * {_KMV_M})
+                        // greatest(th.theta_v, 1) - e.inter_exact))
+            // greatest(e.inter_exact, 1) AS BIGINT) AS err_permille
+FROM th, below, exact e
+""",
+    tags=("dq", "sketch"),
+)
+def dq_sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two KMV sketches (theta
+    intersection) with the exact key-only join as the honesty column:
+    |orders.o_custkey ∩ events.user_id| estimated without ever joining
+    the key sets. Sketches fold map-side; the combine is two 64-element
+    arrays meeting on one row."""
+    o = T.load(spark, sf_dir, "orders")
+    e = T.load(spark, sf_dir, "events")
+    ska = _kmv_set_sketch(o, "o_custkey").select(
+        F.col("n").alias("n_a"), F.col("kmin").alias("ka")
+    )
+    skb = _kmv_set_sketch(e, "user_id").select(
+        F.col("n").alias("n_b"), F.col("kmin").alias("kb")
+    )
+    # one-row frames: broadcast cross join is constant-size by construction
+    sk = ska.crossJoin(F.broadcast(skb)).select(
+        "n_a",
+        "n_b",
+        F.expr(
+            f"least(element_at(ka, cast(least(n_a, {KMV_K}) as int)),"
+            f" element_at(kb, cast(least(n_b, {KMV_K}) as int)))"
+        ).alias("theta_hx"),
+        "ka",
+        "kb",
+    )
+    sk = sk.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "cast(size(filter(array_intersect(ka, kb), x -> x < theta_hx))"
+            " as bigint)"
+        ).alias("n_below"),
+        F.expr(_hexval_sql("theta_hx", "instr")).alias("theta_v"),
+    )
+    exact = (
+        o.select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .join(
+            e.filter(F.col("user_id").isNotNull())
+            .select(F.col("user_id").alias("k"))
+            .distinct(),
+            "k",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_exact"))
+    )
+    return sk.crossJoin(F.broadcast(exact)).select(
+        F.col("n_a").cast("bigint").alias("n_a_exact"),
+        F.col("n_b").cast("bigint").alias("n_b_exact"),
+        "inter_exact",
+        F.expr(
+            f"cast((n_below * {_KMV_M}) div greatest(theta_v, 1) as bigint)"
+        ).alias("inter_est"),
+        F.expr(
+            f"cast((1000 * abs((n_below * {_KMV_M})"
+            f" div greatest(theta_v, 1) - inter_exact))"
+            " div greatest(inter_exact, 1) as bigint)"
+        ).alias("err_permille"),
     )

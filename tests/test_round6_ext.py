@@ -297,3 +297,109 @@ def test_quantize_int8_python_model(spark):
         for r in queries()["llm_embedding_quantize_int8"](spark, SF).collect()
     }
     assert got == model and len(model) == 64
+
+
+# ---------------------------------------------------------------------------
+# third wave: ANALYZE profile + theta-intersection join cardinality
+# ---------------------------------------------------------------------------
+
+
+def test_stats_profile_no_window_and_bounded_scans(spark):
+    """The NDV sketch must be the salted k-min FOLD (no Window over the
+    hash space) and the whole profile reads orders a bounded number of
+    times (stack pass for ndv/null + kmv pass + one min/max pass) — never
+    once per column."""
+    plan = _plan(spark, "dq_table_stats_profile")
+    assert "Window" not in plan
+    n_scans = plan.count("orders.parquet")
+    assert n_scans <= 3, f"{n_scans} orders scans (expected <= 3)"
+
+
+def test_stats_profile_python_model(spark):
+    """Recompute the whole per-column profile from scratch in Python
+    (canonical reprs, exact NDV, KMV estimate with the same k-th order
+    statistic) and require exact equality."""
+    import hashlib as hl
+
+    import pyarrow.parquet as pq
+
+    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
+        _KMV_M,
+        KMV_K,
+    )
+
+    t = pq.read_table(f"{SF}/orders.parquet").to_pylist()
+    cols = {
+        "o_orderkey": lambda r: str(r["o_orderkey"]),
+        "o_custkey": lambda r: str(r["o_custkey"]),
+        "o_orderstatus": lambda r: r["o_orderstatus"],
+        "o_totalprice": lambda r: str(
+            int(
+                __import__("decimal").Decimal(repr(r["o_totalprice"])).quantize(
+                    __import__("decimal").Decimal("0.01"),
+                    rounding=__import__("decimal").ROUND_HALF_UP,
+                )
+                * 100
+            )
+        ),
+        "o_orderdate": lambda r: r["o_orderdate"].strftime("%Y-%m-%d"),
+        "o_orderpriority": lambda r: r["o_orderpriority"],
+    }
+    model = {}
+    for c, fn in cols.items():
+        reprs = [fn(r) for r in t if r[c] is not None]
+        nn = len(reprs)
+        distinct = sorted(set(reprs))
+        hashes = sorted({hl.md5(x.encode()).hexdigest() for x in distinct})
+        n = len(hashes)
+        if n < KMV_K:
+            est = n
+        else:
+            v = int(hashes[KMV_K - 1][:12], 16)
+            est = ((KMV_K - 1) * _KMV_M) // max(v, 1)
+        model[c] = (len(t), nn, len(distinct), est)
+    got = {
+        r["col_name"]: (r["n_rows"], r["n_nonnull"], r["ndv_exact"], r["ndv_kmv_est"])
+        for r in queries()["dq_table_stats_profile"](spark, SF).collect()
+    }
+    assert got == model
+
+
+def test_join_cardinality_python_model(spark):
+    """Reproduce the theta intersection from scratch: k-min sketches of
+    both key sets, theta = min of the k-th values, estimate =
+    |S_A ∩ S_B < theta| * M / theta — must match the Spark row exactly."""
+    import hashlib as hl
+
+    import pyarrow.parquet as pq
+
+    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
+        _KMV_M,
+        KMV_K,
+    )
+
+    a_keys = {
+        r["o_custkey"]
+        for r in pq.read_table(f"{SF}/orders.parquet").to_pylist()
+    }
+    b_keys = {
+        r["user_id"]
+        for r in pq.read_table(f"{SF}/events.parquet").to_pylist()
+        if r["user_id"] is not None
+    }
+    ha = sorted(hl.md5(str(k).encode()).hexdigest() for k in a_keys)
+    hb = sorted(hl.md5(str(k).encode()).hexdigest() for k in b_keys)
+    ka, kb = ha[:KMV_K], hb[:KMV_K]
+    theta_hx = min(ka[min(len(ha), KMV_K) - 1], kb[min(len(hb), KMV_K) - 1])
+    theta_v = int(theta_hx[:12], 16)
+    below = len({h for h in ka if h < theta_hx} & set(kb))
+    est = (below * _KMV_M) // max(theta_v, 1)
+    exact = len(a_keys & b_keys)
+    row = queries()["dq_sketch_join_cardinality"](spark, SF).collect()[0]
+    assert (
+        row["n_a_exact"],
+        row["n_b_exact"],
+        row["inter_exact"],
+        row["inter_est"],
+    ) == (len(a_keys), len(b_keys), exact, est)
+    assert row["err_permille"] == (1000 * abs(est - exact)) // max(exact, 1)

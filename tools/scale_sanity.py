@@ -154,6 +154,8 @@ QUERIES = [
     "llm_sample_domain_cap",
     "llm_embedding_quantize_int8",
     "f_zorder_layout_audit",
+    "dq_table_stats_profile",
+    "dq_sketch_join_cardinality",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
