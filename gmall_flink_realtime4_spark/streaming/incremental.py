@@ -121,3 +121,92 @@ def incremental_minhash_pairs(
     )
     batch.write.mode("overwrite").parquet(f"{docs_path}/batch_id={batch_id}")
     return out
+
+
+def incremental_ahash_pairs(
+    spark: SparkSession,
+    media_batch: DataFrame,
+    state_dir: str,
+    batch_id: int = 0,
+) -> DataFrame:
+    """Streaming-incremental IMAGE near-dup detection — the foreachBatch
+    twin of `plans.round6_ext_queries.llm_multimodal_image_neardup_pairs`.
+
+    Simpler than the text twin because the verify needs only the 48-bit
+    fingerprints: STATE is just (doc_id, ahash) — no payload retention at
+    all (the codec runs once per image, in its arrival batch, and the raw
+    bytes never re-enter the pipeline). Per batch: fingerprint the batch
+    (map-only Arrow codec), band the batch against state ∪ batch on the
+    4x12-bit band keys, verify candidates with xor/bit_count. Every
+    emitted pair has >= 1 batch side, so each pair is emitted exactly once
+    (in its LATER doc's batch) and the union of emissions equals the
+    one-shot batch query. Same replay-safe batch_id-partitioned overwrite
+    state as `incremental_minhash_pairs`.
+    """
+    from ..plans.llm_multimodal import ahash_image
+    from ..plans.round6_ext_queries import (
+        AHASH_BAND_BITS,
+        AHASH_BANDS,
+        AHASH_HAM_MAX,
+    )
+
+    fps_path = f"{state_dir}/fps"
+    fp_b = (
+        ahash_image(media_batch)
+        .filter(F.col("ok"))
+        .select("doc_id", "ahash")
+        .localCheckpoint(eager=True)
+    )
+    prev = _read_state(spark, fps_path, batch_id)
+    fp_all = fp_b if prev is None else prev.unionByName(fp_b)
+
+    def bands(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "ahash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("k"),
+                            F.expr(
+                                f"(ahash div {1 << (AHASH_BAND_BITS * k)})"
+                                f" % {1 << AHASH_BAND_BITS}"
+                            ).alias("bv"),
+                        )
+                        for k in range(AHASH_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        ).select("doc_id", "ahash", "b.k", "b.bv")
+
+    left, right = bands(fp_b).alias("l"), bands(fp_all).alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
+        )
+        .select(
+            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_a"),
+            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_b"),
+            F.least(F.col("l.ahash"), F.col("r.ahash")).alias("ha"),
+            F.greatest(F.col("l.ahash"), F.col("r.ahash")).alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(ha ^ hb)")
+    out = (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= AHASH_HAM_MAX)
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            (F.col("hamming") == 0).alias("is_exact"),
+        )
+        .localCheckpoint(eager=True)  # materialize before the state write
+    )
+    fp_b.write.mode("overwrite").parquet(f"{fps_path}/batch_id={batch_id}")
+    return out

@@ -1349,3 +1349,56 @@ def test_incremental_minhash_replay_is_idempotent(spark, tmp_path):
     second = _rows(incremental_minhash_pairs(spark, rest, state, 1), cols)
     expected = _rows(queries()["llm_dedup_minhash_lsh"](spark, SF), cols)
     assert sorted(first + second) == expected and expected
+
+
+def test_incremental_ahash_pairs_matches_batch(spark, tmp_path):
+    """Streaming x image-near-dup twin: images arriving in micro-batches
+    through the incremental aHash band index must emit, across all
+    batches, EXACTLY the batch query's pair set — every pair once (in the
+    batch where its later image arrives) — with only fingerprints in
+    state (no payload retention)."""
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.llm_multimodal import (
+        _fixed_ppm_frame,
+    )
+    from gmall_flink_realtime4_spark.streaming.incremental import (
+        incremental_ahash_pairs,
+    )
+
+    cols = ["doc_a", "doc_b", "hamming", "is_exact"]
+    expected = _rows(
+        queries()["llm_multimodal_image_neardup_pairs"](spark, SF), cols
+    )
+    imgs = _fixed_ppm_frame(spark, SF)
+    state = str(tmp_path / "ah_state")
+    out_rows = []
+    for bid in range(3):
+        batch = imgs.filter(F.expr(f"(doc_id div 3) % 3 = {bid}"))
+        out_rows += _rows(
+            incremental_ahash_pairs(spark, batch, state, bid), cols
+        )
+    assert sorted(out_rows) == expected and expected
+    # state really is fingerprints only: two columns, one row per image
+    st = spark.read.parquet(f"{state}/fps")
+    assert set(st.columns) == {"doc_id", "ahash", "batch_id"}
+    assert st.count() == imgs.count()
+
+
+def test_incremental_ahash_replay_is_idempotent(spark, tmp_path):
+    """Replaying an aHash micro-batch must rewrite identical fingerprint
+    state (overwrite, never append) and re-emit the same pairs."""
+    from gmall_flink_realtime4_spark.plans.llm_multimodal import (
+        _fixed_ppm_frame,
+    )
+    from gmall_flink_realtime4_spark.streaming.incremental import (
+        incremental_ahash_pairs,
+    )
+
+    cols = ["doc_a", "doc_b", "hamming", "is_exact"]
+    imgs = _fixed_ppm_frame(spark, SF)
+    half = imgs.filter(F.col("doc_id") % 2 == 0)
+    state = str(tmp_path / "ah_state")
+    first = _rows(incremental_ahash_pairs(spark, half, state, 0), cols)
+    replay = _rows(incremental_ahash_pairs(spark, half, state, 0), cols)
+    assert replay == first
+    assert spark.read.parquet(f"{state}/fps").count() == half.count()
