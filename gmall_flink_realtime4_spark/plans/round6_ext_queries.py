@@ -1,8 +1,11 @@
-"""Round-6 extensions: perceptual image dedup, skew-resistant per-domain
-cap sampling, and a multi-dimensional (z-order) file-layout audit.
+"""Round-6 extensions: perceptual image dedup (exact-hash groups + banded
+hamming pairs), skew-resistant per-domain cap sampling, a z-order
+file-layout audit, int8 embedding quantization, and the two CBO/statistics
+ops (ANALYZE column profile, KMV join-cardinality estimate).
 
-Three ops a 100 TB training-data platform runs that the registry did not
-yet cover:
+Ops a 100 TB training-data platform runs that the registry did not yet
+cover (first wave documented below; later waves documented at their
+blocks):
 
 - ``llm_multimodal_image_dedup`` — near-dup IMAGE dedup via perceptual
   average-hash (aHash) computed from the real decoded pixel plane: the
@@ -222,9 +225,12 @@ def _zorder_oracle() -> str:
     z = _interleave_sql("b1", "b2", "//")
     return f"""
 WITH b AS (
-    SELECT (o_custkey * {ZB}) // {CK_SPAN} AS b1,
-           (date_diff('day', DATE '{DATE_EPOCH}', CAST(o_orderdate AS DATE))
-            * {ZB}) // {DAY_SPAN} AS b2
+    SELECT least(greatest((o_custkey * {ZB}) // {CK_SPAN}, 0), {ZB - 1})
+               AS b1,
+           least(greatest(
+               (date_diff('day', DATE '{DATE_EPOCH}',
+                          CAST(o_orderdate AS DATE)) * {ZB}) // {DAY_SPAN},
+               0), {ZB - 1}) AS b2
     FROM orders
 ), f AS (
     SELECT 'zorder' AS layout,
@@ -262,10 +268,17 @@ def f_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps only b1 small while every file spans all of b2."""
     z = _interleave_sql("b1", "b2", "div")
     b = T.load(spark, sf_dir, "orders").select(
-        F.expr(f"(o_custkey * {ZB}) div {CK_SPAN}").alias("b1"),
+        # clamp into [0, ZB): an out-of-constant-range key must saturate at
+        # the edge cell, not alias into low cells through the 8-bit
+        # interleave (b1=256 would z-collide with b1=0), and a pre-epoch
+        # date must not hit the div-truncate (Spark) vs floor (DuckDB)
+        # negative-division divergence
         F.expr(
-            f"(datediff(cast(o_orderdate as date), date'{DATE_EPOCH}')"
-            f" * {ZB}) div {DAY_SPAN}"
+            f"least(greatest((o_custkey * {ZB}) div {CK_SPAN}, 0), {ZB - 1})"
+        ).alias("b1"),
+        F.expr(
+            f"least(greatest((datediff(cast(o_orderdate as date),"
+            f" date'{DATE_EPOCH}') * {ZB}) div {DAY_SPAN}, 0), {ZB - 1})"
         ).alias("b2"),
     )
     lay = b.select(
