@@ -80,6 +80,7 @@ GATE_PRIORITY: list[str] = [
     "f_zorder_layout_audit",
     "dq_table_stats_profile",
     "dq_sketch_join_cardinality",
+    "llm_bpe_train_merges",
     # plans changed late in round 4 — freshest driver row predates the change
     "llm_dedup_containment_lsh",
     "f_set_ops_source_overlap",
@@ -131,13 +132,13 @@ GATE_PRIORITY: list[str] = [
     "llm_ann_pq_adc_recall",
     "llm_dedup_edit_distance_verify",
     # freshest row is r03 — analytics / windows / log pipelines
-    "dq_outlier_mad_events",
-    # bumped to round 7 (displaced by the seven round-6 queries):
-    # f_range_band_join, dwd_base_log_page, dwd_base_log_start,
-    # dwd_base_log_err, dwd_base_log_display, dwd_base_log_action,
-    # dws_gap_fill_locf_daily_orders — all r03-green, unchanged, each
-    # exercised by dedicated tests (range-band plan guard, side-output
-    # split e2e, LOCF window) plus the in-suite parity sweep
+    # bumped to round 7 (displaced by the eight round-6 queries):
+    # dq_outlier_mad_events, f_range_band_join, dwd_base_log_page,
+    # dwd_base_log_start, dwd_base_log_err, dwd_base_log_display,
+    # dwd_base_log_action, dws_gap_fill_locf_daily_orders — all r03-green,
+    # unchanged, each exercised by dedicated tests (MAD/range-band plan
+    # guards, side-output split e2e, LOCF window) plus the in-suite
+    # parity sweep
     # bumped to round 6, all r03-green and unchanged since that row:
     # dim_app_router, dim_app_materialize, dws_sliding_window_events,
     # dws_session_window_events, dws_user_event_funnel,

@@ -916,3 +916,154 @@ def dq_sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(inter_exact, 1) as bigint)"
         ).alias("err_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_bpe_train_merges — the REAL BPE training loop (N merge rounds).
+#
+# Extends llm_bpe_pair_counts (one pair-count step) into the iterative
+# trainer (Sennrich et al. 2016): per round, (1) count adjacent SYMBOL
+# pairs over the frequency-weighted vocabulary, (2) pick the most frequent
+# pair (count DESC, then symbols lexicographically — deterministic), and
+# (3) merge every greedy left-to-right occurrence in every word. The merge
+# is an EXACT greedy fold, identical on both engines: words are
+# '|'-delimited symbol strings folded element-by-element — the accumulator
+# ends with '|'+left and the next element equals '|'+right iff the LAST
+# SYMBOL is exactly `left` (the delimiter cannot appear inside a symbol),
+# in which case `right` is appended WITHOUT a delimiter (the in-place
+# merge); a just-merged token never re-merges in the same round because
+# left+right != left (right is non-empty). Spark folds with
+# aggregate(zero='') and DuckDB with list_reduce(init=first element) —
+# equivalent because the zero-acc first step is always the plain append.
+#
+# Scale: the corpus folds once to the word-frequency table; every round is
+# vocabulary-sized (pair agg with map-side combine -> LIMIT-1 top over the
+# charset²-bounded pair table -> broadcast 1-row join + narrow map). Each
+# round's vocab and top row are localCheckpoint'ed: the DAG would
+# otherwise recompute vocab_r for vocab_{r+1} AND for its pair agg —
+# exponential in rounds. No driver-side collect anywhere: the chosen pair
+# flows into the next round as a broadcast row, not a literal.
+# ---------------------------------------------------------------------------
+BPE_TRAIN_ROUNDS = 4
+_BPE_STEP = (
+    "case when right(acc, length(lft) + 1) = concat('|', lft)"
+    " and x = concat('|', rgt) then concat(acc, rgt)"
+    " else concat(acc, x) end"
+)
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        """
+WITH wf AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE length(word) >= 1 AND word NOT LIKE '%|%'
+    GROUP BY 1
+), v0 AS (
+    SELECT freq, string_split(word, '') AS syms FROM wf
+)"""
+    ]
+    for r in range(BPE_TRAIN_ROUNDS):
+        parts.append(
+            f""", pc{r} AS (
+    SELECT syms[i] AS lft, syms[i + 1] AS rgt,
+           CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM v{r}, unnest(range(1, len(syms))) t(i)
+    WHERE len(syms) >= 2
+    GROUP BY 1, 2
+), top{r} AS (
+    SELECT lft, rgt, cnt FROM pc{r} ORDER BY cnt DESC, lft, rgt LIMIT 1
+), v{r + 1} AS (
+    SELECT v.freq,
+           string_split(substr(list_reduce(
+               list_transform(v.syms, s -> '|' || s),
+               (acc, x) -> CASE WHEN right(acc, length(t.lft) + 1)
+                                     = '|' || t.lft
+                                AND x = '|' || t.rgt
+                                THEN acc || t.rgt ELSE acc || x END
+           ), 2), '|') AS syms
+    FROM v{r} v CROSS JOIN top{r} t
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS merge_rank, lft AS left_sym,"
+        f" rgt AS right_sym, lft || rgt AS merged, cnt AS pair_count"
+        f" FROM top{r}"
+        for r in range(BPE_TRAIN_ROUNDS)
+    )
+    return "".join(parts) + "\n" + finals
+
+
+@query(
+    "llm_bpe_train_merges",
+    oracle=_bpe_oracle(),
+    tags=("llm-text", "tokenizer"),
+)
+def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, 4 merge rounds end-to-end: per round the
+    winning adjacent symbol pair (frequency-weighted, deterministic
+    tie-break) merges greedily left-to-right across the whole vocabulary,
+    and the next round trains on the merged symbols. Output = the ordered
+    merge table (rank, pair, merged token, count) — the artifact a BPE
+    tokenizer ships. Exact greedy-fold semantics proven equal across
+    engines by construction (see block comment) and pinned by the
+    from-scratch python model test."""
+    d = T.load(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        (F.length("word") >= 1) & (~F.col("word").like("%|%"))
+    )
+    wf = w.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    cur = wf.select(
+        "freq", F.split("word", "").alias("syms")
+    ).localCheckpoint()
+    tops = []
+    for r in range(BPE_TRAIN_ROUNDS):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) as lft,"
+                        " element_at(syms, i + 1) as rgt))"
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.lft", "p.rgt")
+        )
+        pc = pairs.groupBy("lft", "rgt").agg(
+            F.sum("freq").cast("bigint").alias("cnt")
+        )
+        top = (
+            pc.orderBy(F.col("cnt").desc(), "lft", "rgt")
+            .limit(1)
+            .localCheckpoint()
+        )
+        tops.append(top)
+        cur = (
+            cur.crossJoin(F.broadcast(top))
+            .select(
+                "freq",
+                F.expr(
+                    "split(substr(aggregate("
+                    " transform(syms, s -> concat('|', s)), '',"
+                    f" (acc, x) -> {_BPE_STEP}), 2), '\\\\|')"
+                ).alias("syms"),
+            )
+            .localCheckpoint()
+        )
+    out = None
+    for r, top in enumerate(tops):
+        row = top.select(
+            F.lit(r + 1).cast("bigint").alias("merge_rank"),
+            F.col("lft").alias("left_sym"),
+            F.col("rgt").alias("right_sym"),
+            F.concat("lft", "rgt").alias("merged"),
+            F.col("cnt").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -403,3 +403,77 @@ def test_join_cardinality_python_model(spark):
         row["inter_est"],
     ) == (len(a_keys), len(b_keys), exact, est)
     assert row["err_permille"] == (1000 * abs(est - exact)) // max(exact, 1)
+
+
+def test_bpe_train_merges_python_model(spark):
+    """Reproduce the full 4-round BPE trainer from scratch in Python —
+    word-freq table, weighted pair counts, (count DESC, pair ASC) argmax,
+    greedy left-to-right merge per word — and require the identical merge
+    table. Pins both the pair-selection rule and the greedy fold
+    semantics."""
+    import pyarrow.parquet as pq
+
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        BPE_TRAIN_ROUNDS,
+    )
+
+    t = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+    freq: dict[tuple, int] = {}
+    for rec in t:
+        for word in rec["text"].split(" "):
+            if len(word) >= 1 and "|" not in word:
+                key = tuple(word)
+                freq[key] = freq.get(key, 0) + 1
+    vocab = dict(freq)  # symbol-tuple -> freq
+    model = []
+    for rank in range(1, BPE_TRAIN_ROUNDS + 1):
+        counts: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+                )
+        (lft, rgt), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        model.append((rank, lft, rgt, lft + rgt, cnt))
+        merged_vocab: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == lft
+                    and syms[i + 1] == rgt
+                ):
+                    out.append(lft + rgt)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            merged_vocab[key] = merged_vocab.get(key, 0) + f
+        vocab = merged_vocab
+    got = [
+        (
+            r["merge_rank"],
+            r["left_sym"],
+            r["right_sym"],
+            r["merged"],
+            r["pair_count"],
+        )
+        for r in queries()["llm_bpe_train_merges"](spark, SF)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == model
+
+
+def test_bpe_train_merges_no_collect_shape(spark):
+    """The trainer must stay declarative: each round's winner reaches the
+    next round as a broadcast one-row join (checkpointed), never a
+    CartesianProduct over anything corpus-sized; the final plan reads the
+    checkpointed tops."""
+    plan = _plan(spark, "llm_bpe_train_merges")
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan

@@ -156,6 +156,7 @@ QUERIES = [
     "f_zorder_layout_audit",
     "dq_table_stats_profile",
     "dq_sketch_join_cardinality",
+    "llm_bpe_train_merges",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
