@@ -65,13 +65,16 @@ GATE_PRIORITY: list[str] = [
     # ROUND-6 NOTE: the round-5 driver artifacts (CORRECTNESS_r05 /
     # BENCH_r05) never landed in the repo, so the round-5 prefix below is
     # still the set whose freshest VISIBLE driver row is r03-or-none — it
-    # stays for round 6 unchanged (re-gating is harmless if r05 did run;
-    # required if it did not). The three queries new in round 6 join the
-    # head; dwd_base_log_display / dwd_base_log_action /
-    # dws_gap_fill_locf_daily_orders rotate to round 7 to keep the prefix
-    # at exactly 50 (each r03-green, unchanged, with dedicated suite
-    # coverage: the side-output split e2e tests and the LOCF window tests,
-    # plus tests/test_oracle_parity.py in-suite parity like every query).
+    # stays for round 6 (re-gating is harmless if r05 did run; required if
+    # it did not). The NINE queries new in round 6 lead; nine r03-green
+    # test-covered names rotate to round 7 (list at the tail comment).
+    #
+    # ROUND-7 ROTATION RECIPE: replace this list with
+    # ``[k for k in queries() if k not in CORRECTNESS_r06]`` (the queries
+    # lacking a fresh driver row), led by the longest-stale names — the
+    # nine round-7 bumps listed in the tail comment plus the round-6 bump
+    # list — then any queries new in round 7; bump freshly-gated names to
+    # stay at exactly 50.
     # new in round 6 (need their first driver row)
     "llm_multimodal_image_dedup",
     "llm_multimodal_image_neardup_pairs",
@@ -81,6 +84,7 @@ GATE_PRIORITY: list[str] = [
     "dq_table_stats_profile",
     "dq_sketch_join_cardinality",
     "llm_bpe_train_merges",
+    "llm_bpe_encode_corpus",
     # plans changed late in round 4 — freshest driver row predates the change
     "llm_dedup_containment_lsh",
     "f_set_ops_source_overlap",
@@ -128,11 +132,12 @@ GATE_PRIORITY: list[str] = [
     "llm_decontaminate",
     "llm_text_repetition",
     "llm_corpus_final",
-    "llm_ann_pq_encode",
     "llm_ann_pq_adc_recall",
     "llm_dedup_edit_distance_verify",
     # freshest row is r03 — analytics / windows / log pipelines
-    # bumped to round 7 (displaced by the eight round-6 queries):
+    # bumped to round 7 (displaced by the nine round-6 queries):
+    # llm_ann_pq_encode (r03-green, guard test_pq_codebook_broadcast_
+    # assignment_map_only + in-suite parity),
     # dq_outlier_mad_events, f_range_band_join, dwd_base_log_page,
     # dwd_base_log_start, dwd_base_log_err, dwd_base_log_display,
     # dwd_base_log_action, dws_gap_fill_locf_daily_orders — all r03-green,

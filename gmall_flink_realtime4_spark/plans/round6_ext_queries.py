@@ -952,7 +952,10 @@ _BPE_STEP = (
 )
 
 
-def _bpe_oracle() -> str:
+def _bpe_cte_prefix() -> str:
+    """The shared DuckDB training CTEs: wf -> v0 -> (pc/top/v)*rounds.
+    Word identity rides through every round so the final vocab CTE doubles
+    as the encode lookup table."""
     parts = [
         """
 WITH wf AS (
@@ -961,7 +964,7 @@ WITH wf AS (
     WHERE length(word) >= 1 AND word NOT LIKE '%|%'
     GROUP BY 1
 ), v0 AS (
-    SELECT freq, string_split(word, '') AS syms FROM wf
+    SELECT word, freq, string_split(word, '') AS syms FROM wf
 )"""
     ]
     for r in range(BPE_TRAIN_ROUNDS):
@@ -975,7 +978,7 @@ WITH wf AS (
 ), top{r} AS (
     SELECT lft, rgt, cnt FROM pc{r} ORDER BY cnt DESC, lft, rgt LIMIT 1
 ), v{r + 1} AS (
-    SELECT v.freq,
+    SELECT v.word, v.freq,
            string_split(substr(list_reduce(
                list_transform(v.syms, s -> '|' || s),
                (acc, x) -> CASE WHEN right(acc, length(t.lft) + 1)
@@ -986,29 +989,28 @@ WITH wf AS (
     FROM v{r} v CROSS JOIN top{r} t
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle() -> str:
     finals = " UNION ALL ".join(
         f"SELECT CAST({r + 1} AS BIGINT) AS merge_rank, lft AS left_sym,"
         f" rgt AS right_sym, lft || rgt AS merged, cnt AS pair_count"
         f" FROM top{r}"
         for r in range(BPE_TRAIN_ROUNDS)
     )
-    return "".join(parts) + "\n" + finals
+    return _bpe_cte_prefix() + "\n" + finals
 
 
-@query(
-    "llm_bpe_train_merges",
-    oracle=_bpe_oracle(),
-    tags=("llm-text", "tokenizer"),
-)
-def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training, 4 merge rounds end-to-end: per round the
-    winning adjacent symbol pair (frequency-weighted, deterministic
-    tie-break) merges greedily left-to-right across the whole vocabulary,
-    and the next round trains on the merged symbols. Output = the ordered
-    merge table (rank, pair, merged token, count) — the artifact a BPE
-    tokenizer ships. Exact greedy-fold semantics proven equal across
-    engines by construction (see block comment) and pinned by the
-    from-scratch python model test."""
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run the BPE_TRAIN_ROUNDS training rounds; returns (tops, vocab):
+    ``tops`` = one checkpointed 1-row frame per round (lft, rgt, cnt), and
+    ``vocab`` = the final (word, freq, syms) frame with all merges applied
+    — the artifact the encode query consumes. Word identity is carried
+    through every round so the trained vocabulary doubles as the encode
+    lookup table."""
     d = T.load(spark, sf_dir, "documents")
     w = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
         (F.length("word") >= 1) & (~F.col("word").like("%|%"))
@@ -1017,10 +1019,10 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("freq")
     )
     cur = wf.select(
-        "freq", F.split("word", "").alias("syms")
+        "word", "freq", F.split("word", "").alias("syms")
     ).localCheckpoint()
-    tops = []
-    for r in range(BPE_TRAIN_ROUNDS):
+    tops: list[DataFrame] = []
+    for _r in range(BPE_TRAIN_ROUNDS):
         pairs = (
             cur.filter(F.size("syms") >= 2)
             .select(
@@ -1047,6 +1049,7 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = (
             cur.crossJoin(F.broadcast(top))
             .select(
+                "word",
                 "freq",
                 F.expr(
                     "split(substr(aggregate("
@@ -1056,6 +1059,24 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+    return tops, cur
+
+
+@query(
+    "llm_bpe_train_merges",
+    oracle=_bpe_oracle(),
+    tags=("llm-text", "tokenizer"),
+)
+def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, 4 merge rounds end-to-end: per round the
+    winning adjacent symbol pair (frequency-weighted, deterministic
+    tie-break) merges greedily left-to-right across the whole vocabulary,
+    and the next round trains on the merged symbols. Output = the ordered
+    merge table (rank, pair, merged token, count) — the artifact a BPE
+    tokenizer ships. Exact greedy-fold semantics proven equal across
+    engines by construction (see block comment) and pinned by the
+    from-scratch python model test."""
+    tops, _ = _bpe_train(spark, sf_dir)
     out = None
     for r, top in enumerate(tops):
         row = top.select(
@@ -1067,3 +1088,74 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# llm_bpe_encode_corpus — apply the trained merges to every document.
+#
+# The other half of the tokenizer pair: train once (vocabulary-sized), then
+# ENCODE the corpus through the merge table. The trained vocabulary IS the
+# encode lookup (word -> merged symbol count), broadcast against the
+# corpus word stream — the encode pass is scan -> explode -> broadcast
+# join -> per-doc agg: no corpus shuffle except the final doc_id fold of
+# the already-compressed (doc, word-count) rows. Per-doc char-token vs
+# BPE-token counts + the per-mille saving are the tokenizer-efficiency
+# metric a training pipeline tracks per corpus slice.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle() -> str:
+    final = f"""
+, enc AS (
+    SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe
+    FROM v{BPE_TRAIN_ROUNDS}
+), t AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tw AS (
+    SELECT doc_id, word FROM t
+    WHERE length(word) >= 1 AND word NOT LIKE '%|%'
+)
+SELECT tw.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(tw.word)) AS BIGINT) AS n_char_tokens,
+       CAST(SUM(e.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST((1000 * (SUM(length(tw.word)) - SUM(e.n_bpe)))
+            // SUM(length(tw.word)) AS BIGINT) AS saved_permille
+FROM tw JOIN enc e USING (word)
+GROUP BY 1
+"""
+    return _bpe_cte_prefix() + final
+
+
+@query(
+    "llm_bpe_encode_corpus",
+    oracle=_bpe_encode_oracle(),
+    tags=("llm-text", "tokenizer"),
+)
+def llm_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the 4-round trained BPE merges: per doc,
+    word count, char-level token count, BPE token count and the per-mille
+    compression the merges bought. Train is vocabulary-sized; encode is a
+    broadcast lookup of the trained vocab against the corpus word stream —
+    the map-side-combinable (doc_id) fold is the only corpus shuffle."""
+    _, vocab = _bpe_train(spark, sf_dir)
+    enc = vocab.select(
+        "word", F.size("syms").cast("bigint").alias("n_bpe")
+    )
+    d = T.load(spark, sf_dir, "documents")
+    tw = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter((F.length("word") >= 1) & (~F.col("word").like("%|%")))
+    return (
+        tw.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_char_tokens"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+            F.expr(
+                "cast((1000 * (sum(length(word)) - sum(n_bpe)))"
+                " div sum(length(word)) as bigint)"
+            ).alias("saved_permille"),
+        )
+    )

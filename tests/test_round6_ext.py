@@ -477,3 +477,49 @@ def test_bpe_train_merges_no_collect_shape(spark):
     plan = _plan(spark, "llm_bpe_train_merges")
     assert "CartesianProduct" not in plan
     assert "ExistingRDD" in plan
+
+
+def test_bpe_encode_corpus_consistency(spark):
+    """Encode invariants over every doc: BPE tokens never exceed char
+    tokens; totals reconcile with an independent python encode through
+    the trained vocabulary."""
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        _bpe_train,
+    )
+
+    rows = queries()["llm_bpe_encode_corpus"](spark, SF).collect()
+    assert rows
+    vocab = {
+        r["word"]: len(r["syms"])
+        for r in _bpe_train(spark, SF)[1].collect()
+    }
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+    model = {}
+    for rec in t:
+        words = [
+            w for w in rec["text"].split(" ") if len(w) >= 1 and "|" not in w
+        ]
+        if not words:
+            continue
+        chars = sum(len(w) for w in words)
+        bpe = sum(vocab[w] for w in words)
+        model[rec["doc_id"]] = (
+            len(words),
+            chars,
+            bpe,
+            (1000 * (chars - bpe)) // chars,
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_char_tokens"],
+            r["n_bpe_tokens"],
+            r["saved_permille"],
+        )
+        for r in rows
+    }
+    assert got == model
+    assert all(r["n_bpe_tokens"] <= r["n_char_tokens"] for r in rows)
+    assert any(r["n_bpe_tokens"] < r["n_char_tokens"] for r in rows)

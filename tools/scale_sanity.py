@@ -157,6 +157,7 @@ QUERIES = [
     "dq_table_stats_profile",
     "dq_sketch_join_cardinality",
     "llm_bpe_train_merges",
+    "llm_bpe_encode_corpus",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
