@@ -1159,3 +1159,105 @@ def llm_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("saved_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-incremental ANALYZE: the stats profile as mergeable partials.
+#
+# The checksum/countmin/anomaly partials pattern applied to the column
+# profile: per micro-batch, fold the batch to (col_name, salt) rows
+# carrying row/non-null counts and the bucket's DISTINCT hash set; counts
+# sum and distinct-hash sets union across batches (the salt partitions the
+# hash space, so bucket sets never overlap ACROSS salts and merging stays
+# per-bucket). Finalizing accumulated partials reproduces the one-shot
+# profile's n_rows / n_nonnull / ndv_exact / ndv_kmv_est EXACTLY — the
+# accumulate-then-finalize contract `test_incremental_stats_profile_
+# partials_merge` pins. State is bounded by per-column NDV (the distinct
+# hash sets), not corpus size — the same bound the exact-dedup keeper
+# state carries. Typed min/max are omitted from the twin (they merge
+# trivially as min-of-mins but need per-type comparators in state;
+# documented scope cut).
+# ---------------------------------------------------------------------------
+
+
+def _profile_stacked(o: DataFrame) -> DataFrame:
+    """The (col_name, canonical repr) long frame the profile aggregates."""
+    return o.select(
+        F.expr(
+            "stack("
+            + str(len(_PROF_COLS))
+            + ", "
+            + ", ".join(f"'{c}', {sp}" for c, sp, _ in _PROF_COLS)
+            + ") as (col_name, repr)"
+        )
+    )
+
+
+def stats_profile_partials(batch: DataFrame) -> DataFrame:
+    """Fold one orders-shaped micro-batch to mergeable profile partials:
+    (col_name, salt, n_rows, n_nonnull, hashes). NULL reprs land in
+    salt=-1 with an empty hash set so row counts still sum per column."""
+    stacked = _profile_stacked(batch)
+    h = stacked.select(
+        "col_name",
+        "repr",
+        F.when(
+            F.col("repr").isNotNull(),
+            F.expr(
+                "instr('0123456789abcdef', substr(md5(repr), 1, 1)) % 16"
+            ),
+        )
+        .otherwise(F.lit(-1))
+        .alias("salt"),
+    )
+    return h.groupBy("col_name", "salt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("repr").cast("bigint").alias("n_nonnull"),
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(F.when(F.col("repr").isNotNull(), F.md5("repr")))
+            )
+        ).alias("hashes"),
+    )
+
+
+def stats_profile_finalize(partials: DataFrame) -> DataFrame:
+    """Fold accumulated partials (several rows per (col, salt) — one per
+    micro-batch) to the one-shot profile columns. Bucket sets union
+    losslessly because the salt partitions the hash space."""
+    bucket = partials.groupBy("col_name", "salt").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nonnull").alias("n_nonnull"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("hashes")))
+        ).alias("hs"),
+    )
+    merged = bucket.groupBy("col_name").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("n_nonnull").cast("bigint").alias("n_nonnull"),
+        F.sum(F.size("hs")).cast("bigint").alias("n"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list(F.slice("hs", 1, KMV_K)))),
+            1,
+            KMV_K,
+        ).alias("kmin_all"),
+    )
+    kth = merged.withColumn(
+        "v",
+        F.expr(
+            _hexval_sql(
+                f"element_at(kmin_all, cast(least(n, {KMV_K}) as int))",
+                "instr",
+            )
+        ),
+    )
+    est = F.when(F.col("n") < KMV_K, F.col("n")).otherwise(
+        F.expr(f"({KMV_K - 1} * {_KMV_M}) div greatest(v, 1)")
+    )
+    return kth.select(
+        "col_name",
+        "n_rows",
+        "n_nonnull",
+        F.col("n").alias("ndv_exact"),
+        est.cast("bigint").alias("ndv_kmv_est"),
+    )

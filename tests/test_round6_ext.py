@@ -523,3 +523,40 @@ def test_bpe_encode_corpus_consistency(spark):
     assert got == model
     assert all(r["n_bpe_tokens"] <= r["n_char_tokens"] for r in rows)
     assert any(r["n_bpe_tokens"] < r["n_char_tokens"] for r in rows)
+
+
+def test_incremental_stats_profile_partials_merge(spark):
+    """Accumulate-then-finalize == one-shot: per-micro-batch profile
+    partials (counts + per-salt distinct-hash sets) appended across 3
+    arbitrary batches finalize to exactly the one-shot profile's
+    n_rows / n_nonnull / ndv_exact / ndv_kmv_est."""
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        stats_profile_finalize,
+        stats_profile_partials,
+    )
+
+    o = T.load(spark, SF, "orders")
+    parts = None
+    for bid in range(3):
+        b = stats_profile_partials(o.filter(F.col("o_orderkey") % 3 == bid))
+        parts = b if parts is None else parts.unionByName(b)
+    got = {
+        r["col_name"]: (
+            r["n_rows"],
+            r["n_nonnull"],
+            r["ndv_exact"],
+            r["ndv_kmv_est"],
+        )
+        for r in stats_profile_finalize(parts).collect()
+    }
+    ref = {
+        r["col_name"]: (
+            r["n_rows"],
+            r["n_nonnull"],
+            r["ndv_exact"],
+            r["ndv_kmv_est"],
+        )
+        for r in queries()["dq_table_stats_profile"](spark, SF).collect()
+    }
+    assert got == ref and len(ref) == 6
