@@ -66,7 +66,7 @@ GATE_PRIORITY: list[str] = [
     # BENCH_r05) never landed in the repo, so the round-5 prefix below is
     # still the set whose freshest VISIBLE driver row is r03-or-none — it
     # stays for round 6 (re-gating is harmless if r05 did run; required if
-    # it did not). The NINE queries new in round 6 lead; nine r03-green
+    # it did not). The TEN queries new in round 6 lead; ten r03-green
     # test-covered names rotate to round 7 (list at the tail comment).
     #
     # ROUND-7 ROTATION RECIPE: replace this list with
@@ -85,6 +85,7 @@ GATE_PRIORITY: list[str] = [
     "dq_sketch_join_cardinality",
     "llm_bpe_train_merges",
     "llm_bpe_encode_corpus",
+    "dws_event_type_pagerank",
     # plans changed late in round 4 — freshest driver row predates the change
     "llm_dedup_containment_lsh",
     "f_set_ops_source_overlap",
@@ -132,10 +133,11 @@ GATE_PRIORITY: list[str] = [
     "llm_decontaminate",
     "llm_text_repetition",
     "llm_corpus_final",
-    "llm_ann_pq_adc_recall",
     "llm_dedup_edit_distance_verify",
     # freshest row is r03 — analytics / windows / log pipelines
-    # bumped to round 7 (displaced by the nine round-6 queries):
+    # bumped to round 7 (displaced by the ten round-6 queries):
+    # llm_ann_pq_adc_recall (r03-green, guard test_adc_search_never_
+    # scans_base_vectors_at_query_time + in-suite parity),
     # llm_ann_pq_encode (r03-green, guard test_pq_codebook_broadcast_
     # assignment_map_only + in-suite parity),
     # dq_outlier_mad_events, f_range_band_join, dwd_base_log_page,

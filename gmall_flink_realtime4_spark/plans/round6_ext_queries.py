@@ -1261,3 +1261,167 @@ def stats_profile_finalize(partials: DataFrame) -> DataFrame:
         F.col("n").alias("ndv_exact"),
         est.cast("bigint").alias("ndv_kmv_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dws_event_type_pagerank — integer-exact PageRank on the transition graph.
+#
+# The second graph operator (next to operators/graph.py connected
+# components): PageRank over the event-type transition graph that
+# dws_user_path_transitions derives. All arithmetic is scaled-integer
+# (ppb = parts-per-billion) with a FIXED evaluation order — per-edge
+# contribution rank(u) * cnt(u,v) div out(u), damping 85/100, dangling
+# mass redistributed as dang div N — so three power iterations produce
+# bit-identical ranks on both engines (float PageRank never hash-matches).
+#
+# Scale: the ONLY corpus-sized work is the lag Window on user_id (max-
+# cardinality key) + one map-combined (src, dst) agg — identical posture
+# to dws_user_path_transitions. The graph after aggregation is
+# |event_types|^2 rows; every iteration is joins over that tiny frame
+# (checkpointed so round r+1 does not recompute round r; same discipline
+# as the BPE trainer rounds).
+# ---------------------------------------------------------------------------
+PR_ITERS = 3
+PR_DAMP_NUM = 85  # damping factor 0.85 as an exact ratio
+_PPB = 10**9
+
+
+def _pagerank_oracle() -> str:
+    head = f"""
+WITH s AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events
+), e AS (
+    SELECT prev AS src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+), nodes AS (
+    SELECT DISTINCT src AS node FROM e
+    UNION SELECT DISTINCT dst FROM e
+), nn AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+), outs AS (
+    SELECT src, CAST(SUM(cnt) AS BIGINT) AS out_cnt FROM e GROUP BY 1
+), r0 AS (
+    SELECT node, {_PPB} // nn.n AS rank_ppb FROM nodes, nn
+)"""
+    rounds = []
+    for i in range(PR_ITERS):
+        rounds.append(
+            f""", c{i} AS (
+    SELECT e.dst AS node,
+           CAST(SUM((r.rank_ppb * e.cnt) // o.out_cnt) AS BIGINT) AS contrib
+    FROM e JOIN r{i} r ON e.src = r.node JOIN outs o ON e.src = o.src
+    GROUP BY 1
+), d{i} AS (
+    SELECT CAST(COALESCE(SUM(r.rank_ppb), 0) AS BIGINT) AS dang
+    FROM r{i} r LEFT JOIN outs o ON r.node = o.src
+    WHERE o.src IS NULL
+), r{i + 1} AS (
+    SELECT n.node,
+           (({100 - PR_DAMP_NUM} * ({_PPB} // nn.n)) // 100)
+           + ({PR_DAMP_NUM} * (COALESCE(c.contrib, 0) + d.dang // nn.n))
+             // 100 AS rank_ppb
+    FROM nodes n CROSS JOIN nn CROSS JOIN d{i} d
+    LEFT JOIN c{i} c ON n.node = c.node
+)"""
+        )
+    tail = f"""
+SELECT r.node AS event_type,
+       CAST(r.rank_ppb AS BIGINT) AS rank_ppb,
+       CAST(COALESCE(o.out_cnt, 0) AS BIGINT) AS out_transitions,
+       CAST(COALESCE(i.in_cnt, 0) AS BIGINT) AS in_transitions
+FROM r{PR_ITERS} r
+LEFT JOIN outs o ON r.node = o.src
+LEFT JOIN (SELECT dst, CAST(SUM(cnt) AS BIGINT) AS in_cnt
+           FROM e GROUP BY 1) i ON r.node = i.dst
+"""
+    return head + "".join(rounds) + tail
+
+
+@query(
+    "dws_event_type_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "analytics"),
+)
+def dws_event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, damping 0.85) over the event-type
+    transition graph, in exact ppb integers with a pinned evaluation
+    order — the graph-centrality sibling of connected components. The
+    corpus collapses to a |V|^2 edge frame in one Window+agg pass;
+    iterations run on that tiny checkpointed frame."""
+    e_raw = T.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e_raw.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    e = (
+        s.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    outs = e.groupBy("src").agg(
+        F.sum("cnt").cast("bigint").alias("out_cnt")
+    ).localCheckpoint()
+    ranks = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("node", F.expr(f"{_PPB} div n").alias("rank_ppb"))
+        .localCheckpoint()
+    )
+    for _i in range(PR_ITERS):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outs, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    F.expr("(rank_ppb * cnt) div out_cnt")
+                ).cast("bigint").alias("contrib")
+            )
+        )
+        dang = (
+            ranks.join(outs, ranks.node == outs.src, "left_anti")
+            .agg(
+                F.coalesce(F.sum("rank_ppb"), F.lit(0))
+                .cast("bigint")
+                .alias("dang")
+            )
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dang))
+            .join(F.broadcast(contrib), "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"(({100 - PR_DAMP_NUM} * ({_PPB} div n)) div 100)"
+                    f" + ({PR_DAMP_NUM} * (coalesce(contrib, 0)"
+                    f" + dang div n)) div 100"
+                ).alias("rank_ppb"),
+            )
+            .localCheckpoint()
+        )
+    ins = e.groupBy("dst").agg(F.sum("cnt").cast("bigint").alias("in_cnt"))
+    return (
+        ranks.join(F.broadcast(outs), ranks.node == outs.src, "left")
+        .join(F.broadcast(ins), ranks.node == ins.dst, "left")
+        .select(
+            F.col("node").alias("event_type"),
+            F.col("rank_ppb").cast("bigint").alias("rank_ppb"),
+            F.coalesce("out_cnt", F.lit(0))
+            .cast("bigint")
+            .alias("out_transitions"),
+            F.coalesce("in_cnt", F.lit(0))
+            .cast("bigint")
+            .alias("in_transitions"),
+        )
+    )

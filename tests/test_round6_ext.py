@@ -560,3 +560,61 @@ def test_incremental_stats_profile_partials_merge(spark):
         for r in queries()["dq_table_stats_profile"](spark, SF).collect()
     }
     assert got == ref and len(ref) == 6
+
+
+def test_pagerank_python_model(spark):
+    """Reproduce the 3-iteration integer PageRank from scratch in Python —
+    same edge derivation (per-user lag pairs), same fixed evaluation
+    order, same dangling redistribution — and require bit-identical
+    ranks."""
+    import pyarrow.parquet as pq
+
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        PR_DAMP_NUM,
+        PR_ITERS,
+        _PPB,
+    )
+
+    rows = pq.read_table(f"{SF}/events.parquet").to_pylist()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    edges: dict[tuple, int] = {}
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for a, b in zip(evs, evs[1:]):
+            k = (a["event_type"], b["event_type"])
+            edges[k] = edges.get(k, 0) + 1
+    nodes = sorted(
+        {s for s, _ in edges} | {d for _, d in edges}
+    )
+    n = len(nodes)
+    outs = {}
+    for (s, _d), c in edges.items():
+        outs[s] = outs.get(s, 0) + c
+    rank = {v: _PPB // n for v in nodes}
+    for _ in range(PR_ITERS):
+        contrib = {v: 0 for v in nodes}
+        for (s, d), c in edges.items():
+            contrib[d] += (rank[s] * c) // outs[s]
+        dang = sum(rank[v] for v in nodes if v not in outs)
+        rank = {
+            v: ((100 - PR_DAMP_NUM) * (_PPB // n)) // 100
+            + (PR_DAMP_NUM * (contrib[v] + dang // n)) // 100
+            for v in nodes
+        }
+    ins = {}
+    for (_s, d), c in edges.items():
+        ins[d] = ins.get(d, 0) + c
+    got = {
+        r["event_type"]: (
+            r["rank_ppb"],
+            r["out_transitions"],
+            r["in_transitions"],
+        )
+        for r in queries()["dws_event_type_pagerank"](spark, SF).collect()
+    }
+    model = {
+        v: (rank[v], outs.get(v, 0), ins.get(v, 0)) for v in nodes
+    }
+    assert got == model and len(model) > 1

@@ -158,6 +158,7 @@ QUERIES = [
     "dq_sketch_join_cardinality",
     "llm_bpe_train_merges",
     "llm_bpe_encode_corpus",
+    "dws_event_type_pagerank",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
