@@ -1360,8 +1360,18 @@ def dws_event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.filter(F.col("prev").isNotNull())
         .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .localCheckpoint()
     )
+    return pagerank_from_edges(e)
+
+
+def pagerank_from_edges(edges: DataFrame) -> DataFrame:
+    """The iteration half of ``dws_event_type_pagerank``, shared with the
+    streaming twin: given a weighted edge frame ``(src, dst, cnt)``
+    (mergeable by summing ``cnt`` — micro-batch transition partials fold
+    losslessly before this runs), produce the exact ppb-integer ranks.
+    The edge frame is checkpointed so round r+1 never recomputes round r
+    (the BPE-trainer discipline)."""
+    e = edges.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select("dst"))

@@ -618,3 +618,74 @@ def test_pagerank_python_model(spark):
         v: (rank[v], outs.get(v, 0), ins.get(v, 0)) for v in nodes
     }
     assert got == model and len(model) > 1
+
+
+def test_incremental_pagerank_edge_state_table(spark):
+    """Streaming twin of dws_event_type_pagerank: events arrive in 3
+    event-time-ordered micro-batches; a per-user LAST-EVENT state seeds
+    each batch's lag() (the path-transitions state-table pattern) so
+    boundary-crossing transitions are counted, per-batch (src, dst)
+    partials fold by summing cnt, and pagerank_from_edges over the merged
+    edges == the one-shot batch ranks exactly."""
+    from pyspark.sql import Window
+
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        pagerank_from_edges,
+    )
+
+    e = T.load(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    n = e.count()
+    ordered = e.orderBy("ts", "event_id").collect()
+    cuts = [ordered[: n // 3], ordered[n // 3 : 2 * n // 3], ordered[2 * n // 3 :]]
+
+    state = None  # per-user last event so far
+    partials = None  # accumulated (src, dst, cnt) per batch
+    wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    for rows in cuts:
+        b = spark.createDataFrame(rows, e.schema).withColumn(
+            "is_state", F.lit(0)
+        )
+        un = b if state is None else b.unionByName(
+            state.withColumn("is_state", F.lit(1))
+        )
+        tr = (
+            un.withColumn("prev", F.lag("event_type").over(wb))
+            .filter((F.col("is_state") == 0) & F.col("prev").isNotNull())
+            .groupBy(
+                F.col("prev").alias("src"), F.col("event_type").alias("dst")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .localCheckpoint()
+        )
+        partials = tr if partials is None else partials.unionByName(tr)
+        state = (
+            un.drop("is_state")
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("ts", "event_id", "event_type")
+                ).alias("last")
+            )
+            .select("user_id", "last.ts", "last.event_id", "last.event_type")
+            .localCheckpoint()
+        )
+
+    merged = partials.groupBy("src", "dst").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    got = {
+        r["event_type"]: (
+            r["rank_ppb"], r["out_transitions"], r["in_transitions"]
+        )
+        for r in pagerank_from_edges(merged).collect()
+    }
+    ref = {
+        r["event_type"]: (
+            r["rank_ppb"], r["out_transitions"], r["in_transitions"]
+        )
+        for r in queries()["dws_event_type_pagerank"](spark, SF).collect()
+    }
+    assert got == ref and len(ref) > 1
