@@ -66,8 +66,8 @@ GATE_PRIORITY: list[str] = [
     # BENCH_r05) never landed in the repo, so the round-5 prefix below is
     # still the set whose freshest VISIBLE driver row is r03-or-none — it
     # stays for round 6 (re-gating is harmless if r05 did run; required if
-    # it did not). The TEN queries new in round 6 lead; ten r03-green
-    # test-covered names rotate to round 7 (list at the tail comment).
+    # it did not). The ELEVEN queries new in round 6 lead; eleven
+    # r03-green test-covered names rotate to round 7 (tail comment).
     #
     # ROUND-7 ROTATION RECIPE: replace this list with
     # ``[k for k in queries() if k not in CORRECTNESS_r06]`` (the queries
@@ -86,6 +86,7 @@ GATE_PRIORITY: list[str] = [
     "llm_bpe_train_merges",
     "llm_bpe_encode_corpus",
     "dws_event_type_pagerank",
+    "llm_sketch_hll_distinct",
     # plans changed late in round 4 — freshest driver row predates the change
     "llm_dedup_containment_lsh",
     "f_set_ops_source_overlap",
@@ -133,9 +134,10 @@ GATE_PRIORITY: list[str] = [
     "llm_decontaminate",
     "llm_text_repetition",
     "llm_corpus_final",
-    "llm_dedup_edit_distance_verify",
     # freshest row is r03 — analytics / windows / log pipelines
-    # bumped to round 7 (displaced by the ten round-6 queries):
+    # bumped to round 7 (displaced by the eleven round-6 queries):
+    # llm_dedup_edit_distance_verify (r03-green, DP-on-candidates tests
+    # in tests/test_llm_cross.py + in-suite parity),
     # llm_ann_pq_adc_recall (r03-green, guard test_adc_search_never_
     # scans_base_vectors_at_query_time + in-suite parity),
     # llm_ann_pq_encode (r03-green, guard test_pq_codebook_broadcast_

@@ -1435,3 +1435,218 @@ def pagerank_from_edges(edges: DataFrame) -> DataFrame:
             .alias("in_transitions"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_sketch_hll_distinct — deterministic HyperLogLog, the canonical
+# mergeable distinct sketch (Flajolet et al. 2007), built from the same
+# md5 random oracle as the KMV sketch so BOTH engines compute identical
+# registers and an identical estimate (library HLLs — Spark's
+# approx_count_distinct, DuckDB's approx_distinct — have incompatible
+# register layouts and can never hash-match; this one can, which is the
+# whole point of implementing it from scratch).
+#
+# Layout: p = 6 -> m = 64 registers. bucket = first 8 hash bits mod 64;
+# rho = leading-zero count of the NEXT 44 bits + 1, via the engine-
+# portable floor-log2 trick (45 - length(bin(v)); bin() is minimal-width
+# on both engines, checked). Registers fold by plain MAX — duplicate
+# hashes cannot move a max, so NO distinct pass is needed anywhere
+# (KMV's structural cost), the partial agg map-combines, and partials
+# from any corpus split merge losslessly (the streaming twin).
+#
+# Estimate: alpha_64 * m^2 / sum_j 2^(-R_j) evaluated in EXACT integer
+# arithmetic with a pinned order — denom = sum 2^(45-R_j) (absent
+# registers contribute 2^45), numerator m^2*2^45 = 2^57 (fits BIGINT),
+# alpha_64 pinned at 709/1000. The small-range (linear-counting) branch
+# needs ln() and is deliberately omitted — transcendental libm calls are
+# not bit-stable across engines; err_permille reports the resulting
+# small-group bias honestly next to the exact count.
+# ---------------------------------------------------------------------------
+HLL_M = 64  # registers (p = 6)
+_HLL_W = 44  # bits consumed by rho after the bucket byte
+_HLL_ALPHA_NUM, _HLL_ALPHA_DEN = 709, 1000  # alpha_64 = 0.709 pinned
+
+
+def _hexv(col: str, start: int, nd: int, fn: str) -> str:
+    """Numeric value of ``nd`` hex chars of ``col`` from 1-based ``start``
+    — the generalized `_hexval_sql` (same BIGINT-cast discipline; see its
+    docstring for the INT32-overflow landmine)."""
+    return "(" + " + ".join(
+        f"({fn}('0123456789abcdef', substr({col}, {start + i}, 1)) - 1) * "
+        f"CAST({16 ** (nd - 1 - i)} AS BIGINT)"
+        for i in range(nd)
+    ) + ")"
+
+
+def hll_register_partials(keyed: DataFrame) -> DataFrame:
+    """Per-(grp, bucket) max-rho registers for any slice of a (grp, key)
+    frame — mergeable by MAX, so micro-batch partials union + re-max to
+    exactly the one-shot registers (the streaming twin's state). No
+    distinct pass anywhere: duplicate keys hash identically and cannot
+    move a MAX."""
+    h = keyed.filter(F.col("key").isNotNull()).select(
+        "grp", F.md5(F.col("key")).alias("hx")
+    )
+    br = h.select(
+        "grp",
+        F.expr(f"{_hexv('hx', 1, 2, 'instr')} % {HLL_M}").alias("bucket"),
+        F.expr(_hexv("hx", 3, 11, "instr")).alias("v"),
+    )
+    return br.groupBy("grp", "bucket").agg(
+        F.expr(
+            f"MAX(CASE WHEN v = 0 THEN {_HLL_W + 1} "
+            f"ELSE {_HLL_W + 1} - length(bin(v)) END)"
+        ).cast("int").alias("r")
+    )
+
+
+def hll_estimate_col() -> str:
+    """The pinned-order integer estimate expression over a ``denom``
+    column — one template string shared by Spark and the DuckDB oracle
+    (both spell integer division the same way via the {d} placeholder)."""
+    return (
+        f"((({HLL_M * HLL_M} * CAST({2 ** _HLL_W} AS BIGINT) * 2) {{d}} denom)"
+        f" * {_HLL_ALPHA_NUM}) {{d}} {_HLL_ALPHA_DEN}"
+    )
+
+
+def hll_finalize(partials: DataFrame, exact: DataFrame) -> DataFrame:
+    """Merge register partials (MAX per (grp, bucket)), fold to the
+    denominator, and emit estimate + measured error next to the exact
+    distinct count (a (grp, ex) frame)."""
+    reg = partials.groupBy("grp", "bucket").agg(F.max("r").alias("r"))
+    den = reg.groupBy("grp").agg(
+        F.expr(
+            f"CAST(SUM(shiftleft(CAST(1 AS BIGINT), {_HLL_W + 1} - r)) AS BIGINT)"
+            f" + ({HLL_M} - COUNT(*))"
+            f" * shiftleft(CAST(1 AS BIGINT), {_HLL_W + 1})"
+        ).alias("denom"),
+        F.count(F.lit(1)).cast("bigint").alias("buckets_active"),
+    )
+    est = den.select(
+        "grp",
+        "buckets_active",
+        F.expr(hll_estimate_col().format(d="div")).cast("bigint").alias("est"),
+    )
+    return est.join(exact, "grp").select(
+        F.col("grp").alias("source"),
+        F.col("ex").cast("bigint").alias("exact_distinct"),
+        F.col("est").alias("hll_estimate"),
+        F.expr("(1000 * abs(est - ex)) div ex").cast("bigint").alias(
+            "err_permille"
+        ),
+        "buckets_active",
+    )
+
+
+def _hll_oracle() -> str:
+    est = hll_estimate_col().format(d="//")
+    return f"""
+WITH {_SHINGLE_SQL_SRC}, h AS (
+    SELECT source AS grp, md5(shingle) AS hx FROM shs
+), br AS (
+    SELECT grp,
+           {_hexv("hx", 1, 2, "strpos")} % {HLL_M} AS bucket,
+           {_hexv("hx", 3, 11, "strpos")} AS v
+    FROM h
+), reg AS (
+    SELECT grp, bucket,
+           MAX(CASE WHEN v = 0 THEN {_HLL_W + 1}
+               ELSE {_HLL_W + 1} - length(bin(v)) END) AS r
+    FROM br GROUP BY 1, 2
+), den AS (
+    SELECT grp,
+           CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_W + 1} - r)) AS BIGINT)
+           + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {_HLL_W + 1})
+               AS denom,
+           CAST(COUNT(*) AS BIGINT) AS buckets_active
+    FROM reg GROUP BY 1
+), est AS (
+    SELECT grp, buckets_active, CAST({est} AS BIGINT) AS est
+    FROM den
+), exact AS (
+    SELECT source AS grp, COUNT(DISTINCT shingle) AS ex FROM shs GROUP BY 1
+)
+SELECT e.grp AS source,
+       CAST(x.ex AS BIGINT) AS exact_distinct,
+       e.est AS hll_estimate,
+       CAST((1000 * abs(e.est - x.ex)) // x.ex AS BIGINT) AS err_permille,
+       e.buckets_active
+FROM est e JOIN exact x ON e.grp = x.grp
+"""
+
+
+# the minhash family's shingle construction (_SHINGLE_SQL) with the
+# source column carried through — HLL needs no per-doc DISTINCT (MAX
+# absorbs duplicates), so the sh CTE's dedup is skipped
+_SHINGLE_SQL_SRC = """toks AS (
+    SELECT source, string_split(text, ' ') AS t FROM documents
+), idx AS (
+    SELECT source, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+    FROM toks
+), shs AS (
+    SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM idx
+)"""
+
+
+def _source_shingles(d: DataFrame) -> DataFrame:
+    """(grp=source, key=shingle) rows — the `_shingles` construction
+    (llm_scale_queries.py) minus the per-doc distinct, which HLL does not
+    need. Map-only: split -> transform -> explode, no join, no shuffle."""
+    toks = d.select("source", F.split("text", " ").alias("t"))
+    return (
+        toks.select(
+            F.col("source").alias("grp"),
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size("t") - 3, F.lit(0))
+                    ),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.try_element_at(F.col("t"), i + 1),
+                        F.try_element_at(F.col("t"), i + 2),
+                        F.try_element_at(F.col("t"), i + 3),
+                    ),
+                )
+            ).alias("key"),
+        )
+        .filter(F.size(F.split("key", " ")) == 3)
+    )
+
+
+@query(
+    "llm_sketch_hll_distinct",
+    oracle=_hll_oracle(),
+    tags=("llm-text", "sketch"),
+)
+def llm_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog count of distinct 3-gram shingles per
+    source — the size of each source's dedup candidate space (what
+    MinHash banding parameters are tuned against), measured WITHOUT the
+    distinct shuffle the exact count needs.
+
+    The register-max sibling of llm_sketch_kmv_distinct (same md5 random
+    oracle, different sketch algebra): HLL needs no distinct pass at all
+    because MAX absorbs duplicate shingles map-side. Scale shape: one
+    scan -> map-only shingle explode -> map-combined (source, bucket) MAX
+    -> 64-row fold per source; the only corpus-wide shuffle carries <= m
+    rows per source of two ints. The exact COUNT(DISTINCT) rides along as
+    the expensive honesty twin (a full (source, shingle) distinct
+    shuffle), with per-source NDV ~1.1-1.5k >> 2.5*m = 160, so every
+    group sits in HLL's estimating regime (the omitted linear-counting
+    branch is never the operative path here)."""
+    d = T.load(spark, sf_dir, "documents")
+    # two scans on purpose, NOT a checkpoint: the fan-out consumers each
+    # re-run the split+explode (cheap codegen) rather than materialize the
+    # exploded shingle-string frame, which is ~100x the source bytes — the
+    # opposite call from the codec/signature checkpoints, for the same
+    # reason (recompute cost vs materialized size)
+    partials = hll_register_partials(_source_shingles(d))
+    exact = (
+        _source_shingles(d)
+        .groupBy("grp")
+        .agg(F.countDistinct("key").alias("ex"))
+    )
+    return hll_finalize(partials, exact)

@@ -689,3 +689,110 @@ def test_incremental_pagerank_edge_state_table(spark):
         for r in queries()["dws_event_type_pagerank"](spark, SF).collect()
     }
     assert got == ref and len(ref) > 1
+
+
+def test_hll_two_scans_no_checkpoint_no_window(spark):
+    """The sketch side and the exact honesty twin each re-derive the
+    shingles from the source scan (split+explode is cheap codegen; a
+    checkpoint of the exploded shingle-string frame measured SLOWER at
+    x10 — the materialized frame is ~100x the source bytes), so the plan
+    shows exactly TWO pruned documents scans, no checkpoint, and no
+    Window or cartesian anywhere (register folds are plain hash aggs)."""
+    plan = _plan(spark, "llm_sketch_hll_distinct")
+    assert plan.count("ReadSchema:") == 2
+    assert "ExistingRDD" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # column pruning: both scans must read only text + source
+    assert plan.count("ReadSchema: struct<text:string,source:string>") == 2
+
+
+def test_hll_python_model(spark):
+    """Reproduce the 64-register md5 shingle-HLL from scratch in Python —
+    trigram shingles per source, bucket = first 8 hash bits mod 64,
+    rho = 45 - bitlen of the next 44 bits (45 for zero), registers fold
+    by max, pinned integer estimate — and require bit-identical output."""
+    import pyarrow.parquet as pq
+
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        _HLL_ALPHA_DEN,
+        _HLL_ALPHA_NUM,
+        _HLL_W,
+        HLL_M,
+    )
+
+    rows = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+    reg: dict = {}
+    exact: dict = {}
+    for r in rows:
+        t = r["text"].split(" ")
+        src = r["source"]
+        for i in range(max(len(t) - 2, 0)):
+            sh = " ".join(t[i : i + 3])
+            exact.setdefault(src, set()).add(sh)
+            hx = hashlib.md5(sh.encode()).hexdigest()
+            bucket = int(hx[:2], 16) % HLL_M
+            v = int(hx[2:13], 16)
+            rho = (_HLL_W + 1) if v == 0 else (_HLL_W + 1) - v.bit_length()
+            k = (src, bucket)
+            reg[k] = max(reg.get(k, 0), rho)
+    model = {}
+    for src in exact:
+        regs = {b: r for (s2, b), r in reg.items() if s2 == src}
+        denom = sum(1 << (_HLL_W + 1 - r) for r in regs.values()) + (
+            HLL_M - len(regs)
+        ) * (1 << (_HLL_W + 1))
+        est = (
+            (HLL_M * HLL_M * (1 << _HLL_W) * 2 // denom) * _HLL_ALPHA_NUM
+        ) // _HLL_ALPHA_DEN
+        ex = len(exact[src])
+        model[src] = (ex, est, (1000 * abs(est - ex)) // ex, len(regs))
+    got = {
+        r["source"]: (
+            r["exact_distinct"],
+            r["hll_estimate"],
+            r["err_permille"],
+            r["buckets_active"],
+        )
+        for r in queries()["llm_sketch_hll_distinct"](spark, SF).collect()
+    }
+    assert got == model and len(model) > 1
+    # every source must be in the ESTIMATING regime (all registers hit and
+    # NDV past the 2.5m small-range threshold) — the omitted
+    # linear-counting branch is never the operative path on this data
+    assert all(m[3] == HLL_M and m[0] > 160 for m in model.values())
+
+
+def test_incremental_hll_register_partials_merge(spark):
+    """Register partials from 3 disjoint document slices union + re-max
+    to exactly the one-shot sketch — HLL's max algebra makes the merge
+    lossless with no distinct pass (the streaming accumulate-then-finalize
+    twin)."""
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        _source_shingles,
+        hll_finalize,
+        hll_register_partials,
+    )
+
+    d = T.load(spark, SF, "documents")
+    parts = None
+    for bid in range(3):
+        b = hll_register_partials(
+            _source_shingles(d.filter(F.col("doc_id") % 3 == bid))
+        )
+        parts = b if parts is None else parts.unionByName(b)
+    sh = _source_shingles(d)
+    exact = sh.groupBy("grp").agg(F.countDistinct("key").alias("ex"))
+    cols = [
+        "exact_distinct", "hll_estimate", "err_permille", "buckets_active"
+    ]
+    got = {
+        r["source"]: tuple(r[c] for c in cols)
+        for r in hll_finalize(parts, exact).collect()
+    }
+    ref = {
+        r["source"]: tuple(r[c] for c in cols)
+        for r in queries()["llm_sketch_hll_distinct"](spark, SF).collect()
+    }
+    assert got == ref and len(ref) > 1

@@ -159,6 +159,7 @@ QUERIES = [
     "llm_bpe_train_merges",
     "llm_bpe_encode_corpus",
     "dws_event_type_pagerank",
+    "llm_sketch_hll_distinct",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
