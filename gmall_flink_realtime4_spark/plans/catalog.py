@@ -87,6 +87,9 @@ GATE_PRIORITY: list[str] = [
     "llm_bpe_encode_corpus",
     "dws_event_type_pagerank",
     "llm_sketch_hll_distinct",
+    "llm_bm25_topk",
+    "llm_winnow_fingerprints",
+    "dq_distribution_drift_ks",
     # plans changed late in round 4 — freshest driver row predates the change
     "llm_dedup_containment_lsh",
     "f_set_ops_source_overlap",
@@ -131,11 +134,13 @@ GATE_PRIORITY: list[str] = [
     "llm_length_decile_curriculum",
     "llm_dup_span_coverage",
     "llm_embedding_covariance",
-    "llm_decontaminate",
-    "llm_text_repetition",
-    "llm_corpus_final",
     # freshest row is r03 — analytics / windows / log pipelines
-    # bumped to round 7 (displaced by the eleven round-6 queries):
+    # bumped to round 7 (displaced by the fourteen round-6 queries):
+    # llm_decontaminate (r03-green, overlap tests in tests/test_llm_
+    # pipeline.py + in-suite parity),
+    # llm_text_repetition (r03-green, in-suite parity),
+    # llm_corpus_final (r03-green, bench headline + e2e streaming
+    # incremental-dedup MERGE twin + in-suite parity),
     # llm_dedup_edit_distance_verify (r03-green, DP-on-candidates tests
     # in tests/test_llm_cross.py + in-suite parity),
     # llm_ann_pq_adc_recall (r03-green, guard test_adc_search_never_

@@ -1650,3 +1650,430 @@ def llm_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("key").alias("ex"))
     )
     return hll_finalize(partials, exact)
+
+
+# ---------------------------------------------------------------------------
+# llm_bm25_topk — BM25 retrieval over the corpus for a fixed query set:
+# the ranking function behind RAG retrieval, eval-set decontamination by
+# retrieval, and quality-by-query corpus probes. Okapi BM25 with k1 = 6/5
+# and b = 3/4 kept as EXACT rationals: with avgdl floored to an integer
+# (documented, identical on both engines), the per-term saturation factor
+#   tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+# multiplies out to the all-BIGINT form
+#   22*tf*avgdl / (20*tf*avgdl + 6*avgdl + 18*dl)
+# and the ln-free idf surrogate (1000*(N - df + 1)) // (df + 1) replaces
+# the transcendental Robertson idf (ln is not bit-stable across engines;
+# the surrogate is monotone in df, which is all ranking needs).
+# Overflow audit (BIGINT): idf_pm <= 1000*N; frac_ppb <= 2.2e9;
+# idf_pm * frac_ppb <= 9e18 only past N ~ 4e6 docs — production at 100 TB
+# would flip the final multiply to DOUBLE and keep the rank (documented).
+# ---------------------------------------------------------------------------
+BM25_TOP_K = 5
+BM25_QUERIES: dict[str, tuple[str, ...]] = {
+    "q_join_order": ("hash", "join", "order"),
+    "q_scan_window": ("window", "scan"),
+    "q_stream": ("stream", "batch", "merge", "sort"),
+}
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(
+        f"('{q}', '{t}')" for q, ts in BM25_QUERIES.items() for t in ts
+    )
+    return f"""
+WITH q(query_id, term) AS (VALUES {vals}),
+tok AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           unnest(string_split(text, ' ')) AS term
+    FROM documents
+), g AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS a
+    FROM documents
+), tf AS (
+    SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok WHERE term IN (SELECT term FROM q)
+    GROUP BY 1, 2, 3
+), df AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), sc AS (
+    SELECT q.query_id, tf.doc_id,
+           CAST(SUM(
+               ((1000 * (g.n - df.df + 1)) // (df.df + 1))
+             * ((22 * tf.tf * (g.a // g.n) * 1000000000)
+                // (20 * tf.tf * (g.a // g.n) + 6 * (g.a // g.n)
+                    + 18 * tf.dl))
+             // 1000
+           ) AS BIGINT) AS score_ppb,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM tf JOIN q USING (term) JOIN df USING (term), g
+    GROUP BY 1, 2
+), r AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_ppb DESC, doc_id) AS rnk
+    FROM sc
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score_ppb, n_terms_hit
+FROM r WHERE rnk <= {BM25_TOP_K}
+"""
+
+
+@query("llm_bm25_topk", oracle=_bm25_oracle(), tags=("llm-text", "retrieval"))
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 documents per query by exact-integer Okapi BM25 (k1=6/5,
+    b=3/4 as rationals, floored integer avgdl, ln-free monotone idf
+    surrogate — see the block comment for the algebra and the overflow
+    audit).
+
+    Scale shape: the token stream is cut to the query vocabulary by a
+    literal In-filter BEFORE any shuffle (map-side; the exploded stream
+    never leaves the stage), so the only corpus-wide exchange carries
+    (doc, query-term) rows — a few rows per matching doc. df is a
+    query-vocabulary-sized agg; N and avgdl are one global agg broadcast
+    back; the final per-query top-K window partitions on query_id after a
+    (query, doc)-keyed sum, never on an unkeyed global sort. Two pruned
+    scans of documents (token stream + corpus constants)."""
+    d = T.load(spark, sf_dir, "documents")
+    all_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES.items() for t in ts],
+        "query_id string, term string",
+    )
+    tok = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
+    ).filter(F.col("term").isin(*all_terms))
+    # tf feeds TWO consumers (the df agg + the score join) and is tiny
+    # next to the corpus (doc_id/dl/term/tf for query-vocab terms only)
+    # — checkpoint so the corpus token scan runs once, not twice
+    tf = (
+        tok.groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    g = d.select(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("a"),
+    )
+    sc = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(g))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.expr(
+                "CAST(SUM("
+                " ((1000 * (n - df + 1)) div (df + 1))"
+                " * ((22 * tf * (a div n) * 1000000000)"
+                "    div (20 * tf * (a div n) + 6 * (a div n) + 18 * dl))"
+                " div 1000"
+                ") AS BIGINT)"
+            ).alias("score_ppb"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("score_ppb").desc(), "doc_id"
+        )
+    )
+    return (
+        sc.withColumn("rnk", rnk.cast("bigint"))
+        .filter(F.col("rnk") <= BM25_TOP_K)
+        .select("query_id", "rnk", "doc_id", "score_ppb", "n_terms_hit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_winnow_fingerprints — winnowing document fingerprints (Schleimer,
+# Wilkerson, Aiken, SIGMOD 2003 — the MOSS algorithm): hash every token
+# 3-gram, slide a window of w=4 consecutive hashes, keep each window's
+# MINIMUM. Guarantee: any shared token run of length >= w+k-1 = 6 yields
+# a shared fingerprint, at ~2/(w+1) the density of full shingling — the
+# local fingerprinting scheme between exact rolling-hash fingerprints
+# (position-fragile) and MinHash (whole-doc only; winnowing localizes
+# partial overlap).
+#
+# Fingerprint selection is ALL array math inside one codegen'd projection
+# (transform/slice/array_min/array_distinct) — no Window operator, no
+# shuffle until the (doc, fp) explode. Hot/boilerplate fingerprints are
+# dropped by a df cap BEFORE the pair join (both engines), the MOSS
+# "ignore over-common fingerprints" rule that also bounds join fan-out:
+# a fingerprint shared by every doc can never produce a quadratic bucket.
+# ---------------------------------------------------------------------------
+WINNOW_W = 4  # window of consecutive k-gram hashes
+WINNOW_MAX_DF = 64  # MOSS over-common cut: fingerprint in > this many docs
+WINNOW_MIN_SHARED = 2  # candidate pairs must share >= this many prints
+
+
+def _winnow_oracle() -> str:
+    hexpoly = " + ".join(
+        f"(strpos('0123456789abcdef', substr(x, {i + 1}, 1)) - 1) * "
+        f"CAST({16 ** (10 - i)} AS BIGINT)"
+        for i in range(11)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= 6
+), hv AS (
+    SELECT doc_id, list_transform(
+        list_transform(range(1, greatest(len(t) - 1, 1)),
+                       i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+        x -> {hexpoly}) AS h
+    FROM toks
+), fp AS (
+    SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(h) - {WINNOW_W - 1}, 0) + 1),
+        i -> list_min(h[i:i+{WINNOW_W - 1}])))) AS f
+    FROM hv
+), keep AS (
+    SELECT f FROM fp GROUP BY f
+    HAVING COUNT(*) BETWEEN {WINNOW_MIN_SHARED} AND {WINNOW_MAX_DF}
+), sizes AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fp GROUP BY 1
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fp
+    FROM fp a JOIN keep USING (f) JOIN fp b USING (f)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT p.doc_a, p.doc_b, p.shared_fp,
+       sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+       (1000 * p.shared_fp) // least(sa.n_fp, sb.n_fp) AS overlap_pm
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
+def winnow_fingerprint_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, f) winnowing fingerprints — one codegen'd projection from
+    text to the selected hash set (k-gram md5 -> 44-bit int -> sliding
+    window-of-{WINNOW_W} minima -> distinct), then explode. Map-only."""
+    hexpoly = _hexv("x", 1, 11, "instr")
+    return (
+        d.filter(F.size(F.split("text", " ")) >= 6)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform("
+                " transform(sequence(1, size(split(text, ' ')) - 2),"
+                "   i -> md5(concat_ws(' ',"
+                "        element_at(split(text, ' '), i),"
+                "        element_at(split(text, ' '), i + 1),"
+                "        element_at(split(text, ' '), i + 2)))),"
+                f" x -> {hexpoly})"
+            ).alias("h"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform("
+                    f" sequence(1, size(h) - {WINNOW_W - 1}),"
+                    f" i -> array_min(slice(h, i, {WINNOW_W}))))"
+                )
+            ).alias("f"),
+        )
+    )
+
+
+@query(
+    "llm_winnow_fingerprints",
+    oracle=_winnow_oracle(),
+    tags=("llm-text", "dedup"),
+)
+def llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by winnowing fingerprints (MOSS): pairs
+    sharing >= 2 selected k-gram-hash minima, with per-doc fingerprint
+    counts and integer per-mille overlap vs the smaller doc.
+
+    Scale shape: fingerprint selection never shuffles (array math in one
+    projection, ~2/(w+1) the density of full shingling); the fingerprint
+    frame is localCheckpoint'ed because FOUR consumers read it (df cap,
+    both pair-join sides, sizes) and it is ~100x SMALLER than the text it
+    came from — the opposite call from the HLL shingle frame, same
+    recompute-vs-bytes rule. The df cap (MOSS's over-common cut) bounds
+    every join bucket to {WINNOW_MAX_DF} docs, so the pair join is
+    AQE-splittable with no quadratic hot key."""
+    d = T.load(spark, sf_dir, "documents")
+    fp = winnow_fingerprint_rows(d).localCheckpoint()
+    keep = (
+        fp.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(
+            (F.col("nd") >= WINNOW_MIN_SHARED)
+            & (F.col("nd") <= WINNOW_MAX_DF)
+        )
+        .select("f")
+    )
+    sizes = fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fp")
+    )
+    a = fp.join(keep, "f")
+    b = fp.withColumnRenamed("doc_id", "doc_b")
+    pairs = (
+        a.join(b, "f")
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= WINNOW_MIN_SHARED)
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "n_fp", "n_fp_a"
+    )
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "n_fp", "n_fp_b"
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fp",
+            "n_fp_a",
+            "n_fp_b",
+            F.expr("(1000 * shared_fp) div least(n_fp_a, n_fp_b)").alias(
+                "overlap_pm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_distribution_drift_ks — per-source distribution drift: the exact
+# two-sample Kolmogorov–Smirnov statistic (max ECDF gap, integer
+# per-mille) between each source's n_chars distribution and the REST of
+# the corpus — the training-data monitoring report that flags a source
+# whose length profile shifted (truncation bug, boilerplate injection,
+# scraper change) before it poisons a data mix.
+#
+# Exactness: KS = max over pooled support v of |cum_s/n_s - cum_r/n_r|;
+# cross-multiplied to (1000*|cum_s*n_r - cum_r*n_s|) // (n_s*n_r) — all
+# BIGINT, no floats anywhere. The support grid is |sources| x |distinct
+# values| — n_chars is a bounded physical quantity (a histogram domain),
+# so the grid stays tiny at any corpus size; the ONLY corpus-wide work is
+# the one map-combined (source, value) count.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_distribution_drift_ks",
+    oracle="""
+WITH c AS (
+    SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1, 2
+), grid AS (
+    SELECT s.source, vals.v, COALESCE(c.c, 0) AS c
+    FROM (SELECT DISTINCT source FROM c) s
+    CROSS JOIN (SELECT DISTINCT v FROM c) vals
+    LEFT JOIN c ON c.source = s.source AND c.v = vals.v
+), cum AS (
+    SELECT source, v,
+           CAST(SUM(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT)
+               AS cum_s
+    FROM grid
+), tot AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM c GROUP BY 1
+), alln AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+allcum AS (
+    SELECT v, CAST(SUM(cum_s) AS BIGINT) AS cum_all FROM cum GROUP BY 1
+), d AS (
+    SELECT cum.source, cum.v, tot.n_s, alln.n - tot.n_s AS n_r,
+           (1000 * abs(cum_s * (alln.n - tot.n_s)
+                       - (cum_all - cum_s) * tot.n_s))
+           // (tot.n_s * (alln.n - tot.n_s)) AS d_pm
+    FROM cum JOIN tot USING (source) JOIN allcum USING (v), alln
+    WHERE alln.n - tot.n_s > 0
+), mx AS (
+    SELECT source, MAX(d_pm) AS ks_pm FROM d GROUP BY 1
+)
+SELECT m.source,
+       CAST(MIN(d.n_s) AS BIGINT) AS n_source,
+       CAST(MIN(d.n_r) AS BIGINT) AS n_rest,
+       CAST(m.ks_pm AS BIGINT) AS ks_pm,
+       CAST(MIN(d.v) AS BIGINT) AS ks_at_value
+FROM mx m JOIN d ON d.source = m.source AND d.d_pm = m.ks_pm
+GROUP BY 1, 4
+""",
+    tags=("dq", "drift"),
+)
+def dq_distribution_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS drift (integer per-mille) of each source's
+    n_chars distribution vs the rest of the corpus, with the value where
+    the max ECDF gap occurs (min such value — deterministic argmax).
+
+    Scale shape: ONE map-combined (source, value) count is the only
+    corpus-wide shuffle; the counted frame is localCheckpoint'ed because
+    everything downstream (support grid, cumsums, totals, the argmax
+    join-back) re-reads it and it is histogram-sized (|sources| x
+    |distinct n_chars| rows), so the full document scan runs exactly
+    once. The cumsum Window partitions by source over the bounded grid —
+    never over corpus rows."""
+    d = T.load(spark, sf_dir, "documents")
+    c = (
+        d.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    srcs = c.select("source").distinct()
+    vals = c.select("v").distinct()
+    grid = (
+        srcs.crossJoin(F.broadcast(vals))
+        .join(c, ["source", "v"], "left")
+        .select("source", "v", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "source", "v", F.sum("c").over(w).cast("bigint").alias("cum_s")
+    )
+    tot = c.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    alln = c.select(F.sum("c").cast("bigint").alias("n"))
+    allcum = cum.groupBy("v").agg(
+        F.sum("cum_s").cast("bigint").alias("cum_all")
+    )
+    dd = (
+        cum.join(F.broadcast(tot), "source")
+        .join(F.broadcast(allcum), "v")
+        .crossJoin(F.broadcast(alln))
+        .filter(F.col("n") - F.col("n_s") > 0)
+        .select(
+            "source",
+            "v",
+            "n_s",
+            (F.col("n") - F.col("n_s")).alias("n_r"),
+            F.expr(
+                "(1000 * abs(cum_s * (n - n_s) - (cum_all - cum_s) * n_s))"
+                " div (n_s * (n - n_s))"
+            ).alias("d_pm"),
+        )
+    )
+    mx = dd.groupBy("source").agg(F.max("d_pm").alias("ks_pm"))
+    return (
+        dd.join(F.broadcast(mx), "source")
+        .filter(F.col("d_pm") == F.col("ks_pm"))
+        .groupBy("source", "ks_pm")
+        .agg(
+            F.min("n_s").cast("bigint").alias("n_source"),
+            F.min("n_r").cast("bigint").alias("n_rest"),
+            F.min("v").cast("bigint").alias("ks_at_value"),
+        )
+        .select(
+            "source",
+            "n_source",
+            "n_rest",
+            F.col("ks_pm").cast("bigint").alias("ks_pm"),
+            "ks_at_value",
+        )
+    )

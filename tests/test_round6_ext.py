@@ -796,3 +796,190 @@ def test_incremental_hll_register_partials_merge(spark):
         for r in queries()["llm_sketch_hll_distinct"](spark, SF).collect()
     }
     assert got == ref and len(ref) > 1
+
+
+def test_bm25_python_model(spark):
+    """Reproduce exact-integer BM25 from scratch in Python (k1=6/5 b=3/4
+    rationals, floored avgdl, ln-free idf surrogate, per-term floor-div
+    order as written) and require identical top-5 per query."""
+    import pyarrow.parquet as pq
+
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        BM25_QUERIES,
+        BM25_TOP_K,
+    )
+
+    rows = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+    docs = {r["doc_id"]: r["text"].split(" ") for r in rows}
+    n = len(docs)
+    a = sum(len(t) for t in docs.values())
+    avgdl = a // n
+    allt = {t for ts in BM25_QUERIES.values() for t in ts}
+    tf = {}  # (doc, term) -> count
+    for did, toks in docs.items():
+        for t in toks:
+            if t in allt:
+                tf[(did, t)] = tf.get((did, t), 0) + 1
+    dfreq = {}
+    for (_, t), _c in tf.items():
+        dfreq[t] = dfreq.get(t, 0) + 1
+    model = {}
+    for qid, terms in BM25_QUERIES.items():
+        scores = {}
+        for (did, t), c in tf.items():
+            if t not in terms:
+                continue
+            dl = len(docs[did])
+            idf = (1000 * (n - dfreq[t] + 1)) // (dfreq[t] + 1)
+            frac = (22 * c * avgdl * 10**9) // (
+                20 * c * avgdl + 6 * avgdl + 18 * dl
+            )
+            s, h = scores.get(did, (0, 0))
+            scores[did] = (s + idf * frac // 1000, h + 1)
+        top = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        for rnk, (did, (s, h)) in enumerate(top[:BM25_TOP_K], 1):
+            model[(qid, rnk)] = (did, s, h)
+    got = {
+        (r["query_id"], r["rnk"]): (
+            r["doc_id"], r["score_ppb"], r["n_terms_hit"]
+        )
+        for r in queries()["llm_bm25_topk"](spark, SF).collect()
+    }
+    assert got == model and len(model) == 3 * BM25_TOP_K
+
+
+def test_bm25_token_stream_filtered_before_shuffle(spark):
+    """The exploded token stream must be cut to the query vocabulary by a
+    literal In-filter inside the scan stage (map-side, before the tf
+    shuffle), and documents is scanned exactly twice (token stream +
+    corpus constants), both pruned to doc_id/text."""
+    plan = _plan(spark, "llm_bm25_topk")
+    # tf is checkpointed for its two consumers, so the only remaining
+    # documents scan is the corpus-constants agg (N, sum dl)
+    assert plan.count("ReadSchema:") == 1
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    # the literal query-vocabulary In filter survives into the plan (the
+    # token-side twin runs inside the checkpointed tf job's scan stage)
+    assert "IN (batch,hash,join" in plan
+
+
+def test_winnow_python_model(spark):
+    """From-scratch winnowing (trigram md5 -> 44-bit ints -> window-of-4
+    minima -> distinct -> df-capped pair counts) must reproduce the
+    candidate pairs exactly, including the overlap per-mille."""
+    import pyarrow.parquet as pq
+
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        WINNOW_MAX_DF,
+        WINNOW_MIN_SHARED,
+        WINNOW_W,
+    )
+
+    rows = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+    fps = {}
+    for r in rows:
+        t = r["text"].split(" ")
+        if len(t) < 6:
+            continue
+        hs = [
+            int(
+                hashlib.md5(" ".join(t[i : i + 3]).encode()).hexdigest()[:11],
+                16,
+            )
+            for i in range(len(t) - 2)
+        ]
+        sel = {
+            min(hs[i : i + WINNOW_W])
+            for i in range(len(hs) - WINNOW_W + 1)
+        }
+        fps[r["doc_id"]] = sel
+    dfreq = {}
+    for sel in fps.values():
+        for f in sel:
+            dfreq[f] = dfreq.get(f, 0) + 1
+    keep = {
+        f for f, nd in dfreq.items()
+        if WINNOW_MIN_SHARED <= nd <= WINNOW_MAX_DF
+    }
+    docs = sorted(fps)
+    model = {}
+    for i, da in enumerate(docs):
+        for db in docs[i + 1:]:
+            shared = len(fps[da] & fps[db] & keep)
+            if shared >= WINNOW_MIN_SHARED:
+                model[(da, db)] = (
+                    shared,
+                    len(fps[da]),
+                    len(fps[db]),
+                    1000 * shared // min(len(fps[da]), len(fps[db])),
+                )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["shared_fp"], r["n_fp_a"], r["n_fp_b"], r["overlap_pm"]
+        )
+        for r in queries()["llm_winnow_fingerprints"](spark, SF).collect()
+    }
+    assert got == model and len(model) > 50
+
+
+def test_winnow_fingerprints_derived_once_no_window(spark):
+    """Fingerprint selection is array math in a projection (no Window
+    operator anywhere) and the fingerprint frame is checkpointed for its
+    four consumers — the final plan reads documents ZERO times (all
+    consumers hit the checkpoint RDD)."""
+    plan = _plan(spark, "llm_winnow_fingerprints")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("ReadSchema:") == 0
+    assert "ExistingRDD" in plan
+
+
+def test_ks_drift_python_model(spark):
+    """From-scratch exact-integer two-sample KS (each source vs rest,
+    pooled support, cross-multiplied per-mille, min-argmax value) must
+    match bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    n = len(rows)
+    vals = sorted({r["n_chars"] for r in rows})
+    allv = sorted(r["n_chars"] for r in rows)
+    import bisect
+
+    model = {}
+    for s, xs in by_src.items():
+        xs_s = sorted(xs)
+        n_s = len(xs_s)
+        n_r = n - n_s
+        if n_r == 0:
+            continue
+        best, bestv = -1, None
+        for v in vals:
+            cs = bisect.bisect_right(xs_s, v)
+            ca = bisect.bisect_right(allv, v)
+            cr = ca - cs
+            d = (1000 * abs(cs * n_r - cr * n_s)) // (n_s * n_r)
+            if d > best:
+                best, bestv = d, v
+        model[s] = (n_s, n_r, best, bestv)
+    got = {
+        r["source"]: (
+            r["n_source"], r["n_rest"], r["ks_pm"], r["ks_at_value"]
+        )
+        for r in queries()["dq_distribution_drift_ks"](spark, SF).collect()
+    }
+    assert got == model and len(model) > 1
+
+
+def test_ks_drift_single_scan(spark):
+    """The one corpus-wide shuffle is the (source, value) count; the
+    counted histogram frame is checkpointed, so the final plan reads
+    documents zero times and every Window runs on the bounded grid."""
+    plan = _plan(spark, "dq_distribution_drift_ks")
+    assert plan.count("ReadSchema:") == 0
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan

@@ -160,6 +160,9 @@ QUERIES = [
     "llm_bpe_encode_corpus",
     "dws_event_type_pagerank",
     "llm_sketch_hll_distinct",
+    "llm_bm25_topk",
+    "llm_winnow_fingerprints",
+    "dq_distribution_drift_ks",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
