@@ -1731,33 +1731,46 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, query-term) rows — a few rows per matching doc. df is a
     query-vocabulary-sized agg; N and avgdl are one global agg broadcast
     back; the final per-query top-K window partitions on query_id after a
-    (query, doc)-keyed sum, never on an unkeyed global sort. Two pruned
-    scans of documents (token stream + corpus constants)."""
+    (query, doc)-keyed sum, never on an unkeyed global sort. One pruned
+    scan of documents survives to the final plan (corpus constants); the
+    token scan runs once inside the checkpointed tf job."""
     d = T.load(spark, sf_dir, "documents")
-    all_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
-    q = spark.createDataFrame(
-        [(qid, t) for qid, ts in BM25_QUERIES.items() for t in ts],
-        "query_id string, term string",
+    q = bm25_query_frame(spark)
+    # tf feeds TWO consumers (the df agg + the score join) and is tiny
+    # next to the corpus (doc_id/dl/term/tf for query-vocab terms only)
+    # — checkpoint so the corpus token scan runs once, not twice
+    tf = bm25_tf_rows(d).localCheckpoint()
+    g = d.select(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("a"),
     )
+    return bm25_score_topk(tf, g, q)
+
+
+def bm25_tf_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf) for query-vocabulary terms only — the
+    BM25 inverted-index rows. The literal In-filter cuts the exploded
+    token stream map-side, before the tf shuffle. Append-only under
+    corpus growth (docs are immutable), so per-batch slices of this
+    frame ARE the streaming index partials."""
+    all_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
     tok = d.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("dl"),
         F.explode(F.split("text", " ")).alias("term"),
     ).filter(F.col("term").isin(*all_terms))
-    # tf feeds TWO consumers (the df agg + the score join) and is tiny
-    # next to the corpus (doc_id/dl/term/tf for query-vocab terms only)
-    # — checkpoint so the corpus token scan runs once, not twice
-    tf = (
-        tok.groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .localCheckpoint()
+    return tok.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
     )
+
+
+def bm25_score_topk(tf: DataFrame, g: DataFrame, q: DataFrame) -> DataFrame:
+    """Score + top-K from the index rows and the 1-row (n, a) corpus
+    stats — shared by the batch query and the streaming-index twin (df
+    is derived from tf here, so merged partials need no separate df
+    state)."""
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
-    )
-    g = d.select(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("a"),
     )
     sc = (
         tf.join(F.broadcast(q), "term")
@@ -1785,6 +1798,14 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc.withColumn("rnk", rnk.cast("bigint"))
         .filter(F.col("rnk") <= BM25_TOP_K)
         .select("query_id", "rnk", "doc_id", "score_ppb", "n_terms_hit")
+    )
+
+
+def bm25_query_frame(spark: SparkSession) -> DataFrame:
+    """The literal (query_id, term) query set as a broadcastable frame."""
+    return spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES.items() for t in ts],
+        "query_id string, term string",
     )
 
 
@@ -1904,15 +1925,21 @@ def llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE-splittable with no quadratic hot key."""
     d = T.load(spark, sf_dir, "documents")
     fp = winnow_fingerprint_rows(d).localCheckpoint()
-    keep = (
-        fp.groupBy("f")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(
-            (F.col("nd") >= WINNOW_MIN_SHARED)
-            & (F.col("nd") <= WINNOW_MAX_DF)
-        )
-        .select("f")
-    )
+    return winnow_pairs(fp, max_df=WINNOW_MAX_DF)
+
+
+def winnow_pairs(fp: DataFrame, max_df: int | None) -> DataFrame:
+    """Candidate pairs from a (doc_id, f) fingerprint frame — shared by
+    the batch query (``max_df=WINNOW_MAX_DF``, the MOSS over-common cut)
+    and the streaming twin (``max_df=None``: the cap is RETROACTIVE — a
+    fingerprint crossing it would retract already-emitted pairs — so the
+    incremental form runs capless; see streaming/incremental.py)."""
+    cond = F.col("nd") >= WINNOW_MIN_SHARED
+    if max_df is not None:
+        cond = cond & (F.col("nd") <= max_df)
+    keep = fp.groupBy("f").agg(F.count(F.lit(1)).alias("nd")).filter(
+        cond
+    ).select("f")
     sizes = fp.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_fp")
     )

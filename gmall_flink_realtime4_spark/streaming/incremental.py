@@ -210,3 +210,122 @@ def incremental_ahash_pairs(
     )
     fp_b.write.mode("overwrite").parquet(f"{fps_path}/batch_id={batch_id}")
     return out
+
+
+def incremental_winnow_pairs(
+    spark: SparkSession,
+    docs_batch: DataFrame,
+    state_dir: str,
+    batch_id: int = 0,
+) -> DataFrame:
+    """Streaming-incremental winnowing near-dup candidates — the
+    foreachBatch twin of `plans.round6_ext_queries.llm_winnow_fingerprints`.
+
+    STATE is (doc_id, f) fingerprint rows plus the (doc_id, n_fp) size
+    table — no payload retention (fingerprint selection runs once per doc
+    in its arrival batch; text never re-enters the pipeline). Per batch:
+    the batch's fingerprints join state ∪ batch, so every emitted pair has
+    >= 1 batch side and is emitted exactly once, in its LATER doc's batch;
+    shared_fp / n_fp_* / overlap_pm are fixed at that moment, so the union
+    of emissions equals the one-shot CAPLESS batch run
+    (``winnow_pairs(fp, max_df=None)``).
+
+    The MOSS df cap is deliberately NOT applied here: the cap is
+    retroactive — a fingerprint crossing ``WINNOW_MAX_DF`` as the corpus
+    grows would RETRACT pairs it once supported, which an append-only
+    emission stream cannot express (the A1 diff/retract pattern could; the
+    honest streaming contract is capless emission + downstream re-filter).
+    Same replay-safe batch_id-partitioned overwrite state as the minhash
+    twin.
+    """
+    from ..plans.round6_ext_queries import (
+        WINNOW_MIN_SHARED,
+        winnow_fingerprint_rows,
+    )
+
+    fps_path = f"{state_dir}/fps"
+    fp_b = winnow_fingerprint_rows(
+        docs_batch.select("doc_id", "text")
+    ).localCheckpoint(eager=True)
+    prev = _read_state(spark, fps_path, batch_id)
+    fp_all = fp_b if prev is None else prev.unionByName(fp_b)
+
+    sizes = fp_all.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fp")
+    )
+    left, right = fp_b.alias("l"), fp_all.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.f") == F.col("r.f"))
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
+        )
+        .select(
+            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_a"),
+            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_b"),
+            F.col("l.f").alias("f"),
+        )
+        .distinct()  # new-new pairs match in both orientations
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= WINNOW_MIN_SHARED)
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "n_fp", "n_fp_a"
+    )
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "n_fp", "n_fp_b"
+    )
+    out = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fp",
+            "n_fp_a",
+            "n_fp_b",
+            F.expr("(1000 * shared_fp) div least(n_fp_a, n_fp_b)").alias(
+                "overlap_pm"
+            ),
+        )
+        .localCheckpoint(eager=True)  # materialize before the state write
+    )
+    fp_b.write.mode("overwrite").parquet(f"{fps_path}/batch_id={batch_id}")
+    return out
+
+
+def bm25_index_partials(docs_batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch's BM25 index contribution: the (doc_id, dl, term,
+    tf) inverted-index rows for the query vocabulary (append-only — docs
+    are immutable, so a doc's rows are final in its arrival batch) and
+    the mergeable 1-row (n, a) corpus-stats partial. The streaming
+    accumulate side of `plans.round6_ext_queries.llm_bm25_topk`."""
+    from ..plans.round6_ext_queries import bm25_tf_rows
+
+    tf = bm25_tf_rows(docs_batch)
+    stats = docs_batch.select(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("a"),
+    )
+    return tf, stats
+
+
+def bm25_finalize(
+    spark: SparkSession, tf_all: DataFrame, stats_all: DataFrame
+) -> DataFrame:
+    """Merge accumulated index partials into the one-shot BM25 top-K:
+    union'ed tf rows pass through unchanged (df is DERIVED from them, so
+    no df state exists to go stale), stats partials fold by SUM. Equal to
+    the batch query over the concatenated corpus
+    (tests/test_round6_ext.py::test_incremental_bm25_index_matches_batch).
+    """
+    from ..plans.round6_ext_queries import bm25_query_frame, bm25_score_topk
+
+    g = stats_all.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("a"),
+    )
+    return bm25_score_topk(
+        tf_all.localCheckpoint(), g, bm25_query_frame(spark)
+    )

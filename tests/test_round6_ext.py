@@ -983,3 +983,78 @@ def test_ks_drift_single_scan(spark):
     assert plan.count("ReadSchema:") == 0
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_winnow_pairs_matches_capless_batch(spark, tmp_path):
+    """Union of per-batch emissions (3 arrival batches) == the one-shot
+    CAPLESS batch run; on this corpus (max fingerprint df = 9 << 64) the
+    capless run also equals the registered capped query, so the twin's
+    union matches the driver-gated result too. Replays are idempotent."""
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        winnow_fingerprint_rows,
+        winnow_pairs,
+    )
+    from gmall_flink_realtime4_spark.streaming.incremental import (
+        incremental_winnow_pairs,
+    )
+
+    d = T.load(spark, SF, "documents")
+    state = str(tmp_path / "winnow_state")
+    cols = ["shared_fp", "n_fp_a", "n_fp_b", "overlap_pm"]
+    got = {}
+    for bid in range(3):
+        batch = d.filter(F.col("doc_id") % 3 == bid)
+        out = incremental_winnow_pairs(spark, batch, state, batch_id=bid)
+        for r in out.collect():
+            key = (r["doc_a"], r["doc_b"])
+            assert key not in got, f"pair {key} emitted twice"
+            got[key] = tuple(r[c] for c in cols)
+    # replay the last batch: same emissions, state unchanged
+    replay = incremental_winnow_pairs(
+        spark, d.filter(F.col("doc_id") % 3 == 2), state, batch_id=2
+    )
+    for r in replay.collect():
+        assert got[(r["doc_a"], r["doc_b"])] == tuple(r[c] for c in cols)
+
+    capless = {
+        (r["doc_a"], r["doc_b"]): tuple(r[c] for c in cols)
+        for r in winnow_pairs(
+            winnow_fingerprint_rows(d), max_df=None
+        ).collect()
+    }
+    assert got == capless and len(capless) > 50
+    capped = {
+        (r["doc_a"], r["doc_b"]): tuple(r[c] for c in cols)
+        for r in queries()["llm_winnow_fingerprints"](spark, SF).collect()
+    }
+    assert got == capped  # cap never binds on this corpus (max df 9)
+
+
+def test_incremental_bm25_index_matches_batch(spark):
+    """Accumulate-then-finalize == one-shot: tf index rows from 3
+    disjoint arrival batches union (append-only; df derived at finalize)
+    and (n, a) stats partials fold by SUM to exactly the registered
+    query's top-K."""
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.streaming.incremental import (
+        bm25_finalize,
+        bm25_index_partials,
+    )
+
+    d = T.load(spark, SF, "documents")
+    tf_all, stats_all = None, None
+    for bid in range(3):
+        tf, st = bm25_index_partials(d.filter(F.col("doc_id") % 3 == bid))
+        tf_all = tf if tf_all is None else tf_all.unionByName(tf)
+        stats_all = st if stats_all is None else stats_all.unionByName(st)
+    cols = ["doc_id", "score_ppb", "n_terms_hit"]
+    got = {
+        (r["query_id"], r["rnk"]): tuple(r[c] for c in cols)
+        for r in bm25_finalize(spark, tf_all, stats_all).collect()
+    }
+    ref = {
+        (r["query_id"], r["rnk"]): tuple(r[c] for c in cols)
+        for r in queries()["llm_bm25_topk"](spark, SF).collect()
+    }
+    assert got == ref and len(ref) == 15
