@@ -90,6 +90,8 @@ GATE_PRIORITY: list[str] = [
     "llm_bm25_topk",
     "llm_winnow_fingerprints",
     "dq_distribution_drift_ks",
+    "dq_vocab_drift",
+    "dq_langid_eval",
     # plans changed late in round 4 — freshest driver row predates the change
     "llm_dedup_containment_lsh",
     "f_set_ops_source_overlap",
@@ -132,10 +134,11 @@ GATE_PRIORITY: list[str] = [
     "llm_split_train_val_test",
     "llm_type_token_ratio",
     "llm_length_decile_curriculum",
-    "llm_dup_span_coverage",
-    "llm_embedding_covariance",
     # freshest row is r03 — analytics / windows / log pipelines
-    # bumped to round 7 (displaced by the fourteen round-6 queries):
+    # bumped to round 7 (displaced by the sixteen round-6 queries):
+    # llm_dup_span_coverage (r03-green, span-key tests + in-suite parity),
+    # llm_embedding_covariance (r03-green, sufficient-stats mergeability
+    # test + in-suite parity),
     # llm_decontaminate (r03-green, overlap tests in tests/test_llm_
     # pipeline.py + in-suite parity),
     # llm_text_repetition (r03-green, in-suite parity),

@@ -2104,3 +2104,321 @@ def dq_distribution_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_at_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_vocab_drift — per-source VOCABULARY drift vs the corpus: total-
+# variation and chi-square distance (ppm-quantized integers) between each
+# source's unigram distribution and the corpus distribution over the
+# global top-V vocabulary, everything else folded into one '§other'
+# bucket map-side. The content-drift sibling of dq_distribution_drift_ks
+# (which watches a numeric column): a source whose WORDING shifted
+# (template change, language mix change, spam injection) moves these
+# distances even when its length profile stays put.
+#
+# Quantization contract: proportions are floored to ppm BEFORE the
+# distance math (p = 1e6*c // n) — both engines quantize identically, so
+# the distances are bit-stable where float division would not be; the
+# docstring reports the resulting <= 1e-6 per-bucket bias honestly.
+# Overflow: (p_s - p_c)^2 <= 1e12, summed over V+1 = 65 buckets <= 7e13.
+# ---------------------------------------------------------------------------
+VOCAB_DRIFT_V = 64  # top-V corpus terms kept as individual buckets
+VOCAB_DRIFT_MIN_SUPPORT = 5  # heavy-hitters prefilter before the top-V rank
+_OTHER = "§other"
+
+
+@query(
+    "dq_vocab_drift",
+    oracle=f"""
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), cv AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS cv FROM tok GROUP BY 1
+    HAVING COUNT(*) >= {VOCAB_DRIFT_MIN_SUPPORT}
+), topv AS (
+    SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY cv DESC, term) AS rnk
+        FROM cv
+    ) WHERE rnk <= {VOCAB_DRIFT_V}
+), b AS (
+    SELECT source,
+           CASE WHEN term IN (SELECT term FROM topv)
+                THEN term ELSE '{_OTHER}' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM tok GROUP BY 1, 2
+), ns AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM b GROUP BY 1
+), cb AS (
+    SELECT bucket, CAST(SUM(c) AS BIGINT) AS cb FROM b GROUP BY 1
+), nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM b),
+grid AS (
+    SELECT s.source, k.bucket, COALESCE(b.c, 0) AS c
+    FROM (SELECT DISTINCT source FROM b) s
+    CROSS JOIN (SELECT DISTINCT bucket FROM b) k
+    LEFT JOIN b ON b.source = s.source AND b.bucket = k.bucket
+), p AS (
+    SELECT g.source, g.bucket,
+           (1000000 * g.c) // ns.n_s AS p_s,
+           (1000000 * cb.cb) // nn.n AS p_c
+    FROM grid g JOIN ns USING (source) JOIN cb USING (bucket), nn
+), term_d AS (
+    SELECT source, bucket, abs(p_s - p_c) AS d,
+           ((p_s - p_c) * (p_s - p_c)) // greatest(p_c, 1) AS x2
+    FROM p
+), agg AS (
+    SELECT source, CAST(SUM(d) AS BIGINT) AS tv_ppm,
+           CAST(SUM(x2) AS BIGINT) AS chi2_ppm,
+           CAST(MAX(d) AS BIGINT) AS top_shift_ppm
+    FROM term_d GROUP BY 1
+)
+SELECT a.source, ns.n_s AS n_tokens, a.tv_ppm, a.chi2_ppm,
+       MIN(t.bucket) AS top_shifted_term, a.top_shift_ppm
+FROM agg a
+JOIN term_d t ON t.source = a.source AND t.d = a.top_shift_ppm
+JOIN ns ON ns.source = a.source
+GROUP BY 1, 2, 3, 4, 6
+""",
+    tags=("dq", "drift"),
+)
+def dq_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary drift vs the corpus: total-variation and
+    chi-square distance (ppm-floored integers) over the global top-64
+    terms + one '§other' bucket, plus the single most-shifted bucket
+    (deterministic min-term argmax).
+
+    Scale shape: two corpus scans, both pushed — pass 1 builds the
+    vocabulary (map-combined term counts, heavy-hitters min-support
+    BEFORE the vocab-sized global rank, top-V checkpointed at 64 rows);
+    pass 2 folds every token into its top-V term or '§other' MAP-SIDE
+    via a broadcast membership lookup, so the second shuffle carries at
+    most (V+1) x |sources| rows. All distance math runs on that bounded
+    grid. Distances are ppm-quantized before differencing (bit-stable
+    across engines; per-bucket quantization bias < 1e-6, i.e. smaller
+    than one count in a million tokens)."""
+    d = T.load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    cv = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cv"))
+        .filter(F.col("cv") >= VOCAB_DRIFT_MIN_SUPPORT)
+    )
+    rnk = F.row_number().over(Window.orderBy(F.col("cv").desc(), "term"))
+    topv = (
+        cv.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= VOCAB_DRIFT_V)
+        .select("term")
+        .localCheckpoint()  # 64 rows; pass 2 and the grid both read it
+    )
+    b = (
+        tok.join(
+            F.broadcast(topv.withColumnRenamed("term", "tv")),
+            tok["term"] == F.col("tv"),
+            "left",
+        )
+        .withColumn("bucket", F.coalesce("tv", F.lit(_OTHER)))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()  # (V+1) x |sources| rows, five consumers
+    )
+    ns = b.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    cb = b.groupBy("bucket").agg(F.sum("c").cast("bigint").alias("cb"))
+    nn = b.select(F.sum("c").cast("bigint").alias("n"))
+    grid = (
+        b.select("source").distinct()
+        .crossJoin(F.broadcast(b.select("bucket").distinct()))
+        .join(b, ["source", "bucket"], "left")
+        .select("source", "bucket", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    p = (
+        grid.join(F.broadcast(ns), "source")
+        .join(F.broadcast(cb), "bucket")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            "bucket",
+            F.expr("(1000000 * c) div n_s").alias("p_s"),
+            F.expr("(1000000 * cb) div n").alias("p_c"),
+        )
+    )
+    term_d = p.select(
+        "source",
+        "bucket",
+        F.abs(F.col("p_s") - F.col("p_c")).alias("d"),
+        F.expr(
+            "((p_s - p_c) * (p_s - p_c)) div greatest(p_c, 1)"
+        ).alias("x2"),
+    )
+    agg = term_d.groupBy("source").agg(
+        F.sum("d").cast("bigint").alias("tv_ppm"),
+        F.sum("x2").cast("bigint").alias("chi2_ppm"),
+        F.max("d").cast("bigint").alias("top_shift_ppm"),
+    )
+    arg = term_d.select(
+        F.col("source").alias("src2"),
+        F.col("bucket"),
+        F.col("d"),
+    )
+    return (
+        agg.join(
+            arg,
+            (agg["source"] == arg["src2"])
+            & (arg["d"] == agg["top_shift_ppm"]),
+        )
+        .join(F.broadcast(ns), "source")
+        .groupBy(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "tv_ppm",
+            "chi2_ppm",
+            "top_shift_ppm",
+        )
+        .agg(F.min("bucket").alias("top_shifted_term"))
+        .select(
+            "source",
+            "n_tokens",
+            "tv_ppm",
+            "chi2_ppm",
+            "top_shifted_term",
+            "top_shift_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_langid_eval — classifier-quality rollup of the stopword language-ID
+# heuristic against the declared `lang` label: per-class confusion-matrix
+# counts and integer per-mille precision / recall / F1 — the label-audit
+# report a data platform runs before trusting either the labels or the
+# classifier for routing/mixing decisions.
+# ---------------------------------------------------------------------------
+
+
+def _langid_pred_cte() -> str:
+    from .llm_queries import LANG_STOPWORDS, _hits_sql
+
+    return f"""
+h AS (
+    SELECT lang AS labeled_lang,
+           {_hits_sql(LANG_STOPWORDS['en'])} AS en_hits,
+           {_hits_sql(LANG_STOPWORDS['fr'])} AS fr_hits,
+           {_hits_sql(LANG_STOPWORDS['es'])} AS es_hits,
+           {_hits_sql(LANG_STOPWORDS['de'])} AS de_hits
+    FROM documents
+), pred AS (
+    SELECT labeled_lang,
+           CASE WHEN en_hits + fr_hits + es_hits + de_hits = 0 THEN 'und'
+                WHEN en_hits >= fr_hits AND en_hits >= es_hits
+                     AND en_hits >= de_hits THEN 'en'
+                WHEN fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+                WHEN es_hits >= de_hits THEN 'es'
+                ELSE 'de' END AS predicted_lang
+    FROM h
+)"""
+
+
+@query(
+    "dq_langid_eval",
+    oracle=f"""
+WITH {_langid_pred_cte()},
+classes AS (
+    SELECT labeled_lang AS lang FROM pred
+    UNION SELECT predicted_lang FROM pred
+), lab AS (
+    SELECT labeled_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_labeled
+    FROM pred GROUP BY 1
+), prd AS (
+    SELECT predicted_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_predicted
+    FROM pred GROUP BY 1
+), cor AS (
+    SELECT labeled_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_correct
+    FROM pred WHERE labeled_lang = predicted_lang GROUP BY 1
+), m AS (
+    SELECT c.lang,
+           COALESCE(lab.n_labeled, 0)   AS n_labeled,
+           COALESCE(prd.n_predicted, 0) AS n_predicted,
+           COALESCE(cor.n_correct, 0)   AS n_correct
+    FROM classes c
+    LEFT JOIN lab USING (lang) LEFT JOIN prd USING (lang)
+    LEFT JOIN cor USING (lang)
+), s AS (
+    SELECT lang, n_labeled, n_predicted, n_correct,
+           (1000 * n_correct) // greatest(n_predicted, 1) AS precision_pm,
+           (1000 * n_correct) // greatest(n_labeled, 1)   AS recall_pm
+    FROM m
+)
+SELECT lang, n_labeled, n_predicted, n_correct, precision_pm, recall_pm,
+       (2 * precision_pm * recall_pm)
+       // greatest(precision_pm + recall_pm, 1) AS f1_pm
+FROM s
+""",
+    tags=("dq", "eval"),
+)
+def dq_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 (integer per-mille, zero-guarded
+    floor-div) of the stopword language-ID heuristic vs the declared
+    `lang` label — classes are the union of labeled and predicted values,
+    so a class the model never predicts (or that never occurs) still gets
+    a row with honest zeros.
+
+    Scale shape: the per-doc predictor is one codegen'd projection (the
+    registered ``llm_text_langid`` plan); everything above it is three
+    map-combined aggs on the lang-cardinality key (a handful of classes)
+    joined on a broadcastable frame. The F1 here is computed from the
+    per-mille-floored P and R (documented — quantize-then-combine, same
+    on both engines)."""
+    from .llm_queries import llm_text_langid
+
+    pred = llm_text_langid(spark, sf_dir).select(
+        "labeled_lang", "predicted_lang"
+    )
+    # three aggs + the class union all read the predictor output; it is
+    # doc-cardinality, so DON'T checkpoint — re-deriving the projection
+    # is cheaper than materializing a per-doc frame (the HLL rule)
+    classes = (
+        pred.select(F.col("labeled_lang").alias("lang"))
+        .union(pred.select("predicted_lang"))
+        .distinct()
+    )
+    lab = pred.groupBy(F.col("labeled_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_labeled")
+    )
+    prd = pred.groupBy(F.col("predicted_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_predicted")
+    )
+    cor = (
+        pred.filter(F.col("labeled_lang") == F.col("predicted_lang"))
+        .groupBy(F.col("labeled_lang").alias("lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_correct"))
+    )
+    m = (
+        classes.join(lab, "lang", "left")
+        .join(prd, "lang", "left")
+        .join(cor, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_labeled", F.lit(0)).alias("n_labeled"),
+            F.coalesce("n_predicted", F.lit(0)).alias("n_predicted"),
+            F.coalesce("n_correct", F.lit(0)).alias("n_correct"),
+        )
+    )
+    s = m.select(
+        "*",
+        F.expr(
+            "(1000 * n_correct) div greatest(n_predicted, 1)"
+        ).alias("precision_pm"),
+        F.expr("(1000 * n_correct) div greatest(n_labeled, 1)").alias(
+            "recall_pm"
+        ),
+    )
+    return s.select(
+        "lang",
+        "n_labeled",
+        "n_predicted",
+        "n_correct",
+        "precision_pm",
+        "recall_pm",
+        F.expr(
+            "(2 * precision_pm * recall_pm)"
+            " div greatest(precision_pm + recall_pm, 1)"
+        ).alias("f1_pm"),
+    )

@@ -1058,3 +1058,106 @@ def test_incremental_bm25_index_matches_batch(spark):
         for r in queries()["llm_bm25_topk"](spark, SF).collect()
     }
     assert got == ref and len(ref) == 15
+
+
+def test_vocab_drift_python_model(spark):
+    """From-scratch python: top-64 vocab (count desc, term asc after
+    min-support 5), per-source ppm-floored proportions over vocab +
+    '§other', TV / chi-square / argmax — bit-identical."""
+    import pyarrow.parquet as pq
+
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        _OTHER,
+        VOCAB_DRIFT_MIN_SUPPORT,
+        VOCAB_DRIFT_V,
+    )
+
+    rows = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+    cv: dict = {}
+    per_src: dict = {}
+    for r in rows:
+        toks = r["text"].split(" ")
+        for t in toks:
+            cv[t] = cv.get(t, 0) + 1
+            per_src.setdefault(r["source"], {})
+            per_src[r["source"]][t] = per_src[r["source"]].get(t, 0) + 1
+    eligible = {t: c for t, c in cv.items() if c >= VOCAB_DRIFT_MIN_SUPPORT}
+    topv = {
+        t for t, _ in sorted(eligible.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :VOCAB_DRIFT_V
+        ]
+    }
+    # bucketed counts
+    bsrc: dict = {}
+    for s, tc in per_src.items():
+        for t, c in tc.items():
+            b = t if t in topv else _OTHER
+            bsrc.setdefault(s, {})
+            bsrc[s][b] = bsrc[s].get(b, 0) + c
+    buckets = sorted({b for d in bsrc.values() for b in d})
+    nglob = {b: sum(d.get(b, 0) for d in bsrc.values()) for b in buckets}
+    ntot = sum(nglob.values())
+    model = {}
+    for s, d in bsrc.items():
+        n_s = sum(d.values())
+        tv = chi2 = 0
+        best = (-1, None)
+        for b in buckets:
+            p_s = 10**6 * d.get(b, 0) // n_s
+            p_c = 10**6 * nglob[b] // ntot
+            diff = abs(p_s - p_c)
+            tv += diff
+            chi2 += (p_s - p_c) ** 2 // max(p_c, 1)
+            if diff > best[0] or (diff == best[0] and b < best[1]):
+                best = (diff, b)
+        model[s] = (n_s, tv, chi2, best[1], best[0])
+    got = {
+        r["source"]: (
+            r["n_tokens"], r["tv_ppm"], r["chi2_ppm"],
+            r["top_shifted_term"], r["top_shift_ppm"],
+        )
+        for r in queries()["dq_vocab_drift"](spark, SF).collect()
+    }
+    assert got == model and len(model) > 1
+
+
+def test_vocab_drift_two_scans_bounded_tail(spark):
+    """Two corpus scans (vocab pass + bucket pass): the final plan shows
+    at most ONE documents read (the bucket pass; the vocab pass ran
+    inside the checkpointed top-V job) and everything downstream of the
+    bucket agg joins broadcast against checkpointed/bounded frames."""
+    plan = _plan(spark, "dq_vocab_drift")
+    assert plan.count("ReadSchema:") <= 1
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_langid_eval_python_model(spark):
+    """Confusion rollup from scratch over the registered per-doc langid
+    output: per-class n_labeled / n_predicted / n_correct and the
+    quantize-then-combine per-mille P/R/F1."""
+    rows = queries()["llm_text_langid"](spark, SF).collect()
+    lab: dict = {}
+    prd: dict = {}
+    cor: dict = {}
+    for r in rows:
+        lab[r["labeled_lang"]] = lab.get(r["labeled_lang"], 0) + 1
+        prd[r["predicted_lang"]] = prd.get(r["predicted_lang"], 0) + 1
+        if r["labeled_lang"] == r["predicted_lang"]:
+            cor[r["labeled_lang"]] = cor.get(r["labeled_lang"], 0) + 1
+    model = {}
+    for c in set(lab) | set(prd):
+        nl, np_, nc = lab.get(c, 0), prd.get(c, 0), cor.get(c, 0)
+        p = 1000 * nc // max(np_, 1)
+        r_ = 1000 * nc // max(nl, 1)
+        model[c] = (nl, np_, nc, p, r_, 2 * p * r_ // max(p + r_, 1))
+    got = {
+        r["lang"]: (
+            r["n_labeled"], r["n_predicted"], r["n_correct"],
+            r["precision_pm"], r["recall_pm"], r["f1_pm"],
+        )
+        for r in queries()["dq_langid_eval"](spark, SF).collect()
+    }
+    assert got == model and len(model) > 1
+    # the heuristic must actually separate classes on this corpus
+    assert any(v[5] > 0 for v in model.values())

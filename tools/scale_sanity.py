@@ -163,6 +163,8 @@ QUERIES = [
     "llm_bm25_topk",
     "llm_winnow_fingerprints",
     "dq_distribution_drift_ks",
+    "dq_vocab_drift",
+    "dq_langid_eval",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
