@@ -66,7 +66,7 @@ GATE_PRIORITY: list[str] = [
     # BENCH_r05) never landed in the repo, so the round-5 prefix below is
     # still the set whose freshest VISIBLE driver row is r03-or-none — it
     # stays for round 6 (re-gating is harmless if r05 did run; required if
-    # it did not). The ELEVEN queries new in round 6 lead; eleven
+    # it did not). The SEVENTEEN queries new in round 6 lead; seventeen
     # r03-green test-covered names rotate to round 7 (tail comment).
     #
     # ROUND-7 ROTATION RECIPE: replace this list with
@@ -92,6 +92,7 @@ GATE_PRIORITY: list[str] = [
     "dq_distribution_drift_ks",
     "dq_vocab_drift",
     "dq_langid_eval",
+    "llm_lsh_tuning_curve",
     # plans changed late in round 4 — freshest driver row predates the change
     "llm_dedup_containment_lsh",
     "f_set_ops_source_overlap",
@@ -133,9 +134,10 @@ GATE_PRIORITY: list[str] = [
     "llm_dedup_containment",
     "llm_split_train_val_test",
     "llm_type_token_ratio",
-    "llm_length_decile_curriculum",
     # freshest row is r03 — analytics / windows / log pipelines
-    # bumped to round 7 (displaced by the sixteen round-6 queries):
+    # bumped to round 7 (displaced by the seventeen round-6 queries):
+    # llm_length_decile_curriculum (r03-green, decile tests + in-suite
+    # parity),
     # llm_dup_span_coverage (r03-green, span-key tests + in-suite parity),
     # llm_embedding_covariance (r03-green, sufficient-stats mergeability
     # test + in-suite parity),

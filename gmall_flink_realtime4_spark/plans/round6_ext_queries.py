@@ -2422,3 +2422,208 @@ def dq_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(precision_pm + recall_pm, 1)"
         ).alias("f1_pm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_lsh_tuning_curve — measured precision/recall of MinHash LSH banding
+# per (bands x rows) configuration against EXACT-Jaccard ground truth:
+# the report you read before committing a banding config to a 100 TB
+# dedup run (the S-curve 1-(1-j^r)^b is theory; this measures the real
+# corpus). All configs are banded from ONE K=12 signature frame (computed
+# once, checkpointed), so adding a config costs band rows, not another
+# corpus pass. Ground truth is the exact inverted-index Jaccard join —
+# the expensive honesty side, which dominates the runtime and which a
+# production run would compute on a SAMPLE (documented, not silently).
+# ---------------------------------------------------------------------------
+LSH_CURVE_CONFIGS: tuple[tuple[int, int], ...] = ((2, 6), (4, 3), (6, 2), (12, 1))
+LSH_CURVE_TRUTH_PM = 500  # ground-truth pairs: exact jaccard >= 0.5
+
+
+def _lsh_curve_oracle() -> str:
+    from .llm_scale_queries import _SHINGLE_SQL, MINHASH_K
+
+    mins = ",\n           ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(MINHASH_K)
+    )
+    bands = "\n    UNION ALL ".join(
+        f"SELECT '{b:02d}x{r:02d}' AS cfg, {b} AS b, {r} AS r, doc_id, "
+        f"{j} AS band, md5({' || '.join(f'h{r * j + k}' for k in range(r))})"
+        " AS bucket FROM mh"
+        for b, r in LSH_CURVE_CONFIGS
+        for j in range(b)
+    )
+    return f"""
+WITH {_SHINGLE_SQL},
+mh AS (
+    SELECT doc_id, {mins} FROM sh GROUP BY 1
+), bands AS (
+    {bands}
+), cand AS (
+    SELECT DISTINCT a.cfg AS cfg, a.b AS b, a.r AS r,
+           a.doc_id AS doc_a, bb.doc_id AS doc_b
+    FROM bands a JOIN bands bb
+      ON a.cfg = bb.cfg AND a.band = bb.band AND a.bucket = bb.bucket
+     AND a.doc_id < bb.doc_id
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ic
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), truth AS (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE (1000 * i.ic) // (sa.n_sh + sb.n_sh - i.ic)
+          >= {LSH_CURVE_TRUTH_PM}
+), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+agg AS (
+    SELECT c.cfg, CAST(MIN(c.b) AS BIGINT) AS bands,
+           CAST(MIN(c.r) AS BIGINT) AS rows_per_band,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS true_positives
+    FROM cand c
+    LEFT JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    GROUP BY 1
+)
+SELECT a.cfg, a.bands, a.rows_per_band, a.n_candidates, nt.n_true
+           AS n_true_pairs,
+       a.true_positives,
+       (1000 * a.true_positives) // greatest(a.n_candidates, 1)
+           AS precision_pm,
+       (1000 * a.true_positives) // greatest(nt.n_true, 1) AS recall_pm
+FROM agg a, nt
+"""
+
+
+@query(
+    "llm_lsh_tuning_curve",
+    oracle=_lsh_curve_oracle(),
+    tags=("llm-text", "dedup", "tuning"),
+)
+def llm_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH banding operating curve: candidate count, precision
+    and recall (integer per-mille) of each (bands x rows-per-band)
+    config over the SAME K=12 MinHash signatures, scored against exact
+    ground truth (inverted-index Jaccard >= 0.5).
+
+    Scale shape: signatures computed once (checkpointed, 1 row/doc) and
+    banded per config as exploded array rows — 24 band rows/doc for the
+    four configs, one self-join keyed (cfg, band, bucket); the r=1
+    config deliberately shows the hot-bucket / precision floor the MOSS
+    df cap and banding exist to avoid. Ground truth is the exact
+    shared-shingle join (cost class of llm_dedup_ngram_jaccard — the
+    measured-honesty side; production tunes on a sampled truth set,
+    which this plan admits rather than hides)."""
+    from .llm_scale_queries import _shingles, MINHASH_K
+
+    d = T.load(spark, sf_dir, "documents")
+    sh = _shingles(d).localCheckpoint()  # mh + truth (x2 sides) + sizes
+    mh = (
+        sh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+                ).alias(f"h{i}")
+                for i in range(MINHASH_K)
+            ]
+        )
+        .localCheckpoint()  # one signature pass feeds every config
+    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{b:02d}x{r:02d}").alias("cfg"),
+                        F.lit(b).alias("b"),
+                        F.lit(r).alias("r"),
+                        F.lit(j).alias("band"),
+                        F.md5(
+                            F.concat(
+                                *[F.col(f"h{r * j + k}") for k in range(r)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b, r in LSH_CURVE_CONFIGS
+                    for j in range(b)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.cfg", "bb.b", "bb.r", "bb.band", "bb.bucket")
+    left, right = bands.alias("l"), bands.alias("rr")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.cfg") == F.col("rr.cfg"))
+            & (F.col("l.band") == F.col("rr.band"))
+            & (F.col("l.bucket") == F.col("rr.bucket"))
+            & (F.col("l.doc_id") < F.col("rr.doc_id")),
+        )
+        .select(
+            F.col("l.cfg").alias("cfg"),
+            F.col("l.b").alias("b"),
+            F.col("l.r").alias("r"),
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("rr.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    truth = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.expr("(1000 * ic) div (na + nb - ic)") >= LSH_CURVE_TRUTH_PM
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # scalar count + per-config tp join both read it
+    )
+    nt = truth.select(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    agg = (
+        cand.join(
+            truth.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+        )
+        .groupBy("cfg")
+        .agg(
+            F.min("b").cast("bigint").alias("bands"),
+            F.min("r").cast("bigint").alias("rows_per_band"),
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias(
+                "true_positives"
+            ),
+        )
+    )
+    return agg.crossJoin(F.broadcast(nt)).select(
+        "cfg",
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        F.col("n_true").alias("n_true_pairs"),
+        "true_positives",
+        F.expr(
+            "(1000 * true_positives) div greatest(n_candidates, 1)"
+        ).alias("precision_pm"),
+        F.expr("(1000 * true_positives) div greatest(n_true, 1)").alias(
+            "recall_pm"
+        ),
+    )

@@ -1161,3 +1161,89 @@ def test_langid_eval_python_model(spark):
     assert got == model and len(model) > 1
     # the heuristic must actually separate classes on this corpus
     assert any(v[5] > 0 for v in model.values())
+
+
+def test_lsh_tuning_curve_python_model(spark):
+    """From-scratch python: K=12 minhash signatures, band each config,
+    candidate pairs per config, exact-jaccard >= 0.5 ground truth,
+    per-mille precision/recall — bit-identical, and the curve must be
+    monotone: finer bands (smaller r) never lose candidates."""
+    import pyarrow.parquet as pq
+
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        LSH_CURVE_CONFIGS,
+        LSH_CURVE_TRUTH_PM,
+    )
+
+    rows = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+    shs = {}
+    for rec in rows:
+        t = rec["text"].split(" ")
+        shs[rec["doc_id"]] = {
+            " ".join(t[i : i + 3]) for i in range(max(len(t) - 2, 1))
+            if len(t[i : i + 3]) == 3 or len(t) <= 2
+        }
+        # match the engine construction exactly: windows shorter than 3
+        # tokens are filtered out
+        shs[rec["doc_id"]] = {
+            s for s in shs[rec["doc_id"]] if len(s.split(" ")) == 3
+        }
+    sig = {
+        d: [
+            min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in ss)
+            for i in range(12)
+        ]
+        for d, ss in shs.items()
+        if ss
+    }
+    docs = sorted(sig)
+    truth = set()
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            ic = len(shs[a] & shs[b])
+            if ic and 1000 * ic // (len(shs[a]) + len(shs[b]) - ic) >= (
+                LSH_CURVE_TRUTH_PM
+            ):
+                truth.add((a, b))
+    model = {}
+    for bb, r in LSH_CURVE_CONFIGS:
+        cand = set()
+        buckets: dict = {}
+        for d in docs:
+            for j in range(bb):
+                key = (j, hashlib.md5(
+                    "".join(sig[d][r * j : r * j + r]).encode()
+                ).hexdigest())
+                buckets.setdefault(key, []).append(d)
+        for members in buckets.values():
+            for i, a in enumerate(members):
+                for b2 in members[i + 1:]:
+                    cand.add((min(a, b2), max(a, b2)))
+        tp = len(cand & truth)
+        model[f"{bb:02d}x{r:02d}"] = (
+            bb, r, len(cand), len(truth), tp,
+            1000 * tp // max(len(cand), 1),
+            1000 * tp // max(len(truth), 1),
+        )
+    got = {
+        r["cfg"]: (
+            r["bands"], r["rows_per_band"], r["n_candidates"],
+            r["n_true_pairs"], r["true_positives"],
+            r["precision_pm"], r["recall_pm"],
+        )
+        for r in queries()["llm_lsh_tuning_curve"](spark, SF).collect()
+    }
+    assert got == model and len(model) == len(LSH_CURVE_CONFIGS)
+    # curve sanity: r=1 must dominate candidate counts (the hot-bucket
+    # floor the banding exists to avoid)
+    assert got["12x01"][2] >= got["04x03"][2]
+
+
+def test_lsh_tuning_curve_signatures_once(spark):
+    """Every config bands the SAME checkpointed signature frame and the
+    shingle frame is checkpointed for its consumers: the final plan
+    never rescans documents, and there is no cartesian anywhere."""
+    plan = _plan(spark, "llm_lsh_tuning_curve")
+    assert plan.count("ReadSchema:") == 0
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan

@@ -165,6 +165,7 @@ QUERIES = [
     "dq_distribution_drift_ks",
     "dq_vocab_drift",
     "dq_langid_eval",
+    "llm_lsh_tuning_curve",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
