@@ -1402,3 +1402,33 @@ def test_incremental_ahash_replay_is_idempotent(spark, tmp_path):
     replay = _rows(incremental_ahash_pairs(spark, half, state, 0), cols)
     assert replay == first
     assert spark.read.parquet(f"{state}/fps").count() == half.count()
+
+
+def test_incremental_winnow_pairs_stream_e2e(spark, tmp_path):
+    """Streaming x winnowing twin through a REAL readStream ->
+    foreachBatch run: documents arriving as parquet micro-batches must
+    emit, across all batches, exactly the capless batch pair set (which
+    equals the registered capped query on this corpus — max fingerprint
+    df 9 << 64), every pair once with identical counts/overlap."""
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.streaming.incremental import (
+        incremental_winnow_pairs,
+    )
+
+    cols = ["doc_a", "doc_b", "shared_fp", "n_fp_a", "n_fp_b", "overlap_pm"]
+    expected = _rows(queries()["llm_winnow_fingerprints"](spark, SF), cols)
+
+    docs = T.load(spark, SF, "documents")
+    state = str(tmp_path / "wn_state")
+    sink = str(tmp_path / "wn_pairs")
+    _, src = stream_from_dataframe(docs, n_files=3, base_dir=str(tmp_path))
+    s = stream_parquet_source(spark, src, docs.schema)
+    run_foreach_batch(
+        s,
+        lambda bdf, bid: incremental_winnow_pairs(spark, bdf, state, bid)
+        .write.mode("append")
+        .parquet(sink),
+        output_mode="append",
+    )
+    got = _rows(spark.read.parquet(sink), cols)
+    assert got == expected and expected
