@@ -1558,3 +1558,124 @@ def test_containment_matches_python_model_exactly(spark):
         for r in out
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# round-6 operator properties
+# ---------------------------------------------------------------------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+DOC = st.lists(st.sampled_from(_WORDS), min_size=6, max_size=20)
+
+
+@given(
+    doc_a=DOC,
+    doc_b=DOC,
+    run=st.lists(st.sampled_from(_WORDS), min_size=6, max_size=10),
+    pos=st.integers(0, 20),
+)
+@settings(**PROP_SETTINGS)
+def test_winnowing_guarantee_shared_run_shares_fingerprint(
+    spark, doc_a, doc_b, run, pos
+):
+    """The MOSS guarantee: any shared token run of length >= w+k-1 = 6
+    contains at least one COMPLETE window of k-gram hashes, identical in
+    both docs, so both select its minimum — a shared fingerprint is
+    structurally guaranteed, for every plant position."""
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        winnow_fingerprint_rows,
+    )
+
+    ta = doc_a[: pos % (len(doc_a) + 1)] + run + doc_a[pos % (len(doc_a) + 1):]
+    tb = doc_b[len(doc_b) - (pos % (len(doc_b) + 1)):] + run + doc_b[
+        : len(doc_b) - (pos % (len(doc_b) + 1))
+    ]
+    df = spark.createDataFrame(
+        [(0, " ".join(ta)), (1, " ".join(tb))], "doc_id long, text string"
+    )
+    fp = {
+        (r["doc_id"], r["f"])
+        for r in winnow_fingerprint_rows(df).collect()
+    }
+    a = {f for d, f in fp if d == 0}
+    b = {f for d, f in fp if d == 1}
+    assert a & b, "planted shared run must yield a shared fingerprint"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["s1", "s2"]), st.sampled_from(_WORDS)),
+        min_size=1,
+        max_size=30,
+    ),
+    dup_mask=st.lists(st.booleans(), min_size=30, max_size=30),
+)
+@settings(**PROP_SETTINGS)
+def test_hll_registers_invariant_under_duplication(spark, rows, dup_mask):
+    """At-least-once delivery cannot move an HLL estimate: duplicating
+    any subset of the keyed rows leaves every register — and therefore
+    the estimate — bit-identical (MAX absorbs duplicates; the property
+    the sketch's no-distinct-pass design rests on)."""
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        hll_register_partials,
+    )
+
+    base = spark.createDataFrame(rows, "grp string, key string")
+    duped_rows = rows + [r for r, m in zip(rows, dup_mask) if m]
+    duped = spark.createDataFrame(duped_rows, "grp string, key string")
+    reg = lambda d: {  # noqa: E731
+        (r["grp"], r["bucket"], r["r"])
+        for r in hll_register_partials(d).collect()
+    }
+    assert reg(base) == reg(duped)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["hash", "join", "order", "window", "scan", "x", "y"]
+            ),
+            min_size=1,
+            max_size=15,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    seed=st.integers(0, 10**6),
+)
+@settings(**PROP_SETTINGS)
+def test_bm25_is_bag_of_words(spark, docs, seed):
+    """BM25 is a bag-of-words score: shuffling the tokens inside every
+    document changes nothing (tf/dl/df/N/avgdl are all order-free), so
+    the full top-K output is identical."""
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        bm25_query_frame,
+        bm25_score_topk,
+        bm25_tf_rows,
+    )
+    import pyspark.sql.functions as FF
+
+    rng = random.Random(seed)
+    shuffled = [list(d) for d in docs]
+    for d in shuffled:
+        rng.shuffle(d)
+
+    def run(token_lists):
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in enumerate(token_lists)],
+            "doc_id long, text string",
+        )
+        g = df.select(
+            FF.count(FF.lit(1)).cast("bigint").alias("n"),
+            FF.sum(FF.size(FF.split("text", " "))).cast("bigint").alias("a"),
+        )
+        out = bm25_score_topk(bm25_tf_rows(df), g, bm25_query_frame(spark))
+        return {
+            (r["query_id"], r["rnk"]): (
+                r["doc_id"], r["score_ppb"], r["n_terms_hit"]
+            )
+            for r in out.collect()
+        }
+
+    assert run(docs) == run(shuffled)
