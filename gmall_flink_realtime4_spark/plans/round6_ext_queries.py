@@ -2627,3 +2627,112 @@ def llm_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_pm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_benford_first_digit — Benford's-law first-digit audit of a money
+# column: the classic synthetic/fabricated-data screen (genuine
+# multiplicative amounts follow P(d) = log10(1+1/d); uniform generators —
+# like this synthetic warehouse — do not, and the audit must SAY so).
+# Expected probabilities are PINNED per-mille constants (301..46, summing
+# exactly to 1000), so no transcendental is evaluated on either engine;
+# observed proportions are ppm->pm floored before differencing (the
+# vocab-drift quantize-then-combine discipline). First digit comes from
+# floor()-then-cast — Spark's double->bigint cast truncates while
+# DuckDB's ROUNDS, so the floor() is load-bearing for cross-engine parity.
+# ---------------------------------------------------------------------------
+BENFORD_PM = (301, 176, 125, 97, 79, 67, 58, 51, 46)  # d = 1..9
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle=f"""
+WITH v AS (
+    SELECT CAST(floor(o_totalprice) AS BIGINT) AS n
+    FROM orders WHERE o_totalprice >= 1
+), c AS (
+    SELECT CAST(substr(CAST(n AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM v GROUP BY 1
+), tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS t FROM c),
+exp AS (
+    SELECT * FROM (VALUES
+        {", ".join(f"({d + 1}, {pm})" for d, pm in enumerate(BENFORD_PM))}
+    ) e(digit, benford_pm)
+), g AS (
+    SELECT e.digit, CAST(e.benford_pm AS BIGINT) AS benford_pm,
+           COALESCE(c.n_orders, 0) AS n_orders,
+           (1000 * COALESCE(c.n_orders, 0)) // tot.t AS obs_pm
+    FROM exp e LEFT JOIN c ON c.digit = e.digit, tot
+), s AS (
+    SELECT *, abs(obs_pm - benford_pm) AS dev_pm,
+           ((obs_pm - benford_pm) * (obs_pm - benford_pm)) // benford_pm
+               AS chi2_contrib
+    FROM g
+), x AS (SELECT CAST(SUM(chi2_contrib) AS BIGINT) AS chi2_total_pm FROM s)
+SELECT CAST(s.digit AS BIGINT) AS digit, s.n_orders, CAST(s.obs_pm AS BIGINT)
+           AS obs_pm,
+       s.benford_pm, CAST(s.dev_pm AS BIGINT) AS dev_pm,
+       CAST(s.chi2_contrib AS BIGINT) AS chi2_contrib, x.chi2_total_pm
+FROM s, x
+""",
+    tags=("dq", "benford"),
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of o_totalprice: per-digit observed vs
+    expected per-mille, absolute deviation, chi-square contribution, and
+    the total chi-square riding on every row — on THIS synthetic
+    warehouse the verdict is (honestly) non-Benford: a uniform price
+    generator loads digits 1-4 ~10x over 5-9, and the audit exists to
+    catch exactly that.
+
+    Scale shape: one pushed scan -> map-side floor/substr projection ->
+    one map-combined 9-key count; the digit grid, totals, and chi-square
+    fold are all constant-size broadcast work. Expected probabilities
+    are pinned integer constants, so both engines compute the identical
+    report with zero transcendental calls."""
+    o = T.load(spark, sf_dir, "orders")
+    c = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.expr(
+                "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)"
+                " AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .localCheckpoint()  # 9 rows; grid join + total both read it
+    )
+    exp = spark.createDataFrame(
+        [(d + 1, pm) for d, pm in enumerate(BENFORD_PM)],
+        "digit bigint, benford_pm bigint",
+    )
+    tot = c.select(F.sum("n_orders").cast("bigint").alias("t"))
+    g = (
+        exp.join(c, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "benford_pm",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.expr("(1000 * coalesce(n_orders, 0)) div t").alias("obs_pm"),
+        )
+    )
+    s = g.select(
+        "*",
+        F.abs(F.col("obs_pm") - F.col("benford_pm")).alias("dev_pm"),
+        F.expr(
+            "((obs_pm - benford_pm) * (obs_pm - benford_pm)) div benford_pm"
+        ).alias("chi2_contrib"),
+    )
+    x = s.select(F.sum("chi2_contrib").cast("bigint").alias("chi2_total_pm"))
+    return s.crossJoin(F.broadcast(x)).select(
+        "digit",
+        "n_orders",
+        "obs_pm",
+        "benford_pm",
+        "dev_pm",
+        "chi2_contrib",
+        "chi2_total_pm",
+    )

@@ -1247,3 +1247,64 @@ def test_lsh_tuning_curve_signatures_once(spark):
     assert plan.count("ReadSchema:") == 0
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_benford_python_model(spark):
+    """From-scratch python: floor-then-first-digit counts, ppm-floored
+    observed per-mille vs the pinned Benford constants, chi-square —
+    bit-identical; and the audit must honestly flag THIS synthetic
+    warehouse as non-Benford (uniform price generator loads digits 1-4)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        BENFORD_PM,
+    )
+
+    # the pinned constants must BE Benford (round-to-nearest per-mille)
+    assert list(BENFORD_PM) == [
+        round(1000 * math.log10(1 + 1 / d)) for d in range(1, 10)
+    ]
+    assert sum(BENFORD_PM) == 1000
+
+    rows = pq.read_table(f"{SF}/orders.parquet").to_pylist()
+    c: dict = {}
+    for r in rows:
+        p = r["o_totalprice"]
+        if p is not None and p >= 1:
+            d = int(str(int(math.floor(p)))[0])
+            c[d] = c.get(d, 0) + 1
+    t = sum(c.values())
+    model = {}
+    chi_total = sum(
+        ((1000 * c.get(d, 0) // t) - pm) ** 2 // pm
+        for d, pm in zip(range(1, 10), BENFORD_PM)
+    )
+    for d, pm in zip(range(1, 10), BENFORD_PM):
+        obs = 1000 * c.get(d, 0) // t
+        model[d] = (
+            c.get(d, 0), obs, pm, abs(obs - pm),
+            (obs - pm) ** 2 // pm, chi_total,
+        )
+    got = {
+        r["digit"]: (
+            r["n_orders"], r["obs_pm"], r["benford_pm"], r["dev_pm"],
+            r["chi2_contrib"], r["chi2_total_pm"],
+        )
+        for r in queries()["dq_benford_first_digit"](spark, SF).collect()
+    }
+    assert got == model and len(got) == 9
+    # the honesty claim: synthetic uniform prices are NOT Benford
+    assert got[1][5] > 100
+
+
+def test_benford_single_scan_constant_tail(spark):
+    """One pushed orders scan feeds the 9-key count; every downstream
+    step (digit grid, totals, chi-square fold) is constant-size
+    broadcast work against the checkpointed count."""
+    plan = _plan(spark, "dq_benford_first_digit")
+    assert plan.count("ReadSchema:") == 0  # count ran inside the checkpoint
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

@@ -166,6 +166,7 @@ QUERIES = [
     "dq_vocab_drift",
     "dq_langid_eval",
     "llm_lsh_tuning_curve",
+    "dq_benford_first_digit",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
