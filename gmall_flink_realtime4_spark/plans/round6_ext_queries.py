@@ -2736,3 +2736,126 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2_contrib",
         "chi2_total_pm",
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_sample_pps — EXACT systematic probability-proportional-to-size
+# sampling: pick PPS_N selection points p_k = offset + k*stride over the
+# cumulative weight line (stride = W div N, offset = stride div 2) and
+# select every doc whose weight interval contains a point — docs heavier
+# than one stride are selected MULTIPLE times (n_hits > 1), exactly as
+# PPS-with-replacement prescribes. The quality/size-weighted subsampler
+# a curation pipeline uses when uniform sampling under-represents long
+# documents. Deterministic (no RNG: the offset is pinned mid-stride), so
+# both engines select the identical multiset — and sum(n_hits) == N is a
+# structural identity the test asserts.
+#
+# The cumulative weights come from the SAME distributed two-phase prefix
+# sum as llm_pack_sequences (bucket totals -> tiny ordered offsets frame
+# -> parallel within-bucket windows) — never a single-task global
+# ORDER BY. Division-sign discipline: cum - offset can be negative for
+# the first docs and Spark's div TRUNCATES while DuckDB's // FLOORS, so
+# every division is guarded to non-negative operands by CASE branches.
+# ---------------------------------------------------------------------------
+PPS_N = 50  # selection points (sample size, with replacement)
+PPS_BUCKET = 1024  # prefix-sum bucket width (parallelism knob)
+
+_PPS_KLO = (
+    "CASE WHEN cum_ex <= off_pt THEN CAST(0 AS BIGINT)"
+    " ELSE (cum_ex - off_pt + stride - 1) {d} stride END"
+)
+_PPS_KHI = (
+    f"least((cum_hi - 1 - off_pt) {{d}} stride, CAST({PPS_N - 1} AS BIGINT))"
+)
+
+
+@query(
+    "llm_sample_pps",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents
+), c AS (
+    SELECT doc_id, w,
+           CAST(COALESCE(SUM(w) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum_ex
+    FROM t
+), g AS (
+    SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM t
+), p AS (
+    SELECT c.doc_id, c.w, c.cum_ex, c.cum_ex + c.w AS cum_hi,
+           g.wtot // {PPS_N} AS stride,
+           (g.wtot // {PPS_N}) // 2 AS off_pt
+    FROM c, g
+), k AS (
+    SELECT doc_id, w, cum_ex,
+           {_PPS_KLO.format(d="//")} AS k_lo,
+           CASE WHEN cum_hi <= off_pt THEN CAST(-1 AS BIGINT)
+                ELSE {_PPS_KHI.format(d="//")} END AS k_hi
+    FROM p
+)
+SELECT doc_id, w AS weight, CAST(cum_ex AS BIGINT) AS cum_lo,
+       CAST(k_lo AS BIGINT) AS k_first,
+       CAST(k_hi - k_lo + 1 AS BIGINT) AS n_hits
+FROM k WHERE k_hi >= k_lo
+""",
+    tags=("llm-sampling",),
+)
+def llm_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact systematic PPS sample of documents weighted by n_chars:
+    the selected docs with their weight, exclusive cumulative offset,
+    first selection-point index, and hit count (heavy docs legitimately
+    draw multiple hits). sum(n_hits) == {PPS_N} exactly, every run, both
+    engines — the systematic-sampling identity the test asserts.
+
+    Scale shape: the cumulative weight line is the llm_pack_sequences
+    distributed prefix sum (per-bucket totals -> rows/{PPS_BUCKET}
+    ordered offsets -> parallel within-bucket cumsum windows); W and the
+    derived stride/offset are one broadcast row. Selection is then pure
+    map-side interval arithmetic — no join against the point set, which
+    never materializes at all."""
+    t = T.load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("w")
+    )
+    b = t.withColumn("bkt", F.expr(f"doc_id div {PPS_BUCKET}"))
+    bt = b.groupBy("bkt").agg(F.sum("w").alias("bt_w"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = bt.withColumn(
+        "boff", F.coalesce(F.sum("bt_w").over(wb), F.lit(0))
+    ).select("bkt", "boff")
+    ww = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = (
+        b.join(F.broadcast(off), "bkt")
+        .withColumn(
+            "cum_ex",
+            (
+                F.col("boff") + F.coalesce(F.sum("w").over(ww), F.lit(0))
+            ).cast("bigint"),
+        )
+        .withColumn("cum_hi", F.col("cum_ex") + F.col("w"))
+    )
+    g = t.select(F.sum("w").cast("bigint").alias("wtot")).select(
+        F.expr(f"wtot div {PPS_N}").alias("stride"),
+        F.expr(f"(wtot div {PPS_N}) div 2").alias("off_pt"),
+    )
+    k = c.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        "w",
+        "cum_ex",
+        F.expr(_PPS_KLO.format(d="div")).alias("k_lo"),
+        F.expr(
+            "CASE WHEN cum_hi <= off_pt THEN CAST(-1 AS BIGINT)"
+            f" ELSE {_PPS_KHI.format(d='div')} END"
+        ).alias("k_hi"),
+    )
+    return k.filter(F.col("k_hi") >= F.col("k_lo")).select(
+        "doc_id",
+        F.col("w").alias("weight"),
+        F.col("cum_ex").alias("cum_lo"),
+        F.col("k_lo").alias("k_first"),
+        (F.col("k_hi") - F.col("k_lo") + 1).cast("bigint").alias("n_hits"),
+    )

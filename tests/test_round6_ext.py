@@ -1308,3 +1308,60 @@ def test_benford_single_scan_constant_tail(spark):
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_pps_python_model_and_identity(spark):
+    """From-scratch python systematic PPS (global cumsum, stride = W//N,
+    offset = stride//2, interval-hit arithmetic) must match bit-for-bit;
+    sum(n_hits) == PPS_N is the structural systematic-sampling identity;
+    and any doc heavier than one stride must be selected (the PPS
+    guarantee uniform sampling lacks)."""
+    import pyarrow.parquet as pq
+
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import PPS_N
+
+    rows = sorted(
+        pq.read_table(f"{SF}/documents.parquet").to_pylist(),
+        key=lambda r: r["doc_id"],
+    )
+    wtot = sum(r["n_chars"] for r in rows)
+    stride = wtot // PPS_N
+    off = stride // 2
+    model = {}
+    cum = 0
+    for r in rows:
+        lo, hi = cum, cum + r["n_chars"]
+        cum = hi
+        k_lo = 0 if lo <= off else (lo - off + stride - 1) // stride
+        k_hi = -1 if hi <= off else min((hi - 1 - off) // stride, PPS_N - 1)
+        if k_hi >= k_lo:
+            model[r["doc_id"]] = (r["n_chars"], lo, k_lo, k_hi - k_lo + 1)
+    got = {
+        r["doc_id"]: (r["weight"], r["cum_lo"], r["k_first"], r["n_hits"])
+        for r in queries()["llm_sample_pps"](spark, SF).collect()
+    }
+    assert got == model and len(model) > 10
+    assert sum(v[3] for v in got.values()) == PPS_N
+    for w, lo, k0, hits in got.values():
+        assert hits >= 1
+        if w > stride:
+            assert hits >= 1  # heavier-than-stride docs always selected
+    # the model must include every doc heavier than one stride
+    for r in rows:
+        if r["n_chars"] > stride:
+            assert r["doc_id"] in model
+
+
+def test_pps_prefix_sum_is_distributed(spark):
+    """The cumulative-weight windows partition by the doc_id-range
+    bucket (parallel), never an unpartitioned global ORDER BY over doc
+    rows — the only unpartitioned window runs on the rows/{bucket}
+    offsets frame. Selection is map-side: no join against any
+    materialized point set."""
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        PPS_BUCKET,
+    )
+
+    plan = _plan(spark, "llm_sample_pps")
+    assert f"div {PPS_BUCKET}" in plan  # bucketed partition key present
+    assert "CartesianProduct" not in plan

@@ -167,6 +167,7 @@ QUERIES = [
     "dq_langid_eval",
     "llm_lsh_tuning_curve",
     "dq_benford_first_digit",
+    "llm_sample_pps",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
