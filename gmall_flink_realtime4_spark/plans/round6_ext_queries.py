@@ -2043,13 +2043,30 @@ def dq_distribution_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-back) re-reads it and it is histogram-sized (|sources| x
     |distinct n_chars| rows), so the full document scan runs exactly
     once. The cumsum Window partitions by source over the bounded grid —
-    never over corpus rows."""
+    never over corpus rows.
+
+    Streaming posture: the (source, value) count frame is a plain
+    additive histogram — per-micro-batch partials from
+    ``ks_count_partials`` union + re-sum to exactly the one-shot counts,
+    and ``ks_finalize`` is the batch tail over any such merge
+    (tests/test_round6_ext.py::test_incremental_ks_count_partials_merge).
+    """
     d = T.load(spark, sf_dir, "documents")
-    c = (
-        d.groupBy("source", F.col("n_chars").alias("v"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint()
+    c = ks_count_partials(d).localCheckpoint()
+    return ks_finalize(c)
+
+
+def ks_count_partials(d: DataFrame) -> DataFrame:
+    """Per-(source, n_chars) counts for any slice of documents — the
+    mergeable (sum-algebra) state of the KS drift report."""
+    return d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
     )
+
+
+def ks_finalize(c: DataFrame) -> DataFrame:
+    """The KS tail over a (source, v, c) histogram frame (already merged
+    and, in the batch query, checkpointed)."""
     srcs = c.select("source").distinct()
     vals = c.select("v").distinct()
     grid = (
@@ -2644,6 +2661,23 @@ def llm_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENFORD_PM = (301, 176, 125, 97, 79, 67, 58, 51, 46)  # d = 1..9
 
 
+def benford_digit_partials(o: DataFrame) -> DataFrame:
+    """Per-first-digit counts for any slice of orders — the mergeable
+    (sum-algebra) state of the Benford audit."""
+    return (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.expr(
+                "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)"
+                " AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
+
 @query(
     "dq_benford_first_digit",
     oracle=f"""
@@ -2692,18 +2726,9 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     are pinned integer constants, so both engines compute the identical
     report with zero transcendental calls."""
     o = T.load(spark, sf_dir, "orders")
-    c = (
-        o.filter(F.col("o_totalprice") >= 1)
-        .select(
-            F.expr(
-                "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)"
-                " AS STRING), 1, 1) AS BIGINT)"
-            ).alias("digit")
-        )
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
-        .localCheckpoint()  # 9 rows; grid join + total both read it
-    )
+    # 9 rows; grid join + total both read it. Per-batch partials of this
+    # frame merge by plain SUM (test_incremental_benford_partials_merge).
+    c = benford_digit_partials(o).localCheckpoint()
     exp = spark.createDataFrame(
         [(d + 1, pm) for d, pm in enumerate(BENFORD_PM)],
         "digit bigint, benford_pm bigint",

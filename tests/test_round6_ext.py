@@ -1365,3 +1365,60 @@ def test_pps_prefix_sum_is_distributed(spark):
     plan = _plan(spark, "llm_sample_pps")
     assert f"div {PPS_BUCKET}" in plan  # bucketed partition key present
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_ks_count_partials_merge(spark):
+    """(source, n_chars) count partials from 3 disjoint document slices
+    union + re-sum to exactly the one-shot histogram, and the KS tail
+    over the merge equals the registered query — the accumulate-then-
+    finalize twin (sum algebra; the checksum/anomaly-partials pattern)."""
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        ks_count_partials,
+        ks_finalize,
+    )
+
+    d = T.load(spark, SF, "documents")
+    parts = None
+    for bid in range(3):
+        b = ks_count_partials(d.filter(F.col("doc_id") % 3 == bid))
+        parts = b if parts is None else parts.unionByName(b)
+    merged = parts.groupBy("source", "v").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+    cols = ["n_source", "n_rest", "ks_pm", "ks_at_value"]
+    got = {
+        r["source"]: tuple(r[c] for c in cols)
+        for r in ks_finalize(merged).collect()
+    }
+    ref = {
+        r["source"]: tuple(r[c] for c in cols)
+        for r in queries()["dq_distribution_drift_ks"](spark, SF).collect()
+    }
+    assert got == ref and len(ref) > 1
+
+
+def test_incremental_benford_partials_merge(spark):
+    """First-digit count partials from 3 disjoint order slices union +
+    re-sum to the one-shot counts exactly (plain sum algebra)."""
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        benford_digit_partials,
+    )
+
+    o = T.load(spark, SF, "orders")
+    parts = None
+    for bid in range(3):
+        b = benford_digit_partials(o.filter(F.col("o_orderkey") % 3 == bid))
+        parts = b if parts is None else parts.unionByName(b)
+    merged = {
+        r["digit"]: r["s"]
+        for r in parts.groupBy("digit")
+        .agg(F.sum("n_orders").cast("bigint").alias("s"))
+        .collect()
+    }
+    whole = {
+        r["digit"]: r["n_orders"]
+        for r in benford_digit_partials(o).collect()
+    }
+    assert merged == whole and len(whole) > 3
