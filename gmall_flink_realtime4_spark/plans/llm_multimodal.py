@@ -914,3 +914,169 @@ def ahash_image(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return media.mapInPandas(fn, schema=AHASH_SCHEMA)
+
+
+RESAMPLE_SCHEMA = (
+    "doc_id bigint, ok boolean, n_in bigint, n_out bigint,"
+    " in_rate bigint, out_rate bigint, media_bytes binary"
+)
+
+
+def resample_audio(media: DataFrame, factor: int) -> DataFrame:
+    """Integer-factor audio DECIMATION: keep every ``factor``-th PCM
+    frame and rebuild a canonical 44-byte RIFF/WAVE container at
+    rate/factor — the audio twin of ``resize_image`` (same kernel
+    contract: real chunk-walk parse in, valid container out, row-level
+    ok/NULL error channel). Deliberately NO anti-aliasing filter: a
+    float filter would not be bit-stable cross-engine, and the op's job
+    here is deterministic rate reduction for fingerprinting/feature
+    budgets, not hi-fi (documented honestly, like the linear-counting
+    branch HLL omits). Frames (not bytes) decimate, so multi-channel
+    and 16-bit payloads stay sample-aligned. Map-only ``mapInPandas``;
+    scales by executors, no shuffle at any scale."""
+    import numpy as np
+
+    cols = [c.split()[0] for c in RESAMPLE_SCHEMA.split(",")]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media_bytes"]):
+                b = bytes(payload)
+                try:
+                    channels, rate, bits, data = _wav_pcm(b)
+                    bpf = channels * (bits // 8)
+                    n_in = len(data) // bpf
+                    frames = np.frombuffer(
+                        data[: n_in * bpf], dtype=np.uint8
+                    ).reshape(n_in, bpf)
+                    kept = frames[::factor]
+                    n_out = int(kept.shape[0])
+                    out_rate = rate // factor
+                    dbytes = kept.tobytes()
+                    hdr = (
+                        b"RIFF"
+                        + struct.pack("<I", 36 + len(dbytes))
+                        + b"WAVEfmt "
+                        + struct.pack(
+                            "<IHHIIHH",
+                            16,
+                            1,
+                            channels,
+                            out_rate,
+                            out_rate * bpf,
+                            bpf,
+                            bits,
+                        )
+                        + b"data"
+                        + struct.pack("<I", len(dbytes))
+                    )
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "ok": True,
+                            "n_in": n_in,
+                            "n_out": n_out,
+                            "in_rate": rate,
+                            "out_rate": out_rate,
+                            "media_bytes": hdr + dbytes,
+                        }
+                    )
+                except (ValueError, struct.error, TypeError):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "ok": False,
+                            "n_in": None,
+                            "n_out": None,
+                            "in_rate": None,
+                            "out_rate": None,
+                            "media_bytes": None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(fn, schema=RESAMPLE_SCHEMA)
+
+
+def _wav_hdr_hex_sql(rate_hex: str, size_expr: str) -> str:
+    """DuckDB hex of the canonical 44-byte mono/8-bit WAV header with a
+    pinned rate and a per-row data size (<= 64 KiB, so the two high LE
+    bytes are '0000'). Mirrors the kernel's struct.pack layout AND
+    `wav_frame`'s JVM construction."""
+    le4 = (
+        "lower(lpad(hex(({x}) % 256), 2, '0'))"
+        " || lower(lpad(hex((({x}) // 256) % 256), 2, '0')) || '0000'"
+    )
+    return (
+        f"'52494646' || {le4.format(x=f'({size_expr}) + 36')}"
+        " || '57415645' || '666d7420' || '10000000' || '0100' || '0100'"
+        f" || '{rate_hex}' || '{rate_hex}' || '0100' || '0800'"
+        f" || '64617461' || {le4.format(x=size_expr)}"
+    )
+
+
+@query(
+    "llm_multimodal_audio_resample",
+    oracle=f"""
+WITH a AS (
+    SELECT doc_id, text, octet_length(encode(text)) AS n,
+           string_split(text, '') AS xs
+    FROM documents WHERE CAST(doc_id % 3 AS INT) = 1
+), dec AS (
+    SELECT a.doc_id,
+           string_agg(a.xs[i], '' ORDER BY i) AS dtext,
+           CAST(COUNT(*) AS BIGINT) AS m
+    FROM a, unnest(range(1, len(a.xs) + 1, 2)) r(i)
+    GROUP BY 1
+), ident AS (
+    SELECT doc_id, n,
+           {_wav_hdr_hex_sql('401f0000', 'n')} || lower(hex(encode(text)))
+               AS full_hex
+    FROM a
+), half AS (
+    SELECT d.doc_id, a.n, d.m,
+           {_wav_hdr_hex_sql('a00f0000', 'd.m')}
+               || lower(hex(encode(d.dtext))) AS full_hex
+    FROM dec d JOIN a USING (doc_id)
+)
+SELECT doc_id, 'identity' AS variant, TRUE AS ok,
+       CAST(n AS BIGINT) AS n_in, CAST(n AS BIGINT) AS n_out,
+       CAST(8000 AS BIGINT) AS out_rate,
+       md5(full_hex) AS out_hex_md5,
+       CAST(44 + n AS BIGINT) AS out_len
+FROM ident
+UNION ALL
+SELECT doc_id, 'half' AS variant, TRUE AS ok,
+       CAST(n AS BIGINT), m, CAST(4000 AS BIGINT),
+       md5(full_hex), CAST(44 + m AS BIGINT)
+FROM half
+""",
+    tags=("llm-multimodal",),
+)
+def llm_multimodal_audio_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-gated audio resample: identity (factor 1 — the rebuilt
+    container must be byte-identical to the input, a full
+    parse->rebuild round trip) + 2x decimation (8 kHz -> 4 kHz, every
+    2nd frame) over genuine RIFF/WAVE containers. The oracle rebuilds
+    BOTH containers byte-by-byte from the construction rule (LE header
+    hex + decimated character codes) and compares md5 over the
+    lowercase hex of the bytes (DuckDB's md5 is VARCHAR-only — hashing
+    the hex proves the same byte-exactness). Two map-only passes over
+    the same scan, no shuffle at any scale."""
+    wavs = wav_frame(spark, sf_dir)
+    ident = resample_audio(wavs, 1).withColumn("variant", F.lit("identity"))
+    half = resample_audio(wavs, 2).withColumn("variant", F.lit("half"))
+    u = ident.unionByName(half)
+    return u.select(
+        "doc_id",
+        "variant",
+        "ok",
+        "n_in",
+        "n_out",
+        "out_rate",
+        F.md5(F.lower(F.hex("media_bytes"))).alias("out_hex_md5"),
+        F.octet_length("media_bytes").cast("bigint").alias("out_len"),
+    )

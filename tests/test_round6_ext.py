@@ -1422,3 +1422,54 @@ def test_incremental_benford_partials_merge(spark):
         for r in benford_digit_partials(o).collect()
     }
     assert merged == whole and len(whole) > 3
+
+
+def test_audio_resample_identity_roundtrip_and_model(spark):
+    """factor=1 must rebuild the EXACT input container (full parse ->
+    header re-pack -> byte equality), and factor=2 must equal a
+    from-scratch python decimation of the same WAV — including the
+    rebuilt 4 kHz header bytes."""
+    import struct as st
+
+    from gmall_flink_realtime4_spark.plans.llm_multimodal import (
+        resample_audio,
+        wav_frame,
+    )
+
+    wavs = {
+        r["doc_id"]: bytes(r["media_bytes"])
+        for r in wav_frame(spark, SF).collect()
+    }
+    ident = {
+        r["doc_id"]: bytes(r["media_bytes"])
+        for r in resample_audio(wav_frame(spark, SF), 1).collect()
+    }
+    assert ident == wavs and len(wavs) > 50  # byte-identical round trip
+
+    half = {
+        r["doc_id"]: bytes(r["media_bytes"])
+        for r in resample_audio(wav_frame(spark, SF), 2).collect()
+    }
+    for doc_id, b in wavs.items():
+        data = b[44:]
+        dec = data[::2]
+        hdr = (
+            b"RIFF" + st.pack("<I", 36 + len(dec)) + b"WAVEfmt "
+            + st.pack("<IHHIIHH", 16, 1, 1, 4000, 4000, 1, 8)
+            + b"data" + st.pack("<I", len(dec))
+        )
+        assert half[doc_id] == hdr + dec
+
+
+def test_audio_resample_map_only(spark):
+    """Both variants are map-only mapInPandas over the same pruned scan:
+    no join, no Window, no agg shuffle — the only Exchanges are
+    tables.load's small-input spread (round-robin; a no-op at real
+    scale), one per union branch."""
+    plan = _plan(spark, "llm_multimodal_audio_resample")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert tree.count("Exchange") <= 2
+    assert "MapInPandas" in tree

@@ -168,6 +168,7 @@ QUERIES = [
     "llm_lsh_tuning_curve",
     "dq_benford_first_digit",
     "llm_sample_pps",
+    "llm_multimodal_audio_resample",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
