@@ -66,7 +66,7 @@ GATE_PRIORITY: list[str] = [
     # BENCH_r05) never landed in the repo, so the round-5 prefix below is
     # still the set whose freshest VISIBLE driver row is r03-or-none — it
     # stays for round 6 (re-gating is harmless if r05 did run; required if
-    # it did not). The TWENTY queries new in round 6 lead; twenty
+    # it did not). The TWENTY-ONE queries new in round 6 lead; twenty-one
     # r03-green test-covered names rotate to round 7 (tail comment).
     #
     # ROUND-7 ROTATION RECIPE: replace this list with
@@ -96,6 +96,7 @@ GATE_PRIORITY: list[str] = [
     "dq_benford_first_digit",
     "llm_sample_pps",
     "llm_multimodal_audio_resample",
+    "dws_dau_wau_stickiness",
     # plans changed late in round 4 — freshest driver row predates the change
     "llm_dedup_containment_lsh",
     "f_set_ops_source_overlap",
@@ -133,9 +134,9 @@ GATE_PRIORITY: list[str] = [
     "llm_dedup_minhash_lsh",
     "llm_chunk_dedup",
     "llm_ngram_heavy_hitters",
-    "llm_tfidf_top_terms",
     # freshest row is r03 — analytics / windows / log pipelines
-    # bumped to round 7 (displaced by the twenty round-6 queries):
+    # bumped to round 7 (displaced by the twenty-one round-6 queries):
+    # llm_tfidf_top_terms (r03-green, in-suite parity + x10 row),
     # llm_dedup_containment (r03-green, exact-baseline docstring contract,
     # inverted-index tests in tests/test_corpus_ops.py + in-suite parity),
     # llm_split_train_val_test (r03-green, partition-invariance property

@@ -2884,3 +2884,99 @@ def llm_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k_lo").alias("k_first"),
         (F.col("k_hi") - F.col("k_lo") + 1).cast("bigint").alias("n_hits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dws_dau_wau_stickiness — rolling distinct-active-user windows (DAU /
+# trailing-7-day WAU / stickiness = DAU/WAU): the canonical product-
+# analytics report, implemented in the 100 TB shape — NO range join and
+# no per-day rescans. The raw event stream collapses ONCE to the
+# (user, day) distinct frame; each collapsed row then fans out map-side
+# to the <= 7 window-end days it supports (a generate, not a join), and
+# one countDistinct per window-end day finishes it. The range-join
+# formulation (days BETWEEN d-6 AND d) would plan a nested-loop against
+# the day grid; the fan-out form shuffles at most 7x the COLLAPSED frame
+# — ~1e-3 of the event volume on real click data.
+# ---------------------------------------------------------------------------
+WAU_DAYS = 7
+
+
+@query(
+    "dws_dau_wau_stickiness",
+    oracle=f"""
+WITH ud AS (
+    SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+    FROM events WHERE user_id IS NOT NULL
+), days AS (SELECT DISTINCT day FROM ud),
+dau AS (
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+), fan AS (
+    SELECT DISTINCT u.user_id,
+           strftime(CAST(u.day AS DATE) + CAST(i AS INTEGER), '%Y-%m-%d') AS day
+    FROM ud u, unnest(range(0, {WAU_DAYS})) t(i)
+), wau AS (
+    SELECT f.day, CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS wau
+    FROM fan f JOIN days d ON d.day = f.day
+    GROUP BY 1
+)
+SELECT d.day, dau.dau, w.wau,
+       CAST((1000 * dau.dau) // w.wau AS BIGINT) AS stickiness_pm
+FROM days d JOIN dau USING (day) JOIN wau w USING (day)
+""",
+    tags=("dws", "analytics"),
+)
+def dws_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-{WAU_DAYS}-day weekly active users,
+    and the DAU/WAU stickiness ratio (integer per-mille) per calendar
+    day.
+
+    Scale shape: events collapse ONCE to the distinct (user, day) frame
+    (checkpointed — DAU, the fan-out, and the day grid all read it);
+    WAU is a map-side explode of each collapsed row to its <= {WAU_DAYS}
+    supported window-end days followed by one countDistinct shuffle —
+    never a range join (which would nested-loop against the day grid)
+    and never a per-day rescan. Window-end days past the observed range
+    are dropped by the inner join against the day grid, so partial
+    trailing windows at the start of history are reported as-is
+    (documented: day 1's WAU == its DAU)."""
+    e = T.load(spark, sf_dir, "events")
+    ud = (
+        e.filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    fan = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    "sequence(to_date(day),"
+                    f" date_add(to_date(day), {WAU_DAYS - 1}))"
+                )
+            ).alias("wd"),
+        )
+        .select("user_id", F.date_format("wd", "yyyy-MM-dd").alias("day"))
+        .distinct()
+    )
+    wau = (
+        fan.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("CAST((1000 * dau) div wau AS BIGINT)").alias(
+                "stickiness_pm"
+            ),
+        )
+    )

@@ -1473,3 +1473,57 @@ def test_audio_resample_map_only(spark):
     assert "CartesianProduct" not in plan
     assert tree.count("Exchange") <= 2
     assert "MapInPandas" in tree
+
+
+def test_dau_wau_python_model(spark):
+    """From-scratch python DAU/WAU/stickiness over the events parquet
+    (UTC day strings, trailing-7 distinct union) — bit-identical; day 1's
+    WAU must equal its DAU (partial trailing window, documented)."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        WAU_DAYS,
+    )
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    by_day: dict = {}
+    for r in t.to_pylist():
+        if r["user_id"] is None:
+            continue
+        ts = r["ts"]
+        if isinstance(ts, int):  # TIMESTAMP(NANOS) surfaces as int ns
+            d = dt.datetime.fromtimestamp(
+                ts / 1e9, tz=dt.timezone.utc
+            ).strftime("%Y-%m-%d")
+        else:
+            d = ts.strftime("%Y-%m-%d")
+        by_day.setdefault(d, set()).add(r["user_id"])
+    days = sorted(by_day)
+    model = {}
+    for d in days:
+        dd = dt.date.fromisoformat(d)
+        w = set()
+        for k in range(WAU_DAYS):
+            w |= by_day.get((dd - dt.timedelta(days=k)).isoformat(), set())
+        dau, wau = len(by_day[d]), len(w)
+        model[d] = (dau, wau, 1000 * dau // wau)
+    got = {
+        r["day"]: (r["dau"], r["wau"], r["stickiness_pm"])
+        for r in queries()["dws_dau_wau_stickiness"](spark, SF).collect()
+    }
+    assert got == model and len(model) > 5
+    first = min(model)
+    assert model[first][0] == model[first][1]  # day 1: WAU == DAU
+
+
+def test_dau_wau_no_range_join(spark):
+    """WAU must be the map-side fan-out form: no BroadcastNestedLoopJoin
+    (the range-join trap), no CartesianProduct; the collapsed (user,day)
+    frame is checkpointed for its three consumers."""
+    plan = _plan(spark, "dws_dau_wau_stickiness")
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
+    assert plan.count("ReadSchema:") == 0  # collapse ran inside checkpoint

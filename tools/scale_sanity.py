@@ -169,6 +169,7 @@ QUERIES = [
     "dq_benford_first_digit",
     "llm_sample_pps",
     "llm_multimodal_audio_resample",
+    "dws_dau_wau_stickiness",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
