@@ -62,123 +62,104 @@ REGISTRY: dict[str, QuerySpec] = {}
 # prefix with those 13 (oldest rows), add any queries new in round 6, and
 # bump test-covered r04-fresh names to round 7 to stay at exactly 50.
 GATE_PRIORITY: list[str] = [
-    # ROUND-6 NOTE: the round-5 driver artifacts (CORRECTNESS_r05 /
-    # BENCH_r05) never landed in the repo, so the round-5 prefix below is
-    # still the set whose freshest VISIBLE driver row is r03-or-none — it
-    # stays for round 6 (re-gating is harmless if r05 did run; required if
-    # it did not). The TWENTY-ONE queries new in round 6 lead; twenty-one
-    # r03-green test-covered names rotate to round 7 (tail comment).
+    # ROUND-7 ROTATION (the r6 verdict's recipe, executed): prefix =
+    # ``[k for k in queries() if k not in CORRECTNESS_r06]`` — that set is
+    # 79 names after the llm_ann_ivf_recall fold (34 whose freshest row is
+    # r03, 45 whose freshest row is r04). 50 slots = 5 queries new in
+    # round 7 (head) + all 34 r03-stale + 11 r04-fresh; the remaining 34
+    # r04-fresh names (tail comment) lead round 8's prefix.
     #
-    # ROUND-7 ROTATION RECIPE: replace this list with
-    # ``[k for k in queries() if k not in CORRECTNESS_r06]`` (the queries
-    # lacking a fresh driver row), led by the longest-stale names — the
-    # nine round-7 bumps listed in the tail comment plus the round-6 bump
-    # list — then any queries new in round 7; bump freshly-gated names to
-    # stay at exactly 50.
-    # new in round 6 (need their first driver row)
-    "llm_multimodal_image_dedup",
-    "llm_multimodal_image_neardup_pairs",
-    "llm_sample_domain_cap",
-    "llm_embedding_quantize_int8",
-    "f_zorder_layout_audit",
-    "dq_table_stats_profile",
-    "dq_sketch_join_cardinality",
-    "llm_bpe_train_merges",
-    "llm_bpe_encode_corpus",
-    "dws_event_type_pagerank",
-    "llm_sketch_hll_distinct",
-    "llm_bm25_topk",
-    "llm_winnow_fingerprints",
-    "dq_distribution_drift_ks",
-    "dq_vocab_drift",
-    "dq_langid_eval",
-    "llm_lsh_tuning_curve",
-    "dq_benford_first_digit",
-    "llm_sample_pps",
-    "llm_multimodal_audio_resample",
-    "dws_dau_wau_stickiness",
-    # plans changed late in round 4 — freshest driver row predates the change
-    "llm_dedup_containment_lsh",
-    "f_set_ops_source_overlap",
-    "dq_reconcile_orders_lineitem",
-    "f_bloom_prefilter_semi_join",
-    # new in round 5 (need their first driver row)
-    "llm_multimodal_resize",
-    "llm_multimodal_audio_stats",
-    "llm_pii_redact",
-    "llm_text_unigram_surprisal",
-    "llm_text_bigram_surprisal",
-    "llm_bpe_pair_counts",
-    "f_entity_resolution_customers",
-    "llm_sketch_countmin",
-    "llm_dedup_url_normalize",
-    # plans rewritten in round 5 (double pre-scoring / CC operator) whose
-    # freshest row (r04) predates the rewrite — the four riskiest get
-    # fresh rows now; the rest of the rewritten family (cosine_topk is
-    # already below; ivf_recall/trained/kmeans/embedding_cosine/anomaly)
-    # is covered by the local parity gate and rotates into r6's prefix
-    "llm_neardup_recall",
-    "llm_dedup_embedding_cells",
-    "llm_ann_ivf",
-    "llm_dedup_clusters",
-    # freshest row is r03 — LLM/text/dedup ops
-    "llm_dedup_exact",
-    "llm_dedup_ngram_jaccard",
-    "llm_ann_cosine_topk",
-    "llm_text_token_count",
-    "llm_text_quality_score",
-    "llm_text_langid",
-    "llm_text_length_quantiles",
-    "llm_corpus_prepare",
-    "llm_text_fingerprint",
-    "llm_dedup_minhash_lsh",
-    "llm_chunk_dedup",
-    "llm_ngram_heavy_hitters",
-    # freshest row is r03 — analytics / windows / log pipelines
-    # bumped to round 7 (displaced by the twenty-one round-6 queries):
-    # llm_tfidf_top_terms (r03-green, in-suite parity + x10 row),
-    # llm_dedup_containment (r03-green, exact-baseline docstring contract,
-    # inverted-index tests in tests/test_corpus_ops.py + in-suite parity),
-    # llm_split_train_val_test (r03-green, partition-invariance property
-    # test + in-suite parity),
-    # llm_type_token_ratio (r03-green, in-suite parity),
-    # llm_length_decile_curriculum (r03-green, decile tests + in-suite
-    # parity),
-    # llm_dup_span_coverage (r03-green, span-key tests + in-suite parity),
-    # llm_embedding_covariance (r03-green, sufficient-stats mergeability
-    # test + in-suite parity),
-    # llm_decontaminate (r03-green, overlap tests in tests/test_llm_
-    # pipeline.py + in-suite parity),
-    # llm_text_repetition (r03-green, in-suite parity),
-    # llm_corpus_final (r03-green, bench headline + e2e streaming
-    # incremental-dedup MERGE twin + in-suite parity),
-    # llm_dedup_edit_distance_verify (r03-green, DP-on-candidates tests
-    # in tests/test_llm_cross.py + in-suite parity),
-    # llm_ann_pq_adc_recall (r03-green, guard test_adc_search_never_
-    # scans_base_vectors_at_query_time + in-suite parity),
-    # llm_ann_pq_encode (r03-green, guard test_pq_codebook_broadcast_
-    # assignment_map_only + in-suite parity),
-    # dq_outlier_mad_events, f_range_band_join, dwd_base_log_page,
-    # dwd_base_log_start, dwd_base_log_err, dwd_base_log_display,
-    # dwd_base_log_action, dws_gap_fill_locf_daily_orders — all r03-green,
-    # unchanged, each exercised by dedicated tests (MAD/range-band plan
-    # guards, side-output split e2e, LOCF window) plus the in-suite
-    # parity sweep
-    # bumped to round 6, all r03-green and unchanged since that row:
-    # dim_app_router, dim_app_materialize, dws_sliding_window_events,
-    # dws_session_window_events, dws_user_event_funnel,
-    # dws_time_hierarchy_rollup (each also covered by dedicated
-    # window/streaming/e2e tests), llm_corpus_rollup (local parity +
-    # the corpus-family tests only — give it a gate slot early in r6),
-    # and — displaced by the four round-5 late additions
-    # (surprisal/bpe/entity-resolution/countmin) — f_pivot_event_day,
-    # f_window_suite_orders, dws_cube_event_stats,
-    # f_top_users_per_event_type (each r03-green with a dedicated test in
-    # tests/test_corpus_ops.py), dws_user_retention_cohort (r03-green,
-    # unchanged, displaced by llm_text_bigram_surprisal), and
-    # dim_scd2_user_event_intervals (r03-green, displaced by
-    # llm_dedup_url_normalize); like every registered query the bumped
-    # names stay parity-covered in-suite by tests/test_oracle_parity.py
+    # CADENCE MATH (registry-growth freeze, r6 verdict item 3): registry
+    # 130 -> 129+5new = 134 (<= the ~135 target; llm_ann_ivf_recall folded
+    # into llm_ann_ivf_trained_recall's recall_seed_pm columns). After
+    # this round: 50 r07-fresh, 50 r06-fresh, 34 r04-fresh. Round 8 gates
+    # the 34 r04 names + 16 of the r06-fresh (oldest first); from then on
+    # a 134-query registry cycles through the 50-slot gate in ceil(134/50)
+    # = 3 rounds, i.e. no query's freshest row is ever older than 2 rounds
+    # once the r8 rotation runs.
+    #
+    # ROUND-8 ROTATION RECIPE: prefix = the 34 r04-fresh names from the
+    # tail comment below + any queries new in round 8 + the oldest
+    # r06-fresh names to fill 50 (start with the round-6-new list:
+    # image_dedup, image_neardup_pairs, sample_domain_cap, ...).
+    # new in round 7 (need their first driver row)
+    "f_skyline_pareto_suppliers",
+    "dws_event_cooccurrence_lift",
+    "llm_text_readability",
+    "llm_sample_reservoir",
+    "llm_embedding_pca_power_step",
+    # freshest row is r03 — longest stale, rotated out of the r04 gate by
+    # the 21 round-6 queries (each also covered by dedicated tests; see
+    # ROUND6_NOTES)
+    "llm_tfidf_top_terms",
+    "llm_dedup_containment",
+    "f_pivot_event_day",
+    "f_window_suite_orders",
+    "dws_cube_event_stats",
+    "llm_split_train_val_test",
+    "llm_type_token_ratio",
+    "f_top_users_per_event_type",
+    "dq_outlier_mad_events",
+    "llm_length_decile_curriculum",
+    "llm_dup_span_coverage",
+    "llm_embedding_covariance",
+    "llm_decontaminate",
+    "f_range_band_join",
+    "llm_text_repetition",
+    "llm_corpus_final",
+    "llm_ann_pq_encode",
+    "llm_ann_pq_adc_recall",
+    "llm_dedup_edit_distance_verify",
+    "dwd_base_log_page",
+    "dwd_base_log_start",
+    "dwd_base_log_err",
+    "dwd_base_log_display",
+    "dwd_base_log_action",
+    "dim_app_router",
+    "dim_app_materialize",
+    "dws_sliding_window_events",
+    "llm_corpus_rollup",
+    "dws_user_event_funnel",
+    "dws_session_window_events",
+    "dws_time_hierarchy_rollup",
+    "dws_user_retention_cohort",
+    "dws_gap_fill_locf_daily_orders",
+    "dim_scd2_user_event_intervals",
+    # freshest row is r04 — the 11 with the thinnest dedicated-test cover
+    # and the ×30 SCALE-backfill synergy (their growth rows are re-measured
+    # this round); llm_ann_ivf_trained_recall gets a slot because it now
+    # carries the folded recall_seed_pm surface. The other 34 r04-fresh
+    # names rotate to round 8: dws_event_anomaly_zscore,
+    # f_unpivot_event_day, dq_referential_integrity,
+    # dws_user_path_transitions, dq_null_profile, dwd_trade_order_detail,
+    # dwd_trade_order_cancel_detail, dwd_trade_order_pay_suc_detail,
+    # dwd_trade_cart_add, dwd_interaction_comment_info,
+    # dwd_trade_order_refund, dwd_base_db_router,
+    # dws_traffic_source_keyword_page_view_window,
+    # dws_traffic_vc_ch_ar_is_new_page_view_window,
+    # dws_traffic_home_detail_page_view_window, dws_user_user_login_window,
+    # dws_user_user_register_window, dws_trade_cart_add_uu_window,
+    # dws_trade_payment_suc_window, dws_trade_order_window,
+    # dws_trade_sku_order_window, dws_trade_province_order_window,
+    # dws_trade_trademark_category_user_refund_window,
+    # p1_json_parse_validity_filter, f_date_formats,
+    # f_conditional_cast_math, f_asof_join_latest_order,
+    # dq_audit_warehouse, f_json_props_extract, llm_multimodal_decode,
+    # llm_multimodal_frame_sample, llm_multimodal_pixel_stats,
+    # llm_sample_stratified, llm_pack_sequences — every one r04-green,
+    # unchanged since that row, exercised by dedicated pipeline/streaming/
+    # plan-guard tests plus the in-suite tests/test_oracle_parity.py sweep
+    "llm_dedup_simhash",
+    "llm_dedup_simhash_pairs",
+    "llm_sketch_kmv_distinct",
+    "llm_sketch_kmv_union",
+    "llm_sketch_histogram_quantiles",
+    "llm_mix_domains",
+    "llm_text_rare_token_ratio",
+    "dq_checksum_partition",
+    "llm_dedup_embedding_cosine",
+    "llm_embedding_kmeans_step",
+    "llm_ann_ivf_trained_recall",
 ]
 
 

@@ -900,23 +900,6 @@ def _probe_cells(col: str = "_top") -> Column:
     return F.transform(col, lambda s: -s["negcid"])
 
 
-def _ivf_recall_oracle() -> str:
-    brute = REGISTRY["llm_ann_cosine_topk"].oracle
-    ivf = _ivf_oracle()
-    return f"""
-WITH brute AS ({brute}),
-ivf AS ({ivf})
-SELECT b.query_vec_id,
-       COUNT(*)                                   AS k,
-       COUNT(i.neighbor_vec_id)                   AS hits,
-       (1000 * COUNT(i.neighbor_vec_id)) // COUNT(*) AS recall_permille
-FROM brute b
-LEFT JOIN ivf i ON b.query_vec_id = i.query_vec_id
-                AND b.neighbor_vec_id = i.neighbor_vec_id
-GROUP BY 1
-"""
-
-
 @query("llm_ann_ivf", oracle=_ivf_oracle(), tags=("llm-similarity",))
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbor.
@@ -989,7 +972,6 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_ann_ivf_recall", oracle=_ivf_recall_oracle(), tags=("llm-similarity",))
 def llm_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF index against the brute-force exact top-k.
 
@@ -997,6 +979,14 @@ def llm_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the true top-5 neighbors the nprobe=2 cell search recovered (exact
     integer per-mille). At scale this runs on a sampled query set; both
     sides are existing registered plans, so the metric is one left join.
+
+    FOLDED round 7 (registry-size discipline, r6 verdict item 3): this was
+    a pure honesty twin — ``llm_ann_ivf_trained_recall`` already reports
+    the identical seed-index metric as its ``recall_seed_pm`` /
+    ``hits_seed`` columns (driver-gated green r04 there and here). The
+    function stays as the un-registered engine behind
+    ``test_ivf_recall_floor``; the driver-facing surface is the trained
+    query's seed columns.
     """
     brute = llm_ann_cosine_topk(spark, sf_dir).select(
         "query_vec_id", "neighbor_vec_id"

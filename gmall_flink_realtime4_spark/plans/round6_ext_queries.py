@@ -1669,6 +1669,11 @@ def llm_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # would flip the final multiply to DOUBLE and keep the rank (documented).
 # ---------------------------------------------------------------------------
 BM25_TOP_K = 5
+# audited BIGINT-overflow bound for the exact-integer score algebra (see
+# block comment): past this corpus size idf_pm * frac_ppb can exceed
+# 2^63-1, so the plan FAILS LOUDLY (raise_error) instead of silently
+# wrapping — enforced in bm25_score_topk (r6 ADVICE item 3)
+BM25_MAX_DOCS = 4_000_000
 BM25_QUERIES: dict[str, tuple[str, ...]] = {
     "q_join_order": ("hash", "join", "order"),
     "q_scan_window": ("window", "scan"),
@@ -1771,6 +1776,22 @@ def bm25_score_topk(tf: DataFrame, g: DataFrame, q: DataFrame) -> DataFrame:
     state)."""
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    # overflow-bound enforcement: the exact-BIGINT algebra is audited only
+    # to BM25_MAX_DOCS documents — refuse (raise_error in the 1-row stats
+    # frame, so the check is free) rather than silently wrap past it; a
+    # 100 TB deployment flips the final multiply to DOUBLE and keeps the
+    # rank order (idf and saturation are each individually safe)
+    g = g.select(
+        F.expr(
+            f"CASE WHEN n <= {BM25_MAX_DOCS} THEN n ELSE raise_error("
+            "concat('llm_bm25_topk: corpus of ', CAST(n AS STRING), "
+            f"' docs exceeds the {BM25_MAX_DOCS}-doc audited bound of the "
+            "exact-BIGINT score algebra (idf_pm * frac_ppb would overflow "
+            "BIGINT); switch the final multiply to DOUBLE for larger "
+            "corpora')) END"
+        ).alias("n"),
+        "a",
     )
     sc = (
         tf.join(F.broadcast(q), "term")
@@ -2809,8 +2830,8 @@ WITH t AS (
     SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM t
 ), p AS (
     SELECT c.doc_id, c.w, c.cum_ex, c.cum_ex + c.w AS cum_hi,
-           g.wtot // {PPS_N} AS stride,
-           (g.wtot // {PPS_N}) // 2 AS off_pt
+           GREATEST(g.wtot // {PPS_N}, 1) AS stride,
+           GREATEST(g.wtot // {PPS_N}, 1) // 2 AS off_pt
     FROM c, g
 ), k AS (
     SELECT doc_id, w, cum_ex,
@@ -2863,9 +2884,17 @@ def llm_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cum_hi", F.col("cum_ex") + F.col("w"))
     )
+    # stride >= 1 guard (r6 ADVICE): on a degenerate corpus with
+    # wtot < PPS_N the raw division is 0, where DuckDB's `// 0` raises
+    # while Spark's `div 0` yields NULL — greatest(_, 1) pins the two
+    # engines to the same (still deterministic) answer instead.
     g = t.select(F.sum("w").cast("bigint").alias("wtot")).select(
-        F.expr(f"wtot div {PPS_N}").alias("stride"),
-        F.expr(f"(wtot div {PPS_N}) div 2").alias("off_pt"),
+        F.expr(f"greatest(wtot div {PPS_N}, CAST(1 AS BIGINT))").alias(
+            "stride"
+        ),
+        F.expr(
+            f"greatest(wtot div {PPS_N}, CAST(1 AS BIGINT)) div 2"
+        ).alias("off_pt"),
     )
     k = c.crossJoin(F.broadcast(g)).select(
         "doc_id",

@@ -97,7 +97,6 @@ QUERIES = [
     "f_date_formats",
     "f_json_props_extract",
     "dq_audit_warehouse",
-    "llm_ann_ivf_recall",
     "llm_ann_ivf_trained_recall",
     "llm_dedup_embedding_cells",
     "llm_embedding_kmeans_step",
