@@ -423,3 +423,84 @@ def test_pii_redact_map_only_single_scan(spark):
     assert plan.count("documents.parquet") == 1
     assert "HashAggregate" not in tree and "Join" not in tree
     assert tree.count("Exchange") <= 1
+
+
+def test_skyline_broadcast_frontier_no_sort_merge(spark):
+    """The skyline's frontier join-back and the supplier name join must
+    both be broadcast hash joins over the dim-bounded frames — never a
+    sort-merge shuffle of the per-supplier agg; one corpus shuffle only
+    (the l_suppkey agg)."""
+    plan = _plan(spark, "f_skyline_pareto_suppliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cooccurrence_pairs_map_side_no_self_join(spark):
+    """Pair generation must be the basket-array explode (Generate), not a
+    self-join of the collapsed frame: no sort-merge join anywhere, and the
+    marginals/basket-count joins all broadcast."""
+    plan = _plan(spark, "dws_event_cooccurrence_lift")
+    tree = plan.split("\n\n")[0]
+    assert "Generate" in tree
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_readability_map_only_single_scan(spark):
+    """Readability is one codegen projection over one pruned scan: no
+    shuffle, no join (the only allowed exchange is tables.load's
+    small-input spread), and only doc_id/text read."""
+    plan = _plan(spark, "llm_text_readability")
+    tree = plan.split("\n\n")[0]
+    assert plan.count("documents.parquet") == 1
+    assert "HashAggregate" not in tree and "Join" not in tree
+    assert tree.count("Exchange") <= 1
+    scan = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in scan and "n_chars" not in scan and "lang" not in scan
+
+
+def test_reservoir_two_phase_windows(spark):
+    """The sample must be salted-partial then final: exactly two Window
+    ops, the first partitioned (per-salt top-K) so the unpartitioned
+    final ranks only the bounded survivor frame."""
+    plan = _plan(spark, "llm_sample_reservoir")
+    # phase 1 compiles to the partial/final WindowGroupLimit pushdown (the
+    # per-salt top-K never buffers a full partition) and phase 2 to
+    # TakeOrderedAndProject over the bounded survivors — no global sort of
+    # the corpus anywhere
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("row_number() windowspecdefinition") == 2
+
+
+def test_pca_power_step_no_dxd_and_no_join_back(spark):
+    """The scatter matvec must use the algebraic collapse: row sums ride
+    in the same projection as quantization (no join back onto the
+    embeddings), no D x D pair explode (a single posexplode Generate),
+    and the (N, T) globals broadcast."""
+    import contextlib
+    import io
+
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.round7_ext_queries import (
+        pca_dim_frame,
+    )
+
+    # the corpus-touching pipeline (pre-checkpoint): one scan, the row
+    # sums fused into the quantization projection (no join-back), one
+    # posexplode Generate, one pos-keyed aggregation exchange
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pca_dim_frame(T.load(spark, SF, "embeddings")).explain("formatted")
+    dplan = buf.getvalue()
+    dtree = dplan.split("\n\n")[0]
+    assert dplan.count("embeddings.parquet") == 1
+    assert "Join" not in dplan
+    assert dtree.count("Generate") == 1
+    assert dtree.count("Exchange") <= 2  # loader spread + pos agg
+    # the assembled query: dim checkpointed once, (N, T) broadcast back —
+    # never a sort-merge join
+    plan = _plan(spark, "llm_embedding_pca_power_step")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
