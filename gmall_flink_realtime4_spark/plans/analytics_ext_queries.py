@@ -196,8 +196,13 @@ def llm_text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_rare"),
     )
+    # pinned shuffle_hash: the block comment's intended plan. Catalyst's
+    # file-size estimate otherwise BROADCASTS the exploded token stream
+    # (the largest frame in the query — hash-building the corpus) once the
+    # checkpointed vocab estimate exceeds it; the hint keeps the join
+    # shuffled on token with the vocab side built per-partition.
     return (
-        toks.join(rare, "token")
+        toks.join(rare.hint("shuffle_hash"), "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),

@@ -125,15 +125,17 @@ GATE_PRIORITY: list[str] = [
     "dws_user_retention_cohort",
     "dws_gap_fill_locf_daily_orders",
     "dim_scd2_user_event_intervals",
-    # freshest row is r04 — the 11 with the thinnest dedicated-test cover
-    # and the ×30 SCALE-backfill synergy (their growth rows are re-measured
-    # this round); llm_ann_ivf_trained_recall gets a slot because it now
-    # carries the folded recall_seed_pm surface. The other 34 r04-fresh
-    # names rotate to round 8: dws_event_anomaly_zscore,
-    # f_unpivot_event_day, dq_referential_integrity,
-    # dws_user_path_transitions, dq_null_profile, dwd_trade_order_detail,
-    # dwd_trade_order_cancel_detail, dwd_trade_order_pay_suc_detail,
-    # dwd_trade_cart_add, dwd_interaction_comment_info,
+    # freshest row is r04 — 11 slots. Five go to the queries whose PLANS
+    # CHANGED this round (the fact-fact shuffle_hash pinning: orders is a
+    # fact and was being broadcast-built — see dwd_queries.py scale
+    # notes); changed-plan queries always re-enter the gate (the r4/r5
+    # convention). llm_text_rare_token_ratio (same plan change) and
+    # llm_ann_ivf_trained_recall (carries the folded recall_seed_pm
+    # surface) were already slotted; the rest have the thinnest
+    # dedicated-test cover. The other 34 r04-fresh names rotate to round
+    # 8: dws_event_anomaly_zscore, f_unpivot_event_day,
+    # dq_referential_integrity, dws_user_path_transitions,
+    # dq_null_profile, dwd_trade_cart_add, dwd_interaction_comment_info,
     # dwd_trade_order_refund, dwd_base_db_router,
     # dws_traffic_source_keyword_page_view_window,
     # dws_traffic_vc_ch_ar_is_new_page_view_window,
@@ -141,19 +143,21 @@ GATE_PRIORITY: list[str] = [
     # dws_user_user_register_window, dws_trade_cart_add_uu_window,
     # dws_trade_payment_suc_window, dws_trade_order_window,
     # dws_trade_sku_order_window, dws_trade_province_order_window,
-    # dws_trade_trademark_category_user_refund_window,
     # p1_json_parse_validity_filter, f_date_formats,
     # f_conditional_cast_math, f_asof_join_latest_order,
-    # dq_audit_warehouse, f_json_props_extract, llm_multimodal_decode,
+    # f_json_props_extract, llm_multimodal_decode,
     # llm_multimodal_frame_sample, llm_multimodal_pixel_stats,
-    # llm_sample_stratified, llm_pack_sequences — every one r04-green,
-    # unchanged since that row, exercised by dedicated pipeline/streaming/
-    # plan-guard tests plus the in-suite tests/test_oracle_parity.py sweep
-    "llm_dedup_simhash",
-    "llm_dedup_simhash_pairs",
-    "llm_sketch_kmv_distinct",
-    "llm_sketch_kmv_union",
-    "llm_sketch_histogram_quantiles",
+    # llm_sample_stratified, llm_pack_sequences, llm_dedup_simhash,
+    # llm_dedup_simhash_pairs, llm_sketch_kmv_distinct,
+    # llm_sketch_kmv_union, llm_sketch_histogram_quantiles — every one
+    # r04-green, unchanged since that row, exercised by dedicated
+    # pipeline/streaming/plan-guard tests plus the in-suite
+    # tests/test_oracle_parity.py sweep
+    "dwd_trade_order_detail",
+    "dwd_trade_order_cancel_detail",
+    "dwd_trade_order_pay_suc_detail",
+    "dws_trade_trademark_category_user_refund_window",
+    "dq_audit_warehouse",
     "llm_mix_domains",
     "llm_text_rare_token_ratio",
     "dq_checksum_partition",

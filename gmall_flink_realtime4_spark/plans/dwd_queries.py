@@ -52,13 +52,20 @@ def dwd_trade_order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``data`` map (P3) with date_id derivation (F-date1). Here: lineitem is
     the detail fact, orders the order head, part/supplier the left-joined
     enrichments. Joins are key-equi; Catalyst broadcasts the small dims.
+
+    Scale note: orders is a FACT (grows with the corpus), so the
+    lineitem |><| orders edge is pinned shuffle_hash — the physical analog
+    of the reference's keyed-state stream-stream join. Without the hint,
+    Catalyst's file-size estimate broadcasts orders in the measurable
+    range (single-threaded hash-relation build, measured 1.8x slower at
+    x30 and strictly worse with growth); dims stay broadcast.
     """
     l = T.load(spark, sf_dir, "lineitem")
     o = T.load(spark, sf_dir, "orders")
     p = T.load(spark, sf_dir, "part")
     s = T.load(spark, sf_dir, "supplier")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        l.join(o.hint("shuffle_hash"), l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), l.l_partkey == p.p_partkey, "left")
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey, "left")
         .select(
@@ -112,7 +119,10 @@ def dwd_trade_order_cancel_detail(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     o = T.load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = T.load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    return o.join(l, l.l_orderkey == o.o_orderkey).select(
+    # both sides are status-filtered FACTS (each a constant fraction of the
+    # corpus): pin shuffle_hash so the filtered orders stream is never
+    # broadcast-built (the dwd_trade_order_detail scale note)
+    return o.hint("shuffle_hash").join(l, l.l_orderkey == o.o_orderkey).select(
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
         F.col("l_orderkey").alias("order_id"),
         F.col("l_partkey").alias("sku_id"),
@@ -158,9 +168,12 @@ def dwd_trade_order_pay_suc_detail(spark: SparkSession, sf_dir: str) -> DataFram
     """
     l = T.load(spark, sf_dir, "lineitem")
     o = T.load(spark, sf_dir, "orders")
+    # orders is a fact: shuffle_hash on the equi key (the interval
+    # predicates ride as join-condition filters), matching Flink's keyed
+    # two-sided interval-join state — never a broadcast of a growing side
     return (
         l.join(
-            o,
+            o.hint("shuffle_hash"),
             (l.l_orderkey == o.o_orderkey)
             & (l.l_shipdate >= o.o_orderdate)
             & (l.l_shipdate <= o.o_orderdate + F.expr("interval 90 days")),

@@ -581,8 +581,10 @@ def dws_trade_trademark_category_user_refund_window(
     l = T.load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     o = T.load(spark, sf_dir, "orders")
     p = T.load(spark, sf_dir, "part")
+    # orders is a fact: shuffle_hash (see dwd_trade_order_detail's scale
+    # note); only the part dim stays broadcast
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        l.join(o.hint("shuffle_hash"), l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy(
             F.window("l_shipdate", "1 day").alias("w"),

@@ -221,9 +221,12 @@ def dq_audit_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The expectation-suite shape (Great-Expectations/dbt-test family) as a
     single engine query. Scale shape: every check is one scan + one
-    aggregate; the FK checks join against BROADCAST dims (orders at 100 TB
-    would switch to the key-sketch variant — llm_sketch_kmv_distinct's
-    machinery — or a shuffled semi join, both one line here). The
+    aggregate; true-dim FK edges (nation) broadcast, while the
+    lineitem->orders FK edge is a shuffled hash join on the key-only
+    orders projection — orders is a fact, and broadcasting a growing side
+    is the one plan that cannot survive 100 TB (the key-sketch variant —
+    llm_sketch_kmv_distinct's machinery — is the probabilistic fallback
+    when even the key shuffle is too hot). The
     key-uniqueness check intentionally CATCHES the testdata's synthesized
     duplicate lineitem ids (l_orderkey*8 + l_linenumber collides by
     construction) — a real finding, not a tautology.
@@ -244,7 +247,7 @@ def dq_audit_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     orphan_li = li.join(
-        F.broadcast(o.select("o_orderkey")),
+        o.select("o_orderkey").hint("shuffle_hash"),
         li.l_orderkey == F.col("o_orderkey"),
         "left",
     ).agg(

@@ -471,7 +471,14 @@ def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ties resolve in fixed priority en > fr > es > de; zero hits -> 'und'.
     """
-    d = T.load(spark, sf_dir, "documents")
+    return langid_predict(T.load(spark, sf_dir, "documents"))
+
+
+def langid_predict(d: DataFrame) -> DataFrame:
+    """Predictor core over any (doc_id, lang, text) frame — one codegen
+    projection; split out so the streaming confusion-matrix partials
+    (round6_ext_queries.langid_confusion_partials) score batches with the
+    identical expression tree."""
 
     def hits(langtoks: tuple[str, ...]):
         return F.size(F.filter(F.split("text", " "), lambda x: x.isin(*langtoks)))

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from .. import tables as T
 from .catalog import query
 from .llm_multimodal import _fixed_ppm_frame, ahash_image
-from .llm_scale_queries import _KMV_M, KMV_K, _hexval_sql
+from .llm_scale_queries import _KMV_M, KMV_K, MINHASH_K, _hexval_sql, _shingles
 
 # ---------------------------------------------------------------------------
 # llm_multimodal_image_dedup — perceptual aHash near-dup grouping.
@@ -2258,6 +2258,14 @@ def dq_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .localCheckpoint()  # (V+1) x |sources| rows, five consumers
     )
+    return _vocab_drift_from_buckets(b)
+
+
+def _vocab_drift_from_buckets(b: DataFrame) -> DataFrame:
+    """Drift report from the bounded (source, bucket, c) grid — shared by
+    the one-shot batch plan and the streaming accumulate-then-finalize
+    twin (``vocab_drift_finalize``); everything below runs on at most
+    (V+1) x |sources| rows."""
     ns = b.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
     cb = b.groupBy("bucket").agg(F.sum("c").cast("bigint").alias("cb"))
     nn = b.select(F.sum("c").cast("bigint").alias("n"))
@@ -2320,6 +2328,56 @@ def dq_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_shift_ppm",
         )
     )
+
+
+def vocab_drift_term_partials(docs_batch: DataFrame) -> DataFrame:
+    """Mergeable per-batch partials for the vocab-drift report: the
+    (source, term, c) unigram counts of one document slice. Counts are
+    sum-mergeable across batches (the checksum/KS/Benford partials
+    pattern), so the streaming state is term-count rows — never raw
+    documents — and the top-V vocabulary is derived at FINALIZE time from
+    the merged counts (a vocabulary frozen per batch would drift)."""
+    tok = docs_batch.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    return tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+
+def vocab_drift_finalize(parts: DataFrame) -> DataFrame:
+    """One-shot report from accumulated term-count partials: re-sum the
+    unioned batches, rebuild the global top-V vocabulary (min-support
+    before the vocab-sized rank, exactly the batch plan's pass 1), fold
+    every term row into its bucket via the same broadcast lookup, and
+    reuse the batch report core — union-of-batches == one-shot batch is
+    pinned by test_incremental_vocab_drift_partials_merge."""
+    st = parts.groupBy("source", "term").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+    cv = (
+        st.groupBy("term")
+        .agg(F.sum("c").cast("bigint").alias("cv"))
+        .filter(F.col("cv") >= VOCAB_DRIFT_MIN_SUPPORT)
+    )
+    rnk = F.row_number().over(Window.orderBy(F.col("cv").desc(), "term"))
+    topv = (
+        cv.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= VOCAB_DRIFT_V)
+        .select("term")
+    )
+    b = (
+        st.join(
+            F.broadcast(topv.withColumnRenamed("term", "tv")),
+            st["term"] == F.col("tv"),
+            "left",
+        )
+        .withColumn("bucket", F.coalesce("tv", F.lit(_OTHER)))
+        .groupBy("source", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    return _vocab_drift_from_buckets(b)
 
 
 # ---------------------------------------------------------------------------
@@ -2428,6 +2486,15 @@ def dq_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("labeled_lang").alias("lang"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_correct"))
     )
+    return _langid_report(classes, lab, prd, cor)
+
+
+def _langid_report(
+    classes: DataFrame, lab: DataFrame, prd: DataFrame, cor: DataFrame
+) -> DataFrame:
+    """P/R/F1 report tail over the class-keyed count frames — shared by
+    the one-shot batch plan and the streaming confusion-matrix twin
+    (``langid_eval_finalize``); runs on |classes| rows."""
     m = (
         classes.join(lab, "lang", "left")
         .join(prd, "lang", "left")
@@ -2460,6 +2527,50 @@ def dq_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(precision_pm + recall_pm, 1)"
         ).alias("f1_pm"),
     )
+
+
+def langid_confusion_partials(docs_batch: DataFrame) -> DataFrame:
+    """Mergeable per-batch partials for the langid evaluation: the
+    (labeled_lang, predicted_lang, n) confusion-matrix counts of one
+    document slice, scored by the identical predictor expression tree
+    (llm_queries.langid_predict). The predictor is per-doc, so confusion
+    counts are sum-mergeable — streaming state is a ≤ |classes|² count
+    table, never documents."""
+    from .llm_queries import langid_predict
+
+    return (
+        langid_predict(docs_batch)
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def langid_eval_finalize(parts: DataFrame) -> DataFrame:
+    """P/R/F1 report from accumulated confusion partials: re-sum the
+    unioned batches and rebuild the class-keyed marginals — the diagonal
+    is n_correct, the row/column sums are n_labeled/n_predicted. Reuses
+    the batch report tail; union-of-batches == one-shot batch is pinned
+    by test_incremental_langid_confusion_partials_merge."""
+    conf = parts.groupBy("labeled_lang", "predicted_lang").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+    classes = (
+        conf.select(F.col("labeled_lang").alias("lang"))
+        .union(conf.select("predicted_lang"))
+        .distinct()
+    )
+    lab = conf.groupBy(F.col("labeled_lang").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_labeled")
+    )
+    prd = conf.groupBy(F.col("predicted_lang").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_predicted")
+    )
+    cor = (
+        conf.filter(F.col("labeled_lang") == F.col("predicted_lang"))
+        .groupBy(F.col("labeled_lang").alias("lang"))
+        .agg(F.sum("n").cast("bigint").alias("n_correct"))
+    )
+    return _langid_report(classes, lab, prd, cor)
 
 
 # ---------------------------------------------------------------------------
@@ -2555,10 +2666,35 @@ def llm_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-shingle join (cost class of llm_dedup_ngram_jaccard — the
     measured-honesty side; production tunes on a sampled truth set,
     which this plan admits rather than hides)."""
-    from .llm_scale_queries import _shingles, MINHASH_K
-
     d = T.load(spark, sf_dir, "documents")
     sh = _shingles(d).localCheckpoint()  # mh + truth (x2 sides) + sizes
+    return _lsh_curve_from_shingles(sh)
+
+
+def lsh_curve_shingle_partials(docs_batch: DataFrame) -> DataFrame:
+    """Mergeable per-batch partials for the tuning curve: the distinct
+    (doc_id, shingle) rows of one document slice. Shingles are strictly
+    within-document, so partials are union-mergeable with no re-dedup —
+    streaming state is the shingle fingerprint table (the
+    incremental_minhash_pairs state shape), never document text."""
+    return _shingles(docs_batch)
+
+
+def lsh_curve_finalize(parts: DataFrame) -> DataFrame:
+    """Tuning-curve report from accumulated shingle partials: checkpoint
+    the merged state once and run the identical signature/banding/truth
+    pipeline. Cross-batch candidate pairs appear exactly as in the
+    one-shot batch because both signatures and the exact-Jaccard truth
+    are functions of the merged shingle table alone —
+    test_incremental_lsh_curve_partials_merge pins union-of-batches ==
+    one-shot batch."""
+    return _lsh_curve_from_shingles(parts.localCheckpoint())
+
+
+def _lsh_curve_from_shingles(sh: DataFrame) -> DataFrame:
+    """Curve core over a (doc_id, shingle) frame that is already safe to
+    fan out (checkpointed by both callers: mh + truth x2 + sizes read
+    it)."""
     mh = (
         sh.groupBy("doc_id")
         .agg(

@@ -504,3 +504,70 @@ def test_pca_power_step_no_dxd_and_no_join_back(spark):
     plan = _plan(spark, "llm_embedding_pca_power_step")
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_fact_fact_joins_never_broadcast(spark):
+    """A fact table (orders/lineitem — grows with the corpus) must never
+    be the broadcast-built side of a join: the lineitem |><| orders edges
+    are pinned shuffle_hash (ShuffledHashJoin — Flink keyed-state
+    stream-stream analog), dims stay broadcast. Catalyst's file-size
+    estimate WOULD broadcast orders at bench scale, which is measured
+    1.8x slower at x30 and strictly worse with growth."""
+    for name in (
+        "dwd_trade_order_detail",
+        "dwd_trade_order_cancel_detail",
+        "dwd_trade_order_pay_suc_detail",
+        "dws_trade_trademark_category_user_refund_window",
+        "dq_audit_warehouse",
+    ):
+        plan = _plan(spark, name)
+        tree = plan.split("\n\n")[0]
+        assert "ShuffledHashJoin" in tree, name
+        assert "SortMergeJoin" not in tree, name
+        assert "CartesianProduct" not in tree, name
+        # no BroadcastExchange may sit directly over an orders/lineitem
+        # scan: every broadcast subtree must be a dim or an aggregate
+        import re
+
+        def depth(line):
+            m = re.search(r"[+:]- ", line)
+            return m.start() if m else -1
+
+        lines = tree.split("\n")
+        _, _, details = plan.partition("\n\n")
+        for i, ln in enumerate(lines):
+            if "BroadcastExchange" not in ln:
+                continue
+            d = depth(ln)
+            sub = []
+            for j in range(i + 1, len(lines)):
+                dj = depth(lines[j])
+                if 0 <= dj <= d:
+                    break
+                sub.append(lines[j])
+            subtxt = "\n".join(sub)
+            if "Aggregate" in subtxt:
+                continue
+            for m in re.finditer(r"Scan parquet\s*\((\d+)\)", subtxt):
+                nid = m.group(1)
+                loc = re.search(
+                    rf"\({nid}\) Scan parquet.*?Location.*?(\w+\.parquet)",
+                    details,
+                    re.S,
+                )
+                if loc:
+                    assert loc.group(1) not in (
+                        "orders.parquet",
+                        "lineitem.parquet",
+                        "events.parquet",
+                    ), (name, loc.group(1))
+
+
+def test_rare_token_join_shuffled_not_token_stream_broadcast(spark):
+    """The per-doc token |><| vocab join must be a ShuffledHashJoin on
+    token — Catalyst otherwise broadcast-builds the exploded TOKEN STREAM
+    (the largest frame in the query) when the checkpointed vocab estimate
+    exceeds the scan's file-size estimate."""
+    plan = _plan(spark, "llm_text_rare_token_ratio")
+    tree = plan.split("\n\n")[0]
+    assert "ShuffledHashJoin" in tree

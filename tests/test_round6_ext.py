@@ -1527,3 +1527,98 @@ def test_dau_wau_no_range_join(spark):
     assert "CartesianProduct" not in plan
     assert "ExistingRDD" in plan
     assert plan.count("ReadSchema:") == 0  # collapse ran inside checkpoint
+
+
+def test_incremental_vocab_drift_partials_merge(spark):
+    """(source, term) count partials from 3 disjoint document slices
+    union + re-sum to the one-shot unigram counts, and the finalize —
+    which rebuilds the top-V vocabulary from the MERGED counts before
+    bucketing — equals the registered report exactly (the streaming
+    accumulate-then-finalize twin the r6 verdict asked for)."""
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        vocab_drift_finalize,
+        vocab_drift_term_partials,
+    )
+
+    d = T.load(spark, SF, "documents")
+    parts = None
+    for bid in range(3):
+        b = vocab_drift_term_partials(d.filter(F.col("doc_id") % 3 == bid))
+        parts = b if parts is None else parts.unionByName(b)
+    cols = [
+        "n_tokens", "tv_ppm", "chi2_ppm", "top_shifted_term", "top_shift_ppm"
+    ]
+    got = {
+        r["source"]: tuple(r[c] for c in cols)
+        for r in vocab_drift_finalize(parts).collect()
+    }
+    ref = {
+        r["source"]: tuple(r[c] for c in cols)
+        for r in queries()["dq_vocab_drift"](spark, SF).collect()
+    }
+    assert got == ref and len(ref) > 1
+
+
+def test_incremental_langid_confusion_partials_merge(spark):
+    """Confusion-matrix partials from 3 disjoint document slices union +
+    re-sum to the one-shot confusion counts, and the class-marginal
+    finalize equals the registered P/R/F1 report exactly — including
+    classes that only ever appear on one axis (honest-zero rows)."""
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        langid_confusion_partials,
+        langid_eval_finalize,
+    )
+
+    d = T.load(spark, SF, "documents")
+    parts = None
+    for bid in range(3):
+        b = langid_confusion_partials(d.filter(F.col("doc_id") % 3 == bid))
+        parts = b if parts is None else parts.unionByName(b)
+    cols = [
+        "n_labeled", "n_predicted", "n_correct",
+        "precision_pm", "recall_pm", "f1_pm",
+    ]
+    got = {
+        r["lang"]: tuple(r[c] for c in cols)
+        for r in langid_eval_finalize(parts).collect()
+    }
+    ref = {
+        r["lang"]: tuple(r[c] for c in cols)
+        for r in queries()["dq_langid_eval"](spark, SF).collect()
+    }
+    assert got == ref and len(ref) > 1
+
+
+def test_incremental_lsh_curve_partials_merge(spark):
+    """Shingle-fingerprint partials from 3 disjoint document slices union
+    to the one-shot shingle table (shingles are within-document, so the
+    union IS the merge), and the finalize — signatures, banding, exact
+    Jaccard truth — equals the registered curve exactly, INCLUDING
+    cross-batch candidate/truth pairs (doc_id % 3 splits co-shingled
+    docs across batches by construction)."""
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        lsh_curve_finalize,
+        lsh_curve_shingle_partials,
+    )
+
+    d = T.load(spark, SF, "documents")
+    parts = None
+    for bid in range(3):
+        b = lsh_curve_shingle_partials(d.filter(F.col("doc_id") % 3 == bid))
+        parts = b if parts is None else parts.unionByName(b)
+    cols = [
+        "bands", "rows_per_band", "n_candidates", "n_true_pairs",
+        "true_positives", "precision_pm", "recall_pm",
+    ]
+    got = {
+        r["cfg"]: tuple(r[c] for c in cols)
+        for r in lsh_curve_finalize(parts).collect()
+    }
+    ref = {
+        r["cfg"]: tuple(r[c] for c in cols)
+        for r in queries()["llm_lsh_tuning_curve"](spark, SF).collect()
+    }
+    assert got == ref and len(ref) > 1

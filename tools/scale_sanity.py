@@ -169,6 +169,12 @@ QUERIES = [
     "llm_sample_pps",
     "llm_multimodal_audio_resample",
     "dws_dau_wau_stickiness",
+    # round 7
+    "f_skyline_pareto_suppliers",
+    "dws_event_cooccurrence_lift",
+    "llm_text_readability",
+    "llm_sample_reservoir",
+    "llm_embedding_pca_power_step",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
