@@ -520,14 +520,42 @@ def llm_embedding_pca_power_step(
 def pca_power_step(emb: DataFrame) -> DataFrame:
     """Scatter-matvec core over any (vec_id, embedding) frame — split out
     so the exact-Fraction python model drives synthetic vectors."""
-    # D-row frame feeds BOTH the output and the (N, T) globals — the
-    # globals are DERIVED from it (N = any pos's count since posexplode
-    # emits every dim per row; T = Σ_j s_j = Σ_n r_n exactly, decimal sums
-    # commute), so the corpus is scanned ONCE; checkpoint the D rows per
-    # the ">=2 consumers and tiny vs source" rule. (pca_dim_frame stays
-    # separate so the plan guard can assert the pre-checkpoint pipeline:
-    # one scan, one Generate, no join-back.)
-    dim = pca_dim_frame(emb).localCheckpoint()
+    return pca_assemble(pca_dim_frame(emb))
+
+
+def pca_dim_partials(emb_batch: DataFrame) -> DataFrame:
+    """Mergeable per-batch partials for the power step: the per-dimension
+    (n_rows, a, s) sufficient statistics of one embedding slice. Every
+    term is row-local (r_n is a within-row sum), so partials re-sum
+    losslessly — streaming state is a 64-row decimal table per batch,
+    never vectors. Finalize = re-sum by pos + ``pca_assemble``;
+    union-of-batches == one-shot pinned by
+    test_incremental_pca_partials_merge."""
+    return pca_dim_frame(emb_batch)
+
+
+def pca_finalize(parts: DataFrame) -> DataFrame:
+    """Power-step output from accumulated dim partials (decimal sums
+    commute and stay in-range: the merged a/s are the same values the
+    one-shot aggregate produces)."""
+    dim = parts.groupBy("pos").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("a").cast("decimal(24,14)").alias("a"),
+        F.sum("s").cast("decimal(16,7)").alias("s"),
+    )
+    return pca_assemble(dim)
+
+
+def pca_assemble(dim_pre: DataFrame) -> DataFrame:
+    """Assemble the report from the D-row dim frame. The frame feeds BOTH
+    the output and the (N, T) globals — the globals are DERIVED from it
+    (N = any pos's count since posexplode emits every dim per row;
+    T = Σ_j s_j = Σ_n r_n exactly, decimal sums commute), so the corpus
+    is scanned ONCE; checkpoint the D rows per the ">=2 consumers and
+    tiny vs source" rule. (pca_dim_frame stays separate so the plan guard
+    can assert the pre-checkpoint pipeline: one scan, one Generate, no
+    join-back.)"""
+    dim = dim_pre.localCheckpoint()
     g = dim.agg(
         F.max("n_rows").cast("decimal(12,0)").alias("n_dec"),
         F.sum("s").cast("decimal(21,7)").alias("t"),
@@ -571,4 +599,86 @@ def pca_dim_frame(emb: DataFrame) -> DataFrame:
             F.sum(F.col("v") * F.col("r")).cast("decimal(24,14)").alias("a"),
             F.sum("v").cast("decimal(16,7)").alias("s"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming accumulate-then-finalize twins for the round-7 family (the
+# round-6 partials discipline, applied at birth). Each partial is
+# mergeable by construction; each union-of-batches == one-shot identity
+# is pinned in tests/test_round7_ext.py.
+# ---------------------------------------------------------------------------
+
+
+def skyline_agg_partials(li_batch: DataFrame) -> DataFrame:
+    """Per-supplier (rev, qty) DECIMAL partial sums of one lineitem slice
+    — plain sum algebra, so streaming state is one row per supplier seen.
+    The skyline itself is NOT incremental (a new batch can dominate away
+    prior frontier rows), which is exactly why the state is the partial
+    AGGREGATE, not the frontier: finalize re-sums and re-runs the
+    dim-bounded frontier collapse."""
+    return li_batch.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast(MONEY)
+            * (F.lit(1).cast(MONEY) - F.col("l_discount").cast(MONEY))
+        ).alias("rev"),
+        F.sum(F.col("l_quantity").cast(MONEY)).alias("qty"),
+    )
+
+
+def skyline_finalize(parts: DataFrame, sup: DataFrame) -> DataFrame:
+    """Skyline report from accumulated supplier partials."""
+    agg = parts.groupBy("s_suppkey").agg(
+        F.sum("rev").alias("rev"), F.sum("qty").alias("qty")
+    )
+    return pareto_frontier_2d(agg).join(F.broadcast(sup), "s_suppkey").select(
+        "s_suppkey",
+        "s_name",
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("qty").cast("double").alias("total_qty"),
+    )
+
+
+def cooccurrence_ut_partials(events_batch: DataFrame) -> DataFrame:
+    """Distinct (user_id, day, event_type) rows of one events slice — the
+    basket-membership state. A (user, day) basket can straddle batches
+    (the same user fires events in many micro-batches), so the state must
+    be membership rows, not per-batch pair counts: finalize re-distincts
+    the union (idempotent merge) and re-runs the map-side pair expansion
+    on complete baskets."""
+    return (
+        events_batch.filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .distinct()
+    )
+
+
+def cooccurrence_finalize(parts: DataFrame) -> DataFrame:
+    """Affinity report from accumulated membership state."""
+    return cooccurrence_lift(parts.distinct().localCheckpoint())
+
+
+def reservoir_partials(docs_batch: DataFrame, k: int = RES_K) -> DataFrame:
+    """Per-batch top-k survivors (doc_id, source, u) by the md5 rank —
+    the distributed-reservoir merge property: a global top-k row is
+    necessarily in its own batch's top-k, so per-batch survivors are a
+    lossless state bounded at k rows per batch. Reuses the salted
+    two-phase core, so even a huge batch never funnels through one
+    reducer."""
+    return reservoir_sample(docs_batch, k=k).select("doc_id", "source", "u")
+
+
+def reservoir_finalize(parts: DataFrame, k: int = RES_K) -> DataFrame:
+    """Final sample: rank the unioned survivor state (≤ k·batches rows)."""
+    w = Window.orderBy("u", "doc_id")
+    return (
+        parts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("rnk", "doc_id", "u", "source")
     )

@@ -281,3 +281,140 @@ def test_pca_power_step_direction_on_planted_component(spark):
     rows = {r["pos"]: r["v1_floor"] for r in pca_power_step(emb).collect()}
     top = max(rows, key=lambda p: abs(rows[p]))
     assert top == 1 and rows[1] > 0
+
+
+# ---------------------------------------------------------------------------
+# streaming accumulate-then-finalize twins (round-6 partials discipline,
+# applied at birth): union-of-batches == one-shot for each round-7 query
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_skyline_partials_merge(spark):
+    """Per-supplier (rev, qty) decimal partials from 3 disjoint lineitem
+    slices re-sum to the one-shot aggregate, and the re-run frontier
+    equals the registered skyline — including frontier rows a later
+    batch dominates away (state is the aggregate, never the frontier)."""
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.round7_ext_queries import (
+        skyline_agg_partials,
+        skyline_finalize,
+    )
+
+    li = T.load(spark, SF, "lineitem")
+    sup = T.load(spark, SF, "supplier").select("s_suppkey", "s_name")
+    parts = None
+    for bid in range(3):
+        b = skyline_agg_partials(li.filter(F.col("l_orderkey") % 3 == bid))
+        parts = b if parts is None else parts.unionByName(b)
+    got = {
+        (r["s_suppkey"], r["s_name"], r["revenue"], r["total_qty"])
+        for r in skyline_finalize(parts, sup).collect()
+    }
+    ref = {
+        (r["s_suppkey"], r["s_name"], r["revenue"], r["total_qty"])
+        for r in queries()["f_skyline_pareto_suppliers"](spark, SF).collect()
+    }
+    assert got == ref and len(ref) >= 1
+
+
+def test_incremental_cooccurrence_membership_merge(spark):
+    """Basket-membership rows from 3 disjoint event slices (split by
+    event_id, so one (user, day) basket straddles batches by
+    construction) union + re-distinct to the complete baskets, and the
+    finalize equals the registered report — cross-batch co-occurrence
+    pairs emerge from the merged membership state."""
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.round7_ext_queries import (
+        cooccurrence_finalize,
+        cooccurrence_ut_partials,
+    )
+
+    e = T.load(spark, SF, "events")
+    parts = None
+    for bid in range(3):
+        b = cooccurrence_ut_partials(e.filter(F.col("event_id") % 3 == bid))
+        parts = b if parts is None else parts.unionByName(b)
+    cols = ["n_ab", "n_a", "n_b", "n_baskets", "support_pm", "lift_pm"]
+    got = {
+        (r["type_a"], r["type_b"]): tuple(r[c] for c in cols)
+        for r in cooccurrence_finalize(parts).collect()
+    }
+    ref = {
+        (r["type_a"], r["type_b"]): tuple(r[c] for c in cols)
+        for r in queries()["dws_event_cooccurrence_lift"](spark, SF).collect()
+    }
+    assert got == ref and len(ref) > 1
+
+
+def test_readability_is_batch_distributive(spark):
+    """Readability is per-doc stateless, so the streaming form IS the map
+    itself: the union of per-batch outputs must equal the one-shot output
+    row-for-row (the property that makes it safe inside any foreachBatch
+    with no state at all)."""
+    from gmall_flink_realtime4_spark import tables as T
+
+    d = T.load(spark, SF, "documents")
+    parts = None
+    for bid in range(3):
+        b = readability(d.filter(F.col("doc_id") % 3 == bid))
+        parts = b if parts is None else parts.unionByName(b)
+    got = {tuple(r) for r in parts.collect()}
+    ref = {tuple(r) for r in readability(d).collect()}
+    assert got == ref and len(ref) > 100
+
+
+def test_incremental_reservoir_survivor_merge(spark):
+    """Per-batch top-k survivor state from 3 disjoint document slices
+    union + re-rank to exactly the one-shot sample — the distributed
+    reservoir merge property (a global top-k row is necessarily in its
+    own batch's top-k)."""
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.round7_ext_queries import (
+        reservoir_finalize,
+        reservoir_partials,
+    )
+
+    d = T.load(spark, SF, "documents")
+    parts = None
+    for bid in range(3):
+        b = reservoir_partials(d.filter(F.col("doc_id") % 3 == bid))
+        parts = b if parts is None else parts.unionByName(b)
+    got = [tuple(r) for r in reservoir_finalize(parts).orderBy("rnk").collect()]
+    ref = [
+        tuple(r)
+        for r in queries()["llm_sample_reservoir"](spark, SF)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == ref and len(ref) == RES_K
+
+
+def test_incremental_pca_partials_merge(spark):
+    """Per-dimension (n_rows, a, s) decimal partials from 3 disjoint
+    embedding slices re-sum losslessly (every term is row-local) and the
+    finalize equals the registered power step bit-for-bit."""
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.round7_ext_queries import (
+        pca_dim_partials,
+        pca_finalize,
+    )
+
+    emb = T.load(spark, SF, "embeddings")
+    parts = None
+    for bid in range(3):
+        b = pca_dim_partials(emb.filter(F.col("vec_id") % 3 == bid))
+        parts = b if parts is None else parts.unionByName(b)
+    cols = ["n", "s_e9", "a_e9", "v1_floor"]
+    got = {
+        r["pos"]: tuple(r[c] for c in cols)
+        for r in pca_finalize(parts).collect()
+    }
+    ref = {
+        r["pos"]: tuple(r[c] for c in cols)
+        for r in queries()["llm_embedding_pca_power_step"](spark, SF).collect()
+    }
+    assert got == ref and len(ref) == 64
