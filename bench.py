@@ -85,6 +85,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     waited_sec, load_gate_ok = wait_for_idle()
+    # ambient load evidence must be read BEFORE the session exists: JVM
+    # startup + the warm-up reps below push the 1-min average themselves,
+    # which would make load_avg_start read self-load as co-tenant load
+    load_start = os.getloadavg()[0]
     spark = get_spark("bench")
     qs = queries()
 
@@ -104,7 +108,6 @@ def main() -> None:
     # and one-time codegen compile; the min is the plan's actual cost on
     # this box. N=3 by default so one loaded rep can't set any query's mark.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    load_start = os.getloadavg()[0]
 
     per_query: dict[str, float] = {}
     spreads: dict[str, float] = {}
