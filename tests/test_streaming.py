@@ -1432,3 +1432,67 @@ def test_incremental_winnow_pairs_stream_e2e(spark, tmp_path):
     )
     got = _rows(spark.read.parquet(sink), cols)
     assert got == expected and expected
+
+
+def test_incremental_vocab_drift_stream_e2e(spark, tmp_path):
+    """Real-stream twin of dq_vocab_drift: documents arrive in
+    micro-batches through readStream/foreachBatch, each batch appends its
+    (source, term) count partials, and finalizing the accumulated state
+    reproduces the one-shot batch report exactly — including the top-V
+    vocabulary, which only exists corpus-wide and is therefore rebuilt
+    from MERGED counts at finalize time."""
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        vocab_drift_finalize,
+        vocab_drift_term_partials,
+    )
+
+    docs = T.load(spark, SF, "documents")
+    cols = [
+        "source", "n_tokens", "tv_ppm", "chi2_ppm",
+        "top_shifted_term", "top_shift_ppm",
+    ]
+    expected = _rows(queries()["dq_vocab_drift"](spark, SF), cols)
+
+    target = str(tmp_path / "vd_partials")
+    _, src = stream_from_dataframe(docs, n_files=3, base_dir=str(tmp_path))
+    s = stream_parquet_source(spark, src, docs.schema)
+    run_foreach_batch(
+        s,
+        lambda bdf, _bid: vocab_drift_term_partials(bdf)
+        .write.mode("append")
+        .parquet(target),
+        output_mode="append",
+    )
+    got = _rows(vocab_drift_finalize(spark.read.parquet(target)), cols)
+    assert got == expected and got
+
+
+def test_incremental_reservoir_stream_e2e(spark, tmp_path):
+    """Real-stream twin of llm_sample_reservoir: per-micro-batch top-k
+    survivor states append, and ranking the bounded union reproduces the
+    one-shot sample exactly (the distributed reservoir merge) — the
+    determinism that a true random reservoir cannot give a replayed
+    stream."""
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.round7_ext_queries import (
+        reservoir_finalize,
+        reservoir_partials,
+    )
+
+    docs = T.load(spark, SF, "documents")
+    cols = ["rnk", "doc_id", "u", "source"]
+    expected = _rows(queries()["llm_sample_reservoir"](spark, SF), cols)
+
+    target = str(tmp_path / "res_state")
+    _, src = stream_from_dataframe(docs, n_files=3, base_dir=str(tmp_path))
+    s = stream_parquet_source(spark, src, docs.schema)
+    run_foreach_batch(
+        s,
+        lambda bdf, _bid: reservoir_partials(bdf)
+        .write.mode("append")
+        .parquet(target),
+        output_mode="append",
+    )
+    got = _rows(reservoir_finalize(spark.read.parquet(target)), cols)
+    assert got == expected and len(got) == 200
