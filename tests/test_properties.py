@@ -1679,3 +1679,87 @@ def test_bm25_is_bag_of_words(spark, docs, seed):
         }
 
     assert run(docs) == run(shuffled)
+
+
+# ---------------------------------------------------------------------------
+# round-7 cores: skyline / reservoir merge (the algebraic collapses a
+# refactor could silently break; hypothesis shrinks to minimal
+# counterexamples where fixed-seed trials cannot)
+# ---------------------------------------------------------------------------
+
+PT = st.tuples(st.integers(0, 8), st.integers(0, 8))  # tight range => ties
+
+
+@given(pts=st.lists(PT, min_size=1, max_size=20))
+@settings(**PROP_SETTINGS)
+def test_skyline_collapse_equals_quadratic_spec(spark, pts):
+    """2-D sort-filter skyline == quadratic NOT-EXISTS dominance spec on
+    arbitrary point sets — duplicate coordinates (forced by the tight
+    value range) exercise the same-revenue-class and all-ties-survive
+    rules every shrink."""
+    from gmall_flink_realtime4_spark.plans.round7_ext_queries import (
+        pareto_frontier_2d,
+    )
+
+    rows = [(i, r, q) for i, (r, q) in enumerate(pts)]
+    df = spark.createDataFrame(
+        [(k, str(r), str(q)) for k, r, q in rows],
+        "s_suppkey long, rev_s string, qty_s string",
+    ).select(
+        "s_suppkey",
+        F.col("rev_s").cast("decimal(18,2)").alias("rev"),
+        F.col("qty_s").cast("decimal(18,2)").alias("qty"),
+    )
+    got = sorted(
+        (r["s_suppkey"], int(r["rev"]), int(r["qty"]))
+        for r in pareto_frontier_2d(df).collect()
+    )
+    want = sorted(
+        p
+        for p in rows
+        if not any(
+            q[1] >= p[1] and q[2] >= p[2] and (q[1] > p[1] or q[2] > p[2])
+            for q in rows
+        )
+    )
+    assert got == want
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True),
+    k=st.integers(1, 12),
+    n_batches=st.integers(1, 4),
+    seed=st.integers(0, 10**6),
+)
+@settings(**PROP_SETTINGS)
+def test_reservoir_merge_invariant_to_batching(spark, ids, k, n_batches, seed):
+    """Distributed reservoir merge: however documents are partitioned into
+    batches (including empty batches and k > batch size), ranking the
+    union of per-batch top-k survivor states equals the one-shot top-k."""
+    from gmall_flink_realtime4_spark.plans.round7_ext_queries import (
+        reservoir_finalize,
+        reservoir_partials,
+        reservoir_sample,
+    )
+
+    rng = random.Random(seed)
+    assign = {i: rng.randrange(n_batches) for i in ids}
+    d = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in ids], "doc_id long, source string"
+    )
+    parts = None
+    for b in range(n_batches):
+        bdf = d.filter(
+            F.col("doc_id").isin([i for i in ids if assign[i] == b] or [-1])
+        )
+        p = reservoir_partials(bdf, k=k)
+        parts = p if parts is None else parts.unionByName(p)
+    got = [
+        (r["rnk"], r["doc_id"], r["u"])
+        for r in reservoir_finalize(parts, k=k).orderBy("rnk").collect()
+    ]
+    want = [
+        (r["rnk"], r["doc_id"], r["u"])
+        for r in reservoir_sample(d, k=k).orderBy("rnk").collect()
+    ]
+    assert got == want and len(got) == min(k, len(ids))
