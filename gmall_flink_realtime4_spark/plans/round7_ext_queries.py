@@ -394,18 +394,18 @@ FROM r WHERE rnk <= {RES_K}
     tags=("llm-text", "sampling"),
 )
 def llm_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uniform {RES_K}-document corpus sample: rank every document by the
-    48-bit integer value of its md5(doc_id) prefix (tie-break doc_id — a
-    total order) and keep the first {RES_K}.
+    """Uniform 200-document (RES_K) corpus sample: rank every document by
+    the 48-bit integer value of its md5(doc_id) prefix (tie-break doc_id
+    — a total order) and keep the first 200.
 
-    Scale shape: two-phase top-K — phase 1 keeps a per-salt
-    ({RES_SALT}-way, doc_id mod {RES_SALT}) top-{RES_K} so every
-    partition-ish slice reduces independently; phase 2 ranks only the
-    <= {RES_SALT}*{RES_K} survivors (bounded frame, the documented
-    unpartitioned-Window exception). No global sort of the corpus ever
-    runs — the oracle's single ORDER BY is the spec, and phase-1 pruning
-    is exact because a global top-{RES_K} row is necessarily in its own
-    salt's top-{RES_K} (test_reservoir_two_phase_equals_global pins it).
+    Scale shape: two-phase top-K — phase 1 keeps a per-salt (32-way,
+    doc_id mod RES_SALT) top-200 so every partition-ish slice reduces
+    independently; phase 2 ranks only the <= 32*200 survivors (bounded
+    frame, the documented unpartitioned-Window exception). No global sort
+    of the corpus ever runs — the oracle's single ORDER BY is the spec,
+    and phase-1 pruning is exact because a global top-K row is
+    necessarily in its own salt's top-K
+    (test_reservoir_two_phase_equals_global pins it).
     """
     return reservoir_sample(T.load(spark, sf_dir, "documents"))
 

@@ -525,42 +525,15 @@ def test_fact_fact_joins_never_broadcast(spark):
         assert "ShuffledHashJoin" in tree, name
         assert "SortMergeJoin" not in tree, name
         assert "CartesianProduct" not in tree, name
-        # no BroadcastExchange may sit directly over an orders/lineitem
-        # scan: every broadcast subtree must be a dim or an aggregate
-        import re
+        # no BroadcastExchange may sit over an unaggregated fact scan:
+        # every broadcast subtree must be a dim or an aggregate. Reuses
+        # the census rule itself (tools/plan_audit.py) so the test and
+        # the audit cannot drift apart; none of these five queries is in
+        # BOUNDED_BY_DESIGN, so anything detected is a failure.
+        from tools.plan_audit import BOUNDED_BY_DESIGN, raw_fact_broadcasts
 
-        def depth(line):
-            m = re.search(r"[+:]- ", line)
-            return m.start() if m else -1
-
-        lines = tree.split("\n")
-        _, _, details = plan.partition("\n\n")
-        for i, ln in enumerate(lines):
-            if "BroadcastExchange" not in ln:
-                continue
-            d = depth(ln)
-            sub = []
-            for j in range(i + 1, len(lines)):
-                dj = depth(lines[j])
-                if 0 <= dj <= d:
-                    break
-                sub.append(lines[j])
-            subtxt = "\n".join(sub)
-            if "Aggregate" in subtxt:
-                continue
-            for m in re.finditer(r"Scan parquet\s*\((\d+)\)", subtxt):
-                nid = m.group(1)
-                loc = re.search(
-                    rf"\({nid}\) Scan parquet.*?Location.*?(\w+\.parquet)",
-                    details,
-                    re.S,
-                )
-                if loc:
-                    assert loc.group(1) not in (
-                        "orders.parquet",
-                        "lineitem.parquet",
-                        "events.parquet",
-                    ), (name, loc.group(1))
+        assert name not in BOUNDED_BY_DESIGN, name
+        assert raw_fact_broadcasts(plan) == [], name
 
 
 def test_rare_token_join_shuffled_not_token_stream_broadcast(spark):

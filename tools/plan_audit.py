@@ -46,29 +46,52 @@ FACTS = (
     "embeddings.parquet",
 )
 
-# Broadcast subtrees that scan a fact but are bounded by a NON-pushable
-# selective filter or a candidate join, audited individually (round 7):
+# (query -> facts) broadcast subtrees that scan a fact but are bounded by
+# a NON-pushable selective filter or a candidate join, audited
+# individually (round 7; narrowed to per-(query, fact) PAIRS in round 8 so
+# a regression adding a DIFFERENT fact's broadcast to an allowlisted query
+# still fails the census — and PLANS.md always shows what was detected):
 # ANN queries broadcast the vec_id<NQ query / codebook sets (pushed-
 # filter-bounded, listed here because the recall variants also carry a
 # rank-bounded survivor subtree); decontaminate broadcasts the eval
 # fraction (doc_id % 97 — not pushable); edit-distance / span-coverage
 # broadcast candidate-bounded frames (the documented exact twins).
-BOUNDED_BY_DESIGN = {
-    "llm_ann_cosine_topk",
-    "llm_ann_ivf",
-    "llm_ann_ivf_trained_recall",
-    "llm_ann_pq_encode",
-    "llm_ann_pq_adc_recall",
-    "llm_decontaminate",
-    "llm_dedup_edit_distance_verify",
-    "llm_dup_span_coverage",
-    "llm_neardup_recall",
+BOUNDED_BY_DESIGN: dict[str, frozenset[str]] = {
+    "llm_ann_cosine_topk": frozenset({"embeddings.parquet"}),
+    "llm_ann_ivf": frozenset({"embeddings.parquet"}),
+    "llm_ann_ivf_trained_recall": frozenset({"embeddings.parquet"}),
+    "llm_ann_pq_encode": frozenset({"embeddings.parquet"}),
+    "llm_ann_pq_adc_recall": frozenset({"embeddings.parquet"}),
+    "llm_decontaminate": frozenset({"documents.parquet"}),
+    "llm_dedup_edit_distance_verify": frozenset({"documents.parquet"}),
+    "llm_dup_span_coverage": frozenset({"documents.parquet"}),
+    "llm_neardup_recall": frozenset({"embeddings.parquet"}),
 }
 
 
 def _tree_depth(line: str) -> int:
     m = re.search(r"[+:]- ", line)
     return m.start() if m else -1
+
+
+def _detail_blocks(details: str) -> dict[str, str]:
+    """Split the formatted-explain details section into per-node blocks
+    keyed by node id, so a lookup can never scan past its own node (a
+    node lacking a Location line must NOT inherit a later node's)."""
+    blocks: dict[str, str] = {}
+    cur_id: str | None = None
+    cur: list[str] = []
+    for ln in details.split("\n"):
+        m = re.match(r"\((\d+)\) \S", ln)
+        if m:
+            if cur_id is not None:
+                blocks[cur_id] = "\n".join(cur)
+            cur_id, cur = m.group(1), [ln]
+        elif cur_id is not None:
+            cur.append(ln)
+    if cur_id is not None:
+        blocks[cur_id] = "\n".join(cur)
+    return blocks
 
 
 def raw_fact_broadcasts(plan: str) -> list[str]:
@@ -79,6 +102,7 @@ def raw_fact_broadcasts(plan: str) -> list[str]:
     shuffle stage, so AQE re-decides the join from ACTUAL sizes and
     demotes the broadcast once the frame outgrows the threshold."""
     tree, _, details = plan.partition("\n\n")
+    blocks = _detail_blocks(details)
     lines = tree.split("\n")
     found = []
     for i, ln in enumerate(lines):
@@ -95,11 +119,8 @@ def raw_fact_broadcasts(plan: str) -> list[str]:
         if "Aggregate" in subtxt:
             continue
         for m in re.finditer(r"Scan parquet\s*\((\d+)\)", subtxt):
-            loc = re.search(
-                rf"\({m.group(1)}\) Scan parquet.*?Location.*?(\w+\.parquet)",
-                details,
-                re.S,
-            )
+            block = blocks.get(m.group(1), "")
+            loc = re.search(r"Location.*?(\w+\.parquet)", block, re.S)
             if loc and loc.group(1) in FACTS:
                 found.append(loc.group(1))
     return found
@@ -120,10 +141,10 @@ def audit(spark, sf_dir: str) -> list[dict]:
             row["pushed"] = bool(
                 re.search(r"PushedFilters: \[[^\]]", plan)
             )
-            fb = raw_fact_broadcasts(plan)
-            row["fact_bx"] = (
-                [] if name in BOUNDED_BY_DESIGN else sorted(set(fb))
-            )
+            fb = sorted(set(raw_fact_broadcasts(plan)))
+            allowed = BOUNDED_BY_DESIGN.get(name, frozenset())
+            row["fact_bx"] = fb  # everything detected — PLANS.md shows it
+            row["fact_bx_bad"] = [f for f in fb if f not in allowed]
             rows.append(row)
         except Exception as exc:  # plan build failed — that IS a finding
             rows.append({"query": name, "error": str(exc)[:120]})
@@ -148,26 +169,32 @@ def main() -> None:
         "a scan (pushed). CartesianProduct anywhere fails the audit, as",
         "does any BroadcastExchange subtree scanning a fact table",
         "unaggregated (a broadcast side that grows with the corpus —",
-        "round-7 rule; documented bounded-by-design cases allowlisted in",
-        "tools/plan_audit.py::BOUNDED_BY_DESIGN).",
+        "round-7 rule). fact_bx lists EVERYTHING detected; entries marked",
+        "(by-design) are the individually audited bounded-by-design",
+        "(query, fact) pairs from tools/plan_audit.py::BOUNDED_BY_DESIGN —",
+        "only unmarked entries fail the audit.",
         "",
-        "| query | Exchange | BHJ | SMJ | SHJ | BNLJ | Window | Expand | Scan | pushed |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| query | Exchange | BHJ | SMJ | SHJ | BNLJ | Window | Expand | Scan | pushed | fact_bx |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     bad = []
     for r in rows:
         if "error" in r:
-            lines.append(f"| {r['query']} | PLAN ERROR: {r['error']} |" + " |" * 8)
+            lines.append(f"| {r['query']} | PLAN ERROR: {r['error']} |" + " |" * 9)
             bad.append(r["query"])
             continue
         if r["CARTESIAN"]:
             bad.append(r["query"])
-        if r.get("fact_bx"):
-            bad.append(f"{r['query']} (fact broadcast: {r['fact_bx']})")
+        if r.get("fact_bx_bad"):
+            bad.append(f"{r['query']} (fact broadcast: {r['fact_bx_bad']})")
+        fb_cell = ", ".join(
+            f if f in r["fact_bx_bad"] else f"{f} (by-design)"
+            for f in r["fact_bx"]
+        )
         lines.append(
             "| {query} | {Exchange} | {BHJ} | {SMJ} | {SHJ} | {BNLJ} | "
-            "{Window} | {Expand} | {Scan} | {p} |".format(
-                **r, p="y" if r["pushed"] else ""
+            "{Window} | {Expand} | {Scan} | {p} | {fb} |".format(
+                **r, p="y" if r["pushed"] else "", fb=fb_cell
             )
         )
     ok = [r for r in rows if "error" not in r]
