@@ -544,3 +544,31 @@ def test_rare_token_join_shuffled_not_token_stream_broadcast(spark):
     plan = _plan(spark, "llm_text_rare_token_ratio")
     tree = plan.split("\n\n")[0]
     assert "ShuffledHashJoin" in tree
+
+
+def test_quality_classifier_plan_map_side_broadcast_model(spark):
+    """llm_quality_classifier must stay the cheapest possible shape:
+    one pruned (doc_id, text) scan of documents, ZERO corpus shuffles
+    (the only Exchange is the loader's small-file spread), and the
+    1-row weights frame on the broadcast side of a
+    BroadcastNestedLoopJoin — never a shuffle join, never a fact
+    broadcast."""
+    import re
+
+    plan = _plan(spark, "llm_quality_classifier")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "ShuffledHashJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert tree.count("Scan parquet") == 1
+    # loader spread only — no shuffle introduced by the query itself
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", tree)) == 1
+    # column pruning reached the scan
+    schema = re.search(r"ReadSchema: (.*)", plan).group(1)
+    assert "doc_id" in schema and "text" in schema
+    assert "lang" not in schema and "source" not in schema
+    # the broadcast build is the constant model, not a fact
+    from tools.plan_audit import raw_fact_broadcasts
+
+    assert raw_fact_broadcasts(plan) == []

@@ -1,0 +1,143 @@
+"""Round-8 operator tests: python-model equivalence + structural
+properties for the quality-classifier core (plan guards in
+test_plans.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmall_flink_realtime4_spark.plans.round8_ext_queries import (
+    QUALITY_MODEL,
+    quality_classify,
+    quality_features,
+    quality_model_frame,
+)
+
+SF = "/root/testdata/sf0.001"
+
+_STOP = {"the", "a", "of", "to", "and"}
+
+
+def _py_features(doc_id: int, text: str) -> dict:
+    """Exact python model of quality_features: same split/translate
+    semantics as Spark's split(text, ' ') / translate(text, '.!?', '')
+    (consecutive spaces yield empty tokens; unmatched chars deleted)."""
+    toks = text.split(" ")
+    n = len(toks)
+    nonspace = len(text.replace(" ", ""))
+    sents = max(
+        len(text) - len(text.translate(str.maketrans("", "", ".!?"))), 1
+    )
+    return {
+        "doc_id": doc_id,
+        "n_tokens": n,
+        "mean_token_len_permille": (1000 * nonspace) // max(n, 1),
+        "stopword_permille": (1000 * sum(1 for t in toks if t in _STOP))
+        // max(n, 1),
+        "distinct_token_permille": (1000 * len(set(toks))) // max(n, 1),
+        "ari_c100": (471 * nonspace) // max(n, 1)
+        + (50 * n) // sents
+        - 2143,
+    }
+
+
+def _py_score(f: dict) -> tuple[int, int]:
+    m = QUALITY_MODEL
+    s = (
+        m["bias_milli"]
+        + m["w_stop"] * f["stopword_permille"]
+        + m["w_dist"] * f["distinct_token_permille"]
+        + m["w_mtl"] * f["mean_token_len_permille"]
+        + m["w_ari"] * f["ari_c100"]
+        + m["w_tok"] * min(f["n_tokens"], m["tok_cap"])
+    )
+    return s, 1 if s >= 0 else 0
+
+
+EDGE_TEXTS = [
+    "",  # split(' ') -> [''] on both engines: 1 empty token
+    "the",  # single pure-stopword doc
+    "the the the the the",  # stopword_permille = 1000, distinct = 200
+    "a of to and the",  # all five stopwords once
+    "x" * 400,  # one giant token: mtl = 400000, negative score
+    "a  b",  # double space -> empty middle token
+    "one two. three! four? five",  # real sentences drive ari
+    "tok " * 600 + "tok",  # 601 tokens: exercises the tok_cap clamp
+]
+
+
+def test_quality_features_match_python_model(spark):
+    """Spark feature block == exact python model on hand-built edge
+    texts (empty, all-stopword, single-giant-token, double-space,
+    punctuated, past-the-cap)."""
+    rows = [(i, t) for i, t in enumerate(EDGE_TEXTS)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in quality_features(df).collect()}
+    for i, t in rows:
+        assert got[i] == _py_features(i, t), (i, t[:40])
+
+
+def test_quality_classifier_matches_python_model(spark):
+    """End-to-end score + keep decision == python dot product on the
+    edge texts AND on 100 real corpus documents."""
+    rows = [(i, t) for i, t in enumerate(EDGE_TEXTS)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = quality_model_frame(spark)
+    got = {
+        r["doc_id"]: (r["score_milli"], r["keep_flag"])
+        for r in quality_classify(quality_features(df), model).collect()
+    }
+    for i, t in rows:
+        assert got[i] == _py_score(_py_features(i, t)), (i, t[:40])
+
+    from gmall_flink_realtime4_spark import tables as T
+
+    # deterministic subset (limit after the loader's repartition would
+    # pick a different 100 rows per action)
+    real = T.load(spark, SF, "documents").filter(F.col("doc_id") < 100)
+    texts = {r["doc_id"]: r["text"] for r in real.collect()}
+    got = {
+        r["doc_id"]: (r["score_milli"], r["keep_flag"])
+        for r in quality_classify(
+            quality_features(real), model
+        ).collect()
+    }
+    assert len(got) == 100
+    for did, text in texts.items():
+        assert got[did] == _py_score(_py_features(did, text)), did
+
+
+def test_quality_classifier_decision_boundary_exercised(spark):
+    """The model must not be degenerate on the corpus: both classes
+    occur, and flipping the score's sign flips exactly the boundary
+    rows (keep_flag is a pure function of score_milli)."""
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+
+    out = queries()["llm_quality_classifier"](spark, SF).collect()
+    kept = sum(r["keep_flag"] for r in out)
+    assert 0 < kept < len(out)
+    for r in out:
+        assert r["keep_flag"] == (1 if r["score_milli"] >= 0 else 0)
+
+
+def test_quality_classifier_is_batch_distributive(spark):
+    """Per-doc scoring is stateless and the model is constant within a
+    run, so the streaming form IS the map itself: union of per-batch
+    outputs == one-shot output row-for-row (safe inside any foreachBatch
+    with no state at all — the readability discipline)."""
+    from gmall_flink_realtime4_spark import tables as T
+
+    d = T.load(spark, SF, "documents")
+    model = quality_model_frame(spark)
+    parts = None
+    for bid in range(3):
+        b = quality_classify(
+            quality_features(d.filter(F.col("doc_id") % 3 == bid)), model
+        )
+        parts = b if parts is None else parts.unionByName(b)
+    got = {tuple(r) for r in parts.collect()}
+    ref = {
+        tuple(r)
+        for r in quality_classify(quality_features(d), model).collect()
+    }
+    assert got == ref and len(ref) > 100

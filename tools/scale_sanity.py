@@ -175,6 +175,8 @@ QUERIES = [
     "llm_text_readability",
     "llm_sample_reservoir",
     "llm_embedding_pca_power_step",
+    # round 8
+    "llm_quality_classifier",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
