@@ -109,27 +109,39 @@ def main() -> None:
     # this box. N=3 by default so one loaded rep can't set any query's mark.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
-    per_query: dict[str, float] = {}
-    spreads: dict[str, float] = {}
+    # Interleaved rotated reps (r7 verdict): rep r runs the WHOLE headline
+    # set once, rotated by r*7 positions (7 is coprime with any headline
+    # size we ship, so every query gets a DIFFERENT predecessor each rep).
+    # Back-to-back per-query reps let an adjacency effect — e.g. a query
+    # scheduled right after the heavyweight dedup trio inheriting their GC
+    # / page-cache shadow — bias ALL of a query's reps the same way, which
+    # best-of-N then can't dampen; rotation makes the shadow hit at most
+    # one rep per query, so the min is adjacency-robust.
+    shifts = [(r * 7) % len(HEADLINE) for r in range(reps)]
+    times_by_query: dict[str, list[float]] = {q: [] for q in HEADLINE}
+    rows_by_query: dict[str, int] = {}
     load_max = os.getloadavg()[0]
-    for name in HEADLINE:
-        fn = qs[name]
-        times, n = [], 0
-        for _ in range(reps):
+    for r in range(reps):
+        order = HEADLINE[shifts[r]:] + HEADLINE[: shifts[r]]
+        for name in order:
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            times.append(time.perf_counter() - t0)
+            df = qs[name](spark, sf_dir)
+            rows_by_query[name] = df.count()
+            times_by_query[name].append(time.perf_counter() - t0)
             # per-rep load evidence: the max 1-min load seen across the
             # run distinguishes "plan got slower" from "machine was busy"
             load_max = max(load_max, os.getloadavg()[0])
-        best = min(times)
+
+    per_query: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name in HEADLINE:
+        best = min(times_by_query[name])
         per_query[name] = round(best, 3)
         # rep-to-rep spread (max/min - 1): >0.15 means ambient load touched
         # this query's reps — read the bench total with that in mind
-        spreads[name] = round(max(times) / best - 1, 3)
+        spreads[name] = round(max(times_by_query[name]) / best - 1, 3)
         print(
-            f"# {name}: {n} rows in {per_query[name]}s "
+            f"# {name}: {rows_by_query[name]} rows in {per_query[name]}s "
             f"(spread {spreads[name]:.1%})",
             file=sys.stderr,
         )
@@ -148,6 +160,8 @@ def main() -> None:
                     sum(per_query[q] for q in COMMON17), 3
                 ),
                 "max_rep_spread": max(spreads.values()),
+                "rep_order": "interleaved",
+                "rep_shifts": shifts,
                 "load_gate": LOAD_GATE,
                 "load_gate_ok": load_gate_ok,
                 "load_wait_sec": waited_sec,

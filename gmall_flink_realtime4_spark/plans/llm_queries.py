@@ -290,65 +290,40 @@ def llm_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic. Scale path: broadcast the query set (small side),
     brute-force scan the base — the LSH-bucketed variant reuses this scorer
     within buckets.
+
+    ONE decimal pass, quantize-once per side: the base row quantizes and
+    self-norms ONCE below the broadcast join (so the per-pair work is one
+    multiply+accumulate fold), the Q-row query side rides in the
+    broadcast. Round 8 reverted the r5 two-stage double-prescore here —
+    isolated warm A/B measured the one-pass form >2x faster at BOTH
+    sf0.1 (0.59 vs 1.30 s) and x10 (0.84 vs 1.25 s), bit-identical
+    output: the prescore's extra Window pass + rescore join-backs cost
+    more than the decimal arithmetic it gated (decimal:double fold ratio
+    measured ~1.5x, not the 10-30x the margin design assumed). The
+    prescore pattern remains where it pays — per-PAIR gating in
+    llm_neardup_recall / embedding_cells (llm_scale_queries).
     """
     emb = T.load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_vec_id"),
-        F.col("embedding").alias("qe"),
+        _qdec(F.col("embedding")).alias("qeq"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("qn2"),
     )
-    # STAGE 1 — ALL-double pre-score of every (query, base) pair (dot AND
-    # norms: no decimal fold touches the full base at all), producing a
-    # skinny (query, neighbor, pre) frame. One in-window pass derives the
-    # per-query 5th-best pre-score; every pair within
-    # 2 * PRESCORE_MARGIN_E9 of it is provably a superset of the decimal
-    # top-5 (same lemma as _topcells in llm_scale_queries; the margin
-    # comment above covers the double-norm variant).
-    pre = (
-        F.broadcast(q.withColumn("qn2d", _dot_dbl(F.col("qe"), F.col("qe"))))
-        .join(emb, F.col("vec_id") != F.col("query_vec_id"))
-        .select(
-            "query_vec_id",
-            F.col("vec_id").alias("neighbor_vec_id"),
-            _cos_e9(
-                _dot_dbl(F.col("qe"), F.col("embedding")),
-                F.col("qn2d"),
-                _dot_dbl(F.col("embedding"), F.col("embedding")),
-            ).alias("pre"),
-        )
+    base = emb.select(
+        F.col("vec_id").alias("neighbor_vec_id"),
+        _qdec(F.col("embedding")).alias("neq"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("nn2"),
     )
-    w = Window.partitionBy("query_vec_id").orderBy(
-        F.col("pre").desc(), F.col("neighbor_vec_id")
-    )
-    wq = Window.partitionBy("query_vec_id")
-    cand = (
-        pre.withColumn("prn", F.row_number().over(w))
-        # 5th-best pre-score per query, reusing the same sort/shuffle
-        .withColumn("cut5", F.max(F.when(F.col("prn") == 5, F.col("pre"))).over(wq))
-        .filter(
-            F.col("cut5").isNull()  # fewer than 5 neighbors: keep all
-            | (F.col("pre") >= F.col("cut5") - F.lit(2 * PRESCORE_MARGIN_E9))
-        )
-        .select("query_vec_id", "neighbor_vec_id")
-    )
-    # STAGE 2 — exact-decimal rescore of the ~5-10 survivors per query
-    # (broadcast both tiny sides back against the base), then the final
-    # ranking runs on decimal scores only: bit-identical to the one-pass
-    # decimal plan at a fraction of the BigDecimal work. The decimal
-    # norms sit ABOVE both joins, so the BigDecimal folds run only for
-    # the joined survivor rows, never the full base.
-    rescored = (
-        emb.join(
-            F.broadcast(cand),
-            emb.vec_id == cand.neighbor_vec_id,
-        )
-        .join(F.broadcast(q), "query_vec_id")
+    scored = (
+        F.broadcast(q)
+        .join(base, F.col("neighbor_vec_id") != F.col("query_vec_id"))
         .select(
             "query_vec_id",
             "neighbor_vec_id",
             _cos_e9(
-                _dot(F.col("qe"), F.col("embedding")),
-                _dot(F.col("qe"), F.col("qe")),
-                _dot(F.col("embedding"), F.col("embedding")),
+                _dot_q(F.col("qeq"), F.col("neq")),
+                F.col("qn2"),
+                F.col("nn2"),
             ).alias("cos_sim_e9"),
         )
     )
@@ -356,7 +331,7 @@ def llm_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim_e9").desc(), F.col("neighbor_vec_id")
     )
     return (
-        rescored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rank") <= 5)
         .select("query_vec_id", "neighbor_vec_id", "rank", "cos_sim_e9")
     )

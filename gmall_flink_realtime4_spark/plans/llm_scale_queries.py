@@ -787,17 +787,14 @@ def _topcells(embn: DataFrame, cent: DataFrame, nprobe: int, dot=None) -> DataFr
     the exact-decimal ``_dot``. Returns ``embn``'s rows plus ``_top``:
     array<struct<ce9, negcid>> of length <= nprobe (cell id = -negcid).
 
-    Cost shape (default dot only): the K decimal scores per vector are the
-    dominant arithmetic of every assignment pass (BigDecimal per element),
-    so ranking runs in TWO in-row passes — a plain-double pre-rank over
-    all K cells, then the exact-decimal score over only the cells whose
-    double score is within ``2 * PRESCORE_MARGIN_E9`` of the nprobe-th
-    best (provably a superset of the decimal top-nprobe: a cell below the
-    cutoff is > margin worse in decimal than nprobe cells at least
-    cutoff-margin good, all strictly above it). Decimal work per vector
-    drops K*D -> ~(nprobe+1)*D while the emitted ranking stays
-    bit-identical to the one-pass decimal sort (guard:
-    ``test_topcells_prerank_matches_full_decimal``).
+    Cost shape (default dot only): one in-row decimal pass over the K
+    cells, both sides quantized ONCE (``_qdec`` per row / per broadcast
+    build) so the fold is one multiply + accumulate per element. The r5
+    double-prerank wrapper was reverted in round 8 — measured slower at
+    every tested scale because its per-row sort carried each cell's full
+    quantized array (see the inline comment). Bit-identity of the
+    quantize-once fold vs the inline per-pair recast form is guarded by
+    ``test_topcells_prerank_matches_full_decimal``.
     """
     custom_dot = dot is not None
     if custom_dot:
@@ -831,62 +828,48 @@ def _topcells(embn: DataFrame, cent: DataFrame, nprobe: int, dot=None) -> DataFr
             )
             .drop("_cents")
         )
-    # default exact-decimal dot: quantize each side ONCE (the vector per
-    # row, the centroids per broadcast build) so the decimal rescore is
-    # one multiply + accumulate per element — no per-(row, cell) casts
+    # default exact-decimal dot: ONE in-row decimal pass, quantizing each
+    # side ONCE (the vector per row, the centroids per broadcast build) so
+    # the fold is one multiply + accumulate per element — no per-(row,
+    # cell) casts. Round 8 reverted the r5 double-prerank + margin-rescore
+    # wrapper here: isolated warm A/B at sf0.1×10 (K=16) measured the
+    # one-pass form FASTER (1.29 vs 1.41 s assignment-only) because the
+    # prerank's array_sort carried each cell's full 64-element decimal
+    # array (cq) through the per-row sort — more data movement than the
+    # decimal arithmetic it saved (the decimal:double fold cost ratio
+    # measured ~1.5x, not the 10-30x the margin design assumed). The
+    # prerank survives where it genuinely pays: the brute-force pair
+    # scorers gate BigDecimal work per PAIR (llm_neardup_recall,
+    # embedding_cells' pair scoring), not per cell-assignment.
     cent_arr = cent.withColumn("cq", _qdec(F.col("ce"))).agg(
-        F.collect_list(F.struct("cid", "ce", "cn2", "cq")).alias("_cents")
+        F.collect_list(F.struct("cid", "cn2", "cq")).alias("_cents")
     )
-    crossed = embn.crossJoin(F.broadcast(cent_arr)).withColumn(
-        "_qe", _qdec(F.col("embedding"))
-    )
-
-    def _decimal_struct(c):
-        return F.struct(
-            _cos_e9(_dot_q(F.col("_qe"), c["cq"]), F.col("n2"), c["cn2"]).alias(
-                "ce9"
-            ),
-            (-c["cid"]).alias("negcid"),
-        )
-
-    pre = F.reverse(
-        F.array_sort(
-            F.transform(
-                "_cents",
-                lambda c: F.struct(
-                    _cos_e9(
-                        _dot_dbl(F.col("embedding"), c["ce"]),
-                        F.col("n2"),
-                        c["cn2"],
-                    ).alias("pce9"),
-                    c["cid"].alias("cid"),
-                    c["cq"].alias("cq"),
-                    c["cn2"].alias("cn2"),
-                ),
-            )
-        )
-    )
-    cut = F.element_at("_pre", F.least(F.lit(nprobe), F.size("_pre")))["pce9"]
     return (
-        crossed.withColumn("_pre", pre)
-        .withColumn("_cut", cut)
-        .withColumn(
-            "_kept",
-            F.filter(
-                "_pre",
-                lambda s: s["pce9"]
-                >= F.col("_cut") - F.lit(2 * PRESCORE_MARGIN_E9),
-            ),
-        )
+        embn.crossJoin(F.broadcast(cent_arr))
+        .withColumn("_qe", _qdec(F.col("embedding")))
         .withColumn(
             "_top",
             F.slice(
-                F.reverse(F.array_sort(F.transform("_kept", _decimal_struct))),
+                F.reverse(
+                    F.array_sort(
+                        F.transform(
+                            "_cents",
+                            lambda c: F.struct(
+                                _cos_e9(
+                                    _dot_q(F.col("_qe"), c["cq"]),
+                                    F.col("n2"),
+                                    c["cn2"],
+                                ).alias("ce9"),
+                                (-c["cid"]).alias("negcid"),
+                            ),
+                        )
+                    )
+                ),
                 1,
                 nprobe,
             ),
         )
-        .drop("_cents", "_pre", "_cut", "_kept", "_qe")
+        .drop("_cents", "_qe")
     )
 
 
@@ -929,7 +912,18 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ce"),
         F.col("n2").alias("cn2"),
     )
-    top = _topcells(embn, cent, IVF_NPROBE)
+    # the SKINNY (vec_id, _top) assignment is checkpointed: it has two
+    # consumers (cell membership + query probes) and is much smaller than
+    # what derives it (the K decimal dots per row over the full embedding
+    # array — the catalog checkpoint rule). Without this, Catalyst
+    # re-derives the whole assignment pass once per consumer (measured:
+    # the bulk of ivf's r5->r7 slowdown at x10; trained_recall has
+    # checkpointed its assignment since r4).
+    top = (
+        _topcells(embn, cent, IVF_NPROBE)
+        .select("vec_id", "_top")
+        .localCheckpoint(eager=True)
+    )
     assign = top.select("vec_id", _top_cell().alias("cell"))
     probes = top.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_vec_id"),

@@ -103,21 +103,62 @@ def test_neardup_candidate_joins_are_equi(spark):
 
 def test_ivf_assignment_is_map_only(spark):
     """The IVF coarse-quantizer assignment must be MAP-ONLY (_topcells):
-    centroids collapse to one broadcast array row (exactly two
-    BroadcastNestedLoopJoins, one per assignment consumer) and the
-    argmax/top-nprobe is ranked in-row — the only real Window left is the
-    final per-query top-k rank. A Window.partitionBy(vec_id) here would
+    centroids collapse to one broadcast array row and the argmax/
+    top-nprobe is ranked in-row — a Window.partitionBy(vec_id) here would
     shuffle N x K scored rows (N^1.5 under the sqrt(N)-centroid rule).
-    Norms stay fused in the same projection: no sort-merge norm joins."""
+    Since round 8 the skinny (vec_id, _top) assignment is CHECKPOINTED
+    (two consumers, much smaller than its derivation), so the final plan
+    must read it as ExistingRDD — computed once, never re-derived per
+    consumer — and the only real Window left is the final per-query
+    top-k rank. The assignment sub-plan itself is guarded map-only: one
+    BroadcastNestedLoopJoin, no Window, no shuffle Exchange."""
+    import contextlib
+    import io
     import re
+
+    import pyspark.sql.functions as F
+
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.llm_queries import _dot
+    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
+        IVF_N_CENTROIDS,
+        IVF_NPROBE,
+        _topcells,
+    )
 
     plan = _plan(spark, "llm_ann_ivf")
     tree = plan.split("\n\n")[0]
     real_windows = re.findall(r"\bWindow \(", tree)
     assert len(real_windows) == 1, tree
-    assert tree.count("BroadcastNestedLoopJoin") == 2
+    assert tree.count("Scan ExistingRDD") >= 1  # checkpointed assignment
     assert "SortMergeJoin" not in tree
     assert "CartesianProduct" not in plan
+
+    # the assignment sub-plan (what the checkpoint materializes)
+    emb = T.load(spark, SF, "embeddings")
+    embn = emb.select(
+        "vec_id",
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("n2"),
+    )
+    cent = embn.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("n2").alias("cn2"),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _topcells(embn, cent, IVF_NPROBE).select("vec_id", "_top").explain(
+            "formatted"
+        )
+    atree = buf.getvalue().split("\n\n")[0]
+    assert "Window" not in atree
+    assert atree.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in atree and "ShuffledHashJoin" not in atree
+    # the only Exchanges are the two loader spreads (base + centroid
+    # scans) and the 16-row centroid collect_list agg — none grows
+    # superlinearly with the corpus; the N-row side never shuffles
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", atree)) <= 3
 
 
 def test_embedding_cells_pair_space_never_shuffles(spark):
