@@ -455,6 +455,19 @@ def llm_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join. The shape a nightly 100 TB corpus build actually ships.
     """
     d = T.load(spark, sf_dir, "documents")
+    # two consumers each: keeper agg + semi-join probe / eval set + probes
+    kept = corpus_final_feat_partials(d).localCheckpoint()
+    sh = corpus_final_shingle_partials(d).localCheckpoint()
+    return corpus_final_finalize(kept, sh)
+
+
+def corpus_final_feat_partials(d: DataFrame) -> DataFrame:
+    """Per-batch quality-gated candidate state for the corpus-final DAG:
+    the skinny feature rows (doc_id, lang, counts, fp, stop_pm — text
+    projected away) that SURVIVE the quality gates. Pure per-row map +
+    filter, so per-batch outputs union-merge losslessly; everything that
+    crosses batches (the min-doc_id keeper, contamination, mixing) is
+    deferred to ``corpus_final_finalize``."""
     toks = F.split("text", " ")
     feat = d.select(
         "doc_id",
@@ -468,16 +481,32 @@ def llm_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(size(split(text, ' ')), 1)"
         ).alias("stop_pm"),
     )
-    kept = feat.filter(
+    return feat.filter(
         (F.col("n_tokens") >= 5)
         & (F.col("n_chars") >= 30)
         & (F.col("stop_pm") <= 500)
-    ).localCheckpoint()  # two consumers: keeper agg + the semi-join probe
+    )
+
+
+def corpus_final_shingle_partials(d: DataFrame) -> DataFrame:
+    """Per-batch (doc_id, shingle) membership state. Shingles are
+    within-document (a document lives wholly in one batch), so per-batch
+    frames union-merge exactly; contamination PAIRS are cross-batch (a
+    training doc may share shingles with an eval doc from a different
+    batch) and therefore computed only at finalize — the same membership
+    discipline as lsh_curve_shingle_partials."""
+    return _shingles(d)
+
+
+def corpus_final_finalize(kept: DataFrame, sh: DataFrame) -> DataFrame:
+    """Everything after the per-row stages, over MERGED state: exact
+    fingerprint dedup (min-doc_id keeper — a later batch can win, so the
+    keeper is never resolved per batch), eval-overlap decontamination,
+    deterministic hash mixing, per-language token budget."""
     keepers = kept.groupBy("fp").agg(F.min("doc_id").alias("keeper_doc_id"))
     deduped = kept.join(
         keepers, kept.doc_id == keepers.keeper_doc_id, "left_semi"
     )
-    sh = _shingles(d).localCheckpoint()  # two consumers: eval set + probes
     ev = sh.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select("shingle")
     contaminated = (
         sh.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)

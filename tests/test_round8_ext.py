@@ -141,3 +141,106 @@ def test_quality_classifier_is_batch_distributive(spark):
         for r in quality_classify(quality_features(d), model).collect()
     }
     assert got == ref and len(ref) > 100
+
+
+def test_incremental_corpus_final_whole_dag(spark):
+    """The WHOLE corpus-final DAG under accumulate-then-finalize: union
+    of per-batch quality-gated candidate state + per-batch doc-shingle
+    membership state, MERGEd through keeper/decontaminate/mix/budget at
+    finalize, equals the one-shot registered query exactly. Batching is
+    by doc_id % 3, and the test proves the split actually exercises the
+    cross-batch semantics: at least one duplicate-fingerprint group and
+    at least one (train, eval) contamination pair straddle batches (a
+    per-batch keeper or per-batch contamination set would diverge)."""
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.llm_pipeline_queries import (
+        DECON_EVAL_MOD,
+        corpus_final_feat_partials,
+        corpus_final_finalize,
+        corpus_final_shingle_partials,
+    )
+
+    d = T.load(spark, SF, "documents")
+    kept_parts, sh_parts = None, None
+    for bid in range(3):
+        b = d.filter(F.col("doc_id") % 3 == bid)
+        k = corpus_final_feat_partials(b)
+        s = corpus_final_shingle_partials(b)
+        kept_parts = k if kept_parts is None else kept_parts.unionByName(k)
+        sh_parts = s if sh_parts is None else sh_parts.unionByName(s)
+
+    got = {
+        (r["lang"], r["n_docs"], r["total_tokens"])
+        for r in corpus_final_finalize(kept_parts, sh_parts).collect()
+    }
+    ref = {
+        (r["lang"], r["n_docs"], r["total_tokens"])
+        for r in queries()["llm_corpus_final"](spark, SF).collect()
+    }
+    assert got == ref and len(ref) >= 2
+
+    # The real sf0.001 corpus has NO duplicate fingerprint surviving the
+    # quality gates, so the dedup stage is a no-op there — augment with
+    # crafted rows that FORCE the cross-batch semantics: a duplicate
+    # text in batches 1 and 2 (keeper = min id, resolvable only from
+    # merged state) and a (train, eval) contamination pair in batches 0
+    # and 2 sharing >= DECON_MIN_SHARED shingles (eval id % 97 == 0).
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    con = "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    crafted = spark.createDataFrame(
+        [
+            (10_001, dup, "en"),  # 10001 % 3 == 2, % 97 != 0 (train)
+            (10_003, dup, "en"),  # 10003 % 3 == 1 — dup straddles batches
+            (10_005, con, "fr"),  # 10005 % 3 == 0, train, contaminated
+            (10_670, con, "fr"),  # 10670 % 3 == 2, % 97 == 0 — eval twin
+        ],
+        "doc_id long, text string, lang string",
+    )
+    d2 = d.select("doc_id", "text", "lang").unionByName(crafted)
+    kp, sp = None, None
+    for bid in range(3):
+        b = d2.filter(F.col("doc_id") % 3 == bid)
+        k, s = corpus_final_feat_partials(b), corpus_final_shingle_partials(b)
+        kp = k if kp is None else kp.unionByName(k)
+        sp = s if sp is None else sp.unionByName(s)
+    got2 = {
+        tuple(r)
+        for r in corpus_final_finalize(kp, sp).collect()
+    }
+    ref2 = {
+        tuple(r)
+        for r in corpus_final_finalize(
+            corpus_final_feat_partials(d2), corpus_final_shingle_partials(d2)
+        ).collect()
+    }
+    assert got2 == ref2 and len(ref2) >= 2
+
+    # prove the crafted rows actually exercise the stages:
+    # (a) the dup fp group spans 2 batches and survives the gates
+    fp_span = (
+        corpus_final_feat_partials(d2)
+        .groupBy("fp")
+        .agg(F.countDistinct(F.col("doc_id") % 3).alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .count()
+    )
+    assert fp_span >= 1, "no duplicate fingerprint straddles batches"
+    # (b) the contaminated train doc's eval twin sits in a DIFFERENT
+    # batch and shares >= DECON_MIN_SHARED distinct shingles
+    sh2 = corpus_final_shingle_partials(d2)
+    tr = sh2.filter(F.col("doc_id") % DECON_EVAL_MOD != 0).select(
+        F.col("doc_id").alias("t_doc"), "shingle"
+    )
+    ev = sh2.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select(
+        F.col("doc_id").alias("e_doc"), "shingle"
+    )
+    cross = (
+        tr.join(ev, "shingle")
+        .filter((F.col("t_doc") % 3) != (F.col("e_doc") % 3))
+        .groupBy("t_doc", "e_doc")
+        .count()
+        .filter(F.col("count") >= 5)
+        .count()
+    )
+    assert cross >= 1, "no cross-batch (train, eval) contamination pair"
