@@ -117,20 +117,39 @@ def main() -> None:
     # / page-cache shadow — bias ALL of a query's reps the same way, which
     # best-of-N then can't dampen; rotation makes the shadow hit at most
     # one rep per query, so the min is adjacency-robust.
-    shifts = [(r * 7) % len(HEADLINE) for r in range(reps)]
+    # SPARK_GRAFT_BENCH_ORDER=consecutive restores the pre-r8 loop (all
+    # reps of one query back-to-back) for methodology A/Bs: back-to-back
+    # reps are systematically WARMER (per-query shuffle files / JIT /
+    # broadcast reuse), so consecutive totals undercut interleaved ones —
+    # compare like with like across rounds.
+    order_mode = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "interleaved")
+    shifts = (
+        [0] * reps
+        if order_mode == "consecutive"
+        else [(r * 7) % len(HEADLINE) for r in range(reps)]
+    )
     times_by_query: dict[str, list[float]] = {q: [] for q in HEADLINE}
     rows_by_query: dict[str, int] = {}
     load_max = os.getloadavg()[0]
-    for r in range(reps):
-        order = HEADLINE[shifts[r]:] + HEADLINE[: shifts[r]]
-        for name in order:
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            rows_by_query[name] = df.count()
-            times_by_query[name].append(time.perf_counter() - t0)
-            # per-rep load evidence: the max 1-min load seen across the
-            # run distinguishes "plan got slower" from "machine was busy"
-            load_max = max(load_max, os.getloadavg()[0])
+
+    def _run_one(name: str) -> None:
+        nonlocal load_max
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        rows_by_query[name] = df.count()
+        times_by_query[name].append(time.perf_counter() - t0)
+        # per-rep load evidence: the max 1-min load seen across the
+        # run distinguishes "plan got slower" from "machine was busy"
+        load_max = max(load_max, os.getloadavg()[0])
+
+    if order_mode == "consecutive":
+        for name in HEADLINE:
+            for _ in range(reps):
+                _run_one(name)
+    else:
+        for r in range(reps):
+            for name in HEADLINE[shifts[r]:] + HEADLINE[: shifts[r]]:
+                _run_one(name)
 
     per_query: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -160,7 +179,7 @@ def main() -> None:
                     sum(per_query[q] for q in COMMON17), 3
                 ),
                 "max_rep_spread": max(spreads.values()),
-                "rep_order": "interleaved",
+                "rep_order": order_mode,
                 "rep_shifts": shifts,
                 "load_gate": LOAD_GATE,
                 "load_gate_ok": load_gate_ok,
