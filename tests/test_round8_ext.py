@@ -244,3 +244,52 @@ def test_incremental_corpus_final_whole_dag(spark):
         .count()
     )
     assert cross >= 1, "no cross-batch (train, eval) contamination pair"
+
+
+def test_incremental_corpus_final_foreach_batch_e2e(spark, tmp_path):
+    """The whole-DAG twin driven by a REAL Structured Streaming source:
+    documents arrive in 3 micro-batches; each batch APPENDS its
+    quality-gated candidate rows and its doc-shingle membership rows to
+    two parquet state tables (pure per-row partials — nothing cross-batch
+    is resolved in-flight); finalize reads the accumulated state and runs
+    keeper/decontaminate/mix/budget once. Result must equal the one-shot
+    registered query — the accumulate-then-finalize discipline end-to-end
+    on the streaming engine, not just on sliced frames."""
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.llm_pipeline_queries import (
+        corpus_final_feat_partials,
+        corpus_final_finalize,
+        corpus_final_shingle_partials,
+    )
+    from gmall_flink_realtime4_spark.streaming.runner import (
+        run_foreach_batch,
+        stream_from_dataframe,
+        stream_parquet_source,
+    )
+
+    docs = T.load(spark, SF, "documents")
+    kept_dir = str(tmp_path / "state_kept")
+    sh_dir = str(tmp_path / "state_shingles")
+
+    def accumulate(bdf, _bid):
+        corpus_final_feat_partials(bdf).write.mode("append").parquet(kept_dir)
+        corpus_final_shingle_partials(bdf).write.mode("append").parquet(
+            sh_dir
+        )
+
+    _, src = stream_from_dataframe(docs, n_files=3, base_dir=str(tmp_path))
+    s = stream_parquet_source(spark, src, docs.schema)  # 3 micro-batches
+    run_foreach_batch(s, accumulate, output_mode="append")
+
+    got = {
+        tuple(r)
+        for r in corpus_final_finalize(
+            spark.read.parquet(kept_dir), spark.read.parquet(sh_dir)
+        ).collect()
+    }
+    ref = {
+        tuple(r)
+        for r in queries()["llm_corpus_final"](spark, SF).collect()
+    }
+    assert got == ref and len(ref) >= 2
