@@ -253,6 +253,16 @@ def main() -> None:
         print(f"unknown query name(s): {unknown}", file=sys.stderr)
         sys.exit(2)
     run_list = list(sys.argv[2:]) or QUERIES
+    # Untimed warm-up (the bench.py discipline): JVM JIT, parquet footers,
+    # Arrow/Python workers, and whole-stage codegen all first-touch on
+    # someone — without this the sweep charged ~10 s of session warm-up to
+    # run_list[0] (dws_trade_sku_order_window read 13.5 s in-sweep vs ~2 s
+    # warm in round 8's ×10 sweep).
+    spark.read.parquet(f"{scaled}/lineitem.parquet").count()
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").count()
+    qs[run_list[0]](spark, scaled).count()
     results = {}
     for name in run_list:
         t0 = time.perf_counter()
