@@ -293,3 +293,40 @@ def test_incremental_corpus_final_foreach_batch_e2e(spark, tmp_path):
         for r in queries()["llm_corpus_final"](spark, SF).collect()
     }
     assert got == ref and len(ref) >= 2
+
+
+def test_quality_classifier_property_random_texts(spark):
+    """Hypothesis property: the Spark feature/score block equals the
+    exact python model on RANDOM texts over an adversarial alphabet —
+    stopwords, punctuation-only tokens, empty tokens from doubled
+    spaces, long garbage tokens — so agreement isn't an artifact of the
+    synthetic corpus's clean shape."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    token = st.sampled_from(
+        ["the", "a", "of", "to", "and", "x", "zz", "q3!", ".", "!?",
+         "", "longgarbagetoken" * 3, "mid.dle"]
+    )
+    texts = st.lists(
+        st.lists(token, min_size=0, max_size=40).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+
+    model = quality_model_frame(spark)
+
+    @given(texts=texts)
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def run(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["score_milli"], r["keep_flag"])
+            for r in quality_classify(quality_features(df), model).collect()
+        }
+        for i, t in rows:
+            assert got[i] == _py_score(_py_features(i, t)), (i, t[:60])
+
+    run()
