@@ -66,21 +66,24 @@ GATE_PRIORITY: list[str] = [
     # 1 query new in round 8 (llm_quality_classifier, head) + all 34
     # names whose freshest row is r04 (the round-7 tail comment,
     # re-derived programmatically: registry minus CORRECTNESS_r07 minus
-    # CORRECTNESS_r06) + the 15 oldest r06-fresh names (the round-6-new
-    # list head, CORRECTNESS_r06 key order). After this round no query's
-    # freshest row is older than r06 — the steady-state 3-round cycle.
+    # CORRECTNESS_r06) + 7 CHANGED-PLAN re-entries (the round-8 ANN work:
+    # cosine_topk one-pass rewrite, ivf checkpointed assignment, and the
+    # _topcells default-path revert reaching embedding_cells/cosine,
+    # kmeans_step, trained_recall, neardup_recall) + the 8 oldest
+    # r06-fresh names (round-6-new list head, CORRECTNESS_r06 key
+    # order). After this round no query's freshest row is older than r06
+    # — the steady-state 3-round cycle.
     #
     # CADENCE MATH: registry 134 -> 134+1new = 135 (== the ~135 freeze
-    # target). After this round: 50 r08-fresh, 50 r07-fresh, 35 r06-fresh.
-    # ceil(135/50) = 3 rounds per full cycle; no row ever older than 2
-    # rounds from here on.
+    # target). After this round: 50 r08-fresh, 47 r07-fresh, 38
+    # r06-fresh. ceil(135/50) = 3 rounds per full cycle; no row ever
+    # older than 2 rounds from here on.
     #
-    # ROUND-9 ROTATION RECIPE: prefix = any queries new in round 9 + the
-    # 35 remaining r06-fresh names (CORRECTNESS_r06 key order from
-    # position 15: dq_langid_eval, llm_lsh_tuning_curve,
-    # dq_benford_first_digit, llm_sample_pps, ...) + the oldest r07-fresh
-    # names to fill 50 (start with the round-7-new list:
-    # f_skyline_pareto_suppliers, dws_event_cooccurrence_lift, ...).
+    # ROUND-9 ROTATION RECIPE: prefix = any queries new in round 9 + any
+    # changed-plan re-entries + the 38 remaining r06-fresh names (listed
+    # in the tail comment below) + the oldest r07-fresh names to fill 50
+    # (start with the round-7-new list: f_skyline_pareto_suppliers,
+    # dws_event_cooccurrence_lift, ...).
     # new in round 8 (needs its first driver row)
     "llm_quality_classifier",
     # freshest row is r04 — the full 34-name tail from round 7
@@ -118,8 +121,30 @@ GATE_PRIORITY: list[str] = [
     "llm_sketch_kmv_distinct",
     "llm_sketch_kmv_union",
     "llm_sketch_histogram_quantiles",
-    # freshest row is r06 — the 15 oldest (round-6-new list head).
-    # The remaining 35 r06-fresh names rotate to round 9:
+    # CHANGED-PLAN queries re-enter the gate (the r4/r5/r7 convention) —
+    # the round-8 ANN work changed seven plans: the cosine_topk one-pass
+    # rewrite, ivf's checkpointed assignment, and the _topcells default
+    # path revert (which reaches embedding_cells/cosine, kmeans_step,
+    # trained_recall, neardup_recall). All seven take gate slots this
+    # round; they displaced the seven NEWEST of the 15 r06-head names
+    # (bpe_encode, pagerank, hll, bm25, winnow, ks-drift, vocab-drift —
+    # each unchanged since its r06 row and covered by dedicated
+    # python-model/plan/partials tests), which rotate to round 9.
+    "llm_ann_cosine_topk",
+    "llm_ann_ivf",
+    "llm_dedup_embedding_cells",
+    "llm_dedup_embedding_cosine",
+    "llm_embedding_kmeans_step",
+    "llm_ann_ivf_trained_recall",
+    "llm_neardup_recall",
+    # freshest row is r06 — the 8 oldest (round-6-new list head).
+    # The remaining 38 r06-fresh names rotate to round 9 (the 7
+    # displaced changed-plan slots above lead, then — note cosine_topk /
+    # ivf / embedding_cells / neardup_recall leave this set: they are
+    # gated THIS round as changed-plan re-entries):
+    # llm_bpe_encode_corpus, dws_event_type_pagerank,
+    # llm_sketch_hll_distinct, llm_bm25_topk, llm_winnow_fingerprints,
+    # dq_distribution_drift_ks, dq_vocab_drift,
     # dq_langid_eval, llm_lsh_tuning_curve, dq_benford_first_digit,
     # llm_sample_pps, llm_multimodal_audio_resample, dws_dau_wau_stickiness,
     # llm_dedup_containment_lsh, f_set_ops_source_overlap,
@@ -127,9 +152,8 @@ GATE_PRIORITY: list[str] = [
     # llm_multimodal_resize, llm_multimodal_audio_stats, llm_pii_redact,
     # llm_text_unigram_surprisal, llm_text_bigram_surprisal,
     # llm_bpe_pair_counts, f_entity_resolution_customers, llm_sketch_countmin,
-    # llm_dedup_url_normalize, llm_neardup_recall, llm_dedup_embedding_cells,
-    # llm_ann_ivf, llm_dedup_clusters, llm_dedup_exact,
-    # llm_dedup_ngram_jaccard, llm_ann_cosine_topk, llm_text_token_count,
+    # llm_dedup_url_normalize, llm_dedup_clusters, llm_dedup_exact,
+    # llm_dedup_ngram_jaccard, llm_text_token_count,
     # llm_text_quality_score, llm_text_langid, llm_text_length_quantiles,
     # llm_corpus_prepare, llm_text_fingerprint, llm_dedup_minhash_lsh,
     # llm_chunk_dedup, llm_ngram_heavy_hitters
@@ -143,13 +167,6 @@ GATE_PRIORITY: list[str] = [
     "dq_table_stats_profile",
     "dq_sketch_join_cardinality",
     "llm_bpe_train_merges",
-    "llm_bpe_encode_corpus",
-    "dws_event_type_pagerank",
-    "llm_sketch_hll_distinct",
-    "llm_bm25_topk",
-    "llm_winnow_fingerprints",
-    "dq_distribution_drift_ks",
-    "dq_vocab_drift",
 ]
 
 
