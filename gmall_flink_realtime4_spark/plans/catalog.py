@@ -66,21 +66,21 @@ GATE_PRIORITY: list[str] = [
     # 1 query new in round 8 (llm_quality_classifier, head) + all 34
     # names whose freshest row is r04 (the round-7 tail comment,
     # re-derived programmatically: registry minus CORRECTNESS_r07 minus
-    # CORRECTNESS_r06) + 7 CHANGED-PLAN re-entries (the round-8 ANN work:
+    # CORRECTNESS_r06) + 6 CHANGED-PLAN re-entries (the round-8 ANN work:
     # cosine_topk one-pass rewrite, ivf checkpointed assignment, and the
-    # _topcells default-path revert reaching embedding_cells/cosine,
-    # kmeans_step, trained_recall, neardup_recall) + the 8 oldest
+    # _topcells default-path revert reaching embedding_cells,
+    # kmeans_step, trained_recall, neardup_recall) + the 9 oldest
     # r06-fresh names (round-6-new list head, CORRECTNESS_r06 key
     # order). After this round no query's freshest row is older than r06
     # — the steady-state 3-round cycle.
     #
     # CADENCE MATH: registry 134 -> 134+1new = 135 (== the ~135 freeze
-    # target). After this round: 50 r08-fresh, 47 r07-fresh, 38
+    # target). After this round: 50 r08-fresh, 48 r07-fresh, 37
     # r06-fresh. ceil(135/50) = 3 rounds per full cycle; no row ever
     # older than 2 rounds from here on.
     #
     # ROUND-9 ROTATION RECIPE: prefix = any queries new in round 9 + any
-    # changed-plan re-entries + the 38 remaining r06-fresh names (listed
+    # changed-plan re-entries + the 37 remaining r06-fresh names (listed
     # in the tail comment below) + the oldest r07-fresh names to fill 50
     # (start with the round-7-new list: f_skyline_pareto_suppliers,
     # dws_event_cooccurrence_lift, ...).
@@ -122,27 +122,28 @@ GATE_PRIORITY: list[str] = [
     "llm_sketch_kmv_union",
     "llm_sketch_histogram_quantiles",
     # CHANGED-PLAN queries re-enter the gate (the r4/r5/r7 convention) —
-    # the round-8 ANN work changed seven plans: the cosine_topk one-pass
+    # the round-8 ANN work changed six plans: the cosine_topk one-pass
     # rewrite, ivf's checkpointed assignment, and the _topcells default
-    # path revert (which reaches embedding_cells/cosine, kmeans_step,
-    # trained_recall, neardup_recall). All seven take gate slots this
-    # round; they displaced the seven NEWEST of the 15 r06-head names
-    # (bpe_encode, pagerank, hll, bm25, winnow, ks-drift, vocab-drift —
-    # each unchanged since its r06 row and covered by dedicated
+    # path revert (which reaches embedding_cells, kmeans_step,
+    # trained_recall, and neardup_recall — the latter composes the
+    # cells generator; embedding_cosine is pure sign-LSH, no _topcells,
+    # plan unchanged, NOT re-gated). All six take gate slots this
+    # round; they displaced the six NEWEST of the 15 r06-head names
+    # (pagerank, hll, bm25, winnow, ks-drift, vocab-drift — each
+    # unchanged since its r06 row and covered by dedicated
     # python-model/plan/partials tests), which rotate to round 9.
     "llm_ann_cosine_topk",
     "llm_ann_ivf",
     "llm_dedup_embedding_cells",
-    "llm_dedup_embedding_cosine",
     "llm_embedding_kmeans_step",
     "llm_ann_ivf_trained_recall",
     "llm_neardup_recall",
-    # freshest row is r06 — the 8 oldest (round-6-new list head).
-    # The remaining 38 r06-fresh names rotate to round 9 (the 7
+    # freshest row is r06 — the 9 oldest (round-6-new list head).
+    # The remaining 37 r06-fresh names rotate to round 9 (the 6
     # displaced changed-plan slots above lead, then — note cosine_topk /
     # ivf / embedding_cells / neardup_recall leave this set: they are
     # gated THIS round as changed-plan re-entries):
-    # llm_bpe_encode_corpus, dws_event_type_pagerank,
+    # dws_event_type_pagerank,
     # llm_sketch_hll_distinct, llm_bm25_topk, llm_winnow_fingerprints,
     # dq_distribution_drift_ks, dq_vocab_drift,
     # dq_langid_eval, llm_lsh_tuning_curve, dq_benford_first_digit,
@@ -167,6 +168,7 @@ GATE_PRIORITY: list[str] = [
     "dq_table_stats_profile",
     "dq_sketch_join_cardinality",
     "llm_bpe_train_merges",
+    "llm_bpe_encode_corpus",
 ]
 
 
