@@ -9,6 +9,7 @@ measured time covers scan -> shuffle -> aggregation, not plan construction.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -110,8 +111,13 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     # Interleaved rotated reps (r7 verdict): rep r runs the WHOLE headline
-    # set once, rotated by r*7 positions (7 is coprime with any headline
-    # size we ship, so every query gets a DIFFERENT predecessor each rep).
+    # set once, rotated by r*step positions, step = the smallest integer
+    # >= 7 coprime with len(HEADLINE) (derived, not hard-coded: a future
+    # headline size that is a multiple of a fixed step would silently
+    # collapse the rotations to a handful of shifts and quietly void the
+    # adjacency-robustness claim — r8 ADVICE). Coprimality guarantees
+    # every query gets a DIFFERENT predecessor each rep for any reps <=
+    # len(HEADLINE).
     # Back-to-back per-query reps let an adjacency effect — e.g. a query
     # scheduled right after the heavyweight dedup trio inheriting their GC
     # / page-cache shadow — bias ALL of a query's reps the same way, which
@@ -123,10 +129,15 @@ def main() -> None:
     # broadcast reuse), so consecutive totals undercut interleaved ones —
     # compare like with like across rounds.
     order_mode = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "interleaved")
+    step = next(
+        s for s in range(7, 7 + len(HEADLINE))
+        if math.gcd(s, len(HEADLINE)) == 1
+    )
+    assert math.gcd(step, len(HEADLINE)) == 1  # the rotation contract
     shifts = (
         [0] * reps
         if order_mode == "consecutive"
-        else [(r * 7) % len(HEADLINE) for r in range(reps)]
+        else [(r * step) % len(HEADLINE) for r in range(reps)]
     )
     times_by_query: dict[str, list[float]] = {q: [] for q in HEADLINE}
     rows_by_query: dict[str, int] = {}

@@ -794,7 +794,7 @@ def _topcells(embn: DataFrame, cent: DataFrame, nprobe: int, dot=None) -> DataFr
     every tested scale because its per-row sort carried each cell's full
     quantized array (see the inline comment). Bit-identity of the
     quantize-once fold vs the inline per-pair recast form is guarded by
-    ``test_topcells_prerank_matches_full_decimal``.
+    ``test_topcells_quantize_once_matches_inline_decimal``.
     """
     custom_dot = dot is not None
     if custom_dot:

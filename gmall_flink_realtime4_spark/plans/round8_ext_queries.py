@@ -55,6 +55,11 @@ from .catalog import query
 #
 # Overflow audit: |w| <= 40 and every feature is <= 1000 * doc_chars, so
 # |score| < 2.5e5 * doc_chars — BIGINT-safe past a 10^13-char document.
+# That bound only holds because every `1000 * length(...)`-shaped product
+# below promotes the length/size to BIGINT BEFORE the multiply: Spark's
+# length()/size() return 32-bit INT, so an uncast product would overflow
+# (ANSI error) at ~2.1M non-space chars while DuckDB (BIGINT-native
+# length) sailed on — an engine divergence, not just a crash.
 #
 # Scale shape: scan -> project(features) -> BroadcastNestedLoopJoin
 # against the 1-ROW weights frame -> project(score). Zero corpus
@@ -81,17 +86,18 @@ _FEATURES_SQL = f"""
 f AS (
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST((1000 * length(replace(text, ' ', '')))
+           CAST((1000 * CAST(length(replace(text, ' ', '')) AS BIGINT))
                 // greatest(len(toks), 1) AS BIGINT)
                AS mean_token_len_permille,
-           CAST((1000 * len(list_filter(toks, x -> x IN {_STOP})))
+           CAST((1000 * CAST(len(list_filter(toks, x -> x IN {_STOP}))
+                             AS BIGINT))
                 // greatest(len(toks), 1) AS BIGINT) AS stopword_permille,
-           CAST((1000 * len(list_distinct(toks)))
+           CAST((1000 * CAST(len(list_distinct(toks)) AS BIGINT))
                 // greatest(len(toks), 1) AS BIGINT)
                AS distinct_token_permille,
-           CAST((471 * length(replace(text, ' ', '')))
+           CAST((471 * CAST(length(replace(text, ' ', '')) AS BIGINT))
                     // greatest(len(toks), 1)
-                + (50 * len(toks))
+                + (50 * CAST(len(toks) AS BIGINT))
                     // greatest(length(text)
                                 - length(translate(text, '.!?', '')), 1)
                 - 2143 AS BIGINT) AS ari_c100
@@ -166,22 +172,23 @@ def quality_features(d: DataFrame) -> DataFrame:
         "doc_id",
         F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
         F.expr(
-            "CAST((1000 * length(replace(text, ' ', '')))"
+            "CAST((1000 * CAST(length(replace(text, ' ', '')) AS BIGINT))"
             " div greatest(size(split(text, ' ')), 1) AS BIGINT)"
         ).alias("mean_token_len_permille"),
         F.expr(
-            "CAST((1000 * size(filter(split(text, ' '),"
-            f" x -> x IN {_STOP})))"
+            "CAST((1000 * CAST(size(filter(split(text, ' '),"
+            f" x -> x IN {_STOP})) AS BIGINT))"
             " div greatest(size(split(text, ' ')), 1) AS BIGINT)"
         ).alias("stopword_permille"),
         F.expr(
-            "CAST((1000 * size(array_distinct(split(text, ' '))))"
+            "CAST((1000 * CAST(size(array_distinct(split(text, ' ')))"
+            " AS BIGINT))"
             " div greatest(size(split(text, ' ')), 1) AS BIGINT)"
         ).alias("distinct_token_permille"),
         F.expr(
-            "CAST((471 * length(replace(text, ' ', '')))"
+            "CAST((471 * CAST(length(replace(text, ' ', '')) AS BIGINT))"
             " div greatest(size(split(text, ' ')), 1)"
-            " + (50 * size(split(text, ' ')))"
+            " + (50 * CAST(size(split(text, ' ')) AS BIGINT))"
             " div greatest(length(text)"
             " - length(translate(text, '.!?', '')), 1)"
             " - 2143 AS BIGINT)"

@@ -282,10 +282,12 @@ def test_cosine_exact_compression_matches_uncompressed(spark, tmp_path):
     assert comp == ref
 
 
-def test_topcells_prerank_matches_full_decimal(spark):
-    """The double pre-rank + decimal-rescore form of _topcells must emit
-    exactly the one-pass decimal ranking (passing dot=_dot forces the
-    single-pass path, so the two plans share every scoring expression)."""
+def test_topcells_quantize_once_matches_inline_decimal(spark):
+    """The default quantize-once one-pass form of _topcells (centroids
+    cast to DECIMAL once in the probe struct, scored with _dot_q) must
+    emit exactly the ranking of the inline-decimal path (dot=_dot
+    re-casts per score) — the bit-identity guard for the r8 revert of
+    the r5 double-prescore machinery."""
     import pyspark.sql.functions as F
 
     from gmall_flink_realtime4_spark import tables as T
