@@ -119,7 +119,6 @@ GATE_PRIORITY: list[str] = [
     "llm_dedup_simhash",
     "llm_dedup_simhash_pairs",
     "llm_sketch_kmv_distinct",
-    "llm_sketch_kmv_union",
     "llm_sketch_histogram_quantiles",
     # CHANGED-PLAN queries re-enter the gate (the r4/r5/r7 convention) —
     # the round-8 ANN work changed six plans: the cosine_topk one-pass

@@ -1589,6 +1589,17 @@ WITH h AS (
 ), exact AS (
     SELECT event_type, COUNT(DISTINCT user_id) AS ex
     FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), gh AS (
+    SELECT DISTINCT hx FROM h
+), gr AS (
+    SELECT hx, row_number() OVER (ORDER BY hx) AS rn, COUNT(*) OVER () AS n
+    FROM gh
+), gkth AS (
+    SELECT n, {_hexval_sql("hx", "strpos")} AS v
+    FROM gr WHERE rn = LEAST(n, {KMV_K})
+), gexact AS (
+    SELECT COUNT(DISTINCT user_id) AS ex
+    FROM events WHERE user_id IS NOT NULL
 )
 SELECT e.event_type,
        CAST(e.ex AS BIGINT) AS exact_distinct,
@@ -1599,12 +1610,26 @@ SELECT e.event_type,
                  ELSE ({KMV_K - 1} * {_KMV_M}) // greatest(k.v, 1) END - e.ex)) // e.ex
             AS BIGINT) AS err_permille
 FROM exact e JOIN kth k ON e.event_type = k.event_type
+UNION ALL
+SELECT '(all)' AS event_type,
+       CAST(e.ex AS BIGINT) AS exact_distinct,
+       CAST(CASE WHEN k.n < {KMV_K} THEN k.n
+                 ELSE ({KMV_K - 1} * {_KMV_M}) // greatest(k.v, 1) END AS BIGINT)
+           AS kmv_estimate,
+       CAST((1000 * abs(CASE WHEN k.n < {KMV_K} THEN k.n
+                 ELSE ({KMV_K - 1} * {_KMV_M}) // greatest(k.v, 1) END - e.ex)) // e.ex
+            AS BIGINT) AS err_permille
+FROM gexact e, gkth k
 """,
     tags=("llm-text", "sketch"),
 )
 def llm_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV (k-minimum-values) distinct-count sketch, per event_type, with
-    its own measured error against the exact count.
+    """KMV (k-minimum-values) distinct-count sketch, per event_type PLUS
+    the ``(all)`` rollup row, each with its own measured error against the
+    exact count. Folded in round 9: the former ``llm_sketch_kmv_union``
+    query is now the ``(all)`` row — the global estimate computed by
+    MERGING the per-event_type sketches, never re-scanning raw keys
+    (registry-freeze fold, the llm_ann_ivf_recall template).
 
     The mergeable-sketch pattern every 100 TB pipeline needs for distinct
     counting WITHOUT a full shuffle of the key universe: keep the k
@@ -1625,10 +1650,22 @@ def llm_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (group) merge — and no Window anywhere in the plan. The bucket
     distinct counts sum to the exact distinct-hash count n because the
     salt partitions the hash space.
+
+    The ``(all)`` row is the mergeability proof: union(sketch_a, sketch_b)
+    = k smallest of (kmin_a ∪ kmin_b), because every one of the global k
+    smallest hashes is necessarily inside its own group's k-min set. The
+    merge input is G x k values (G = event types) and crucially DEDUPS
+    the hash multiset (one user active in several types appears in
+    several sketches). The oracle computes the identical estimate from
+    the raw key universe; exact equality of the two paths is the proof.
+    When the merged set holds fewer than k values it IS the exact union,
+    so the estimate is exact. The group-sketch frame feeds BOTH output
+    arms, is G x k values vs an events scan + two shuffles to derive —
+    the CLAUDE.md localCheckpoint class — so it is checkpointed once.
     """
     e = T.load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    merged = _kmv_group_sketch(e)
-    kth = merged.select(
+    sketch = _kmv_group_sketch(e).localCheckpoint()
+    kth = sketch.select(
         "event_type",
         "n",
         F.expr(
@@ -1643,7 +1680,7 @@ def llm_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.when(F.col("n") < KMV_K, F.col("n")).otherwise(
         F.expr(f"({KMV_K - 1} * {_KMV_M}) div greatest(v, 1)")
     )
-    return (
+    per_type = (
         exact.join(kth, "event_type")
         .withColumn("kmv_estimate", est.cast("bigint"))
         .select(
@@ -1655,55 +1692,7 @@ def llm_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-
-
-@query(
-    "llm_sketch_kmv_union",
-    oracle=f"""
-WITH h AS (
-    SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS hx
-    FROM events WHERE user_id IS NOT NULL
-), r AS (
-    SELECT hx, row_number() OVER (ORDER BY hx) AS rn, COUNT(*) OVER () AS n
-    FROM h
-), kth AS (
-    SELECT n, {_hexval_sql("hx", "strpos")} AS v
-    FROM r WHERE rn = LEAST(n, {KMV_K})
-), exact AS (
-    SELECT COUNT(DISTINCT user_id) AS ex
-    FROM events WHERE user_id IS NOT NULL
-)
-SELECT CAST(e.ex AS BIGINT) AS exact_distinct,
-       CAST(CASE WHEN k.n < {KMV_K} THEN k.n
-                 ELSE ({KMV_K - 1} * {_KMV_M}) // greatest(k.v, 1) END AS BIGINT)
-           AS kmv_estimate,
-       CAST((1000 * abs(CASE WHEN k.n < {KMV_K} THEN k.n
-                 ELSE ({KMV_K - 1} * {_KMV_M}) // greatest(k.v, 1) END - e.ex)) // e.ex
-            AS BIGINT) AS err_permille
-FROM exact e, kth k
-""",
-    tags=("llm-text", "sketch"),
-)
-def llm_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV sketch UNION: the global distinct-user estimate computed by
-    MERGING the per-event_type sketches — never re-scanning raw keys —
-    then gauged against the exact global distinct.
-
-    This is the property that makes KMV/theta sketches the 100 TB answer
-    to COUNT(DISTINCT) across rollup levels: union(sketch_a, sketch_b) =
-    k smallest of (kmin_a ∪ kmin_b), because every one of the global k
-    smallest hashes is necessarily inside its own group's k-min set. The
-    merge input here is G x k values (G = event types), sorted once on
-    the driver-side-sized single row — and crucially the union DEDUPS the
-    hash multiset (one user active in several types appears in several
-    sketches). The oracle computes the identical estimate from the raw
-    key universe; exact equality of the two paths is the mergeability
-    proof. When the merged set holds fewer than k values it IS the exact
-    union (every group sketch was exhaustive), so the estimate is exact.
-    """
-    e = T.load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    per_type = _kmv_group_sketch(e).select("kmin_all")
-    merged = per_type.agg(
+    merged = sketch.select("kmin_all").agg(
         F.slice(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmin_all")))),
             1,
@@ -1711,7 +1700,7 @@ def llm_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("km")
     ).filter(
         # an ungrouped agg emits one row even on EMPTY input; the oracle's
-        # kth CTE emits zero — filter the empty sketch out (element_at(km,
+        # gkth CTE emits zero — filter the empty sketch out (element_at(km,
         # 0) would also raise INVALID_INDEX_OF_ZERO) so both engines
         # return an empty result set
         F.size("km") > 0
@@ -1724,16 +1713,17 @@ def llm_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
         F.lit(1).alias("jk"),
     )
-    exact = e.agg(F.countDistinct("user_id").alias("ex")).withColumn(
+    gexact = e.agg(F.countDistinct("user_id").alias("ex")).withColumn(
         "jk", F.lit(1)
     )
-    est = F.when(F.col("m") < KMV_K, F.col("m")).otherwise(
+    gest = F.when(F.col("m") < KMV_K, F.col("m")).otherwise(
         F.expr(f"({KMV_K - 1} * {_KMV_M}) div greatest(v, 1)")
     )
-    return (
-        exact.join(merged, "jk")  # 1-row x 1-row equi join on a constant key
-        .withColumn("kmv_estimate", est.cast("bigint"))
+    all_row = (
+        gexact.join(merged, "jk")  # 1-row x 1-row equi join on a constant key
+        .withColumn("kmv_estimate", gest.cast("bigint"))
         .select(
+            F.lit("(all)").alias("event_type"),
             F.col("ex").cast("bigint").alias("exact_distinct"),
             "kmv_estimate",
             F.expr("cast((1000 * abs(kmv_estimate - ex)) div ex as bigint)").alias(
@@ -1741,6 +1731,7 @@ def llm_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    return per_type.unionByName(all_row)
 
 
 # ---------------------------------------------------------------------------

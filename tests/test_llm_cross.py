@@ -132,7 +132,11 @@ def test_kmv_union_equals_single_global_sketch(spark):
         _kmv_group_sketch,
     )
 
-    union_row = queries()["llm_sketch_kmv_union"](spark, SF).collect()[0]
+    union_row = next(
+        r
+        for r in queries()["llm_sketch_kmv_distinct"](spark, SF).collect()
+        if r.event_type == "(all)"
+    )
 
     e = (
         T.load(spark, SF, "events")

@@ -202,13 +202,19 @@ def test_kmv_sketch_is_partial_agg_fold_no_window(spark):
     """KMV's k-th order statistic must come from the salted k-min
     partial-aggregate fold (collect per bucket, slice to k, merge) — a
     per-group distinct-sort Window would single-thread on a hot
-    event_type at scale."""
+    event_type at scale. Covers BOTH output arms since the r9 fold: the
+    per-type rows and the merged ``(all)`` union row share this plan, so
+    the sketch-union path must also stay in the fold world (the former
+    test_kmv_union_no_window guard)."""
     plan = _plan(spark, "llm_sketch_kmv_distinct")
     assert "row_number" not in plan
     assert "Window" not in plan
     # partial + merge aggregation levels (collect_set plans as
     # ObjectHashAggregate; the exact-count side uses HashAggregate)
     assert plan.count("ObjectHashAggregate") + plan.count("HashAggregate") >= 2
+    # the group-sketch frame feeds both arms through ONE checkpoint —
+    # re-deriving it per consumer would double the events hash scans
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
 
 
 def test_range_band_join_is_hash_not_nested_loop(spark):
@@ -347,14 +353,6 @@ def test_audio_stats_map_only(spark):
     assert "MapInPandas" in tree
     assert "HashAggregate" not in tree
     assert tree.count("Exchange") <= 1
-
-
-def test_kmv_union_no_window(spark):
-    """The sketch union must stay in the fold world: no row_number /
-    Window over the hash universe."""
-    plan = _plan(spark, "llm_sketch_kmv_union")
-    assert "Window" not in plan
-    assert "row_number" not in plan
 
 
 def test_mix_domains_rates_broadcast(spark):

@@ -748,7 +748,10 @@ def test_countmin_matches_python_model_exactly(spark):
 def test_kmv_estimate_matches_python_model_exactly(spark):
     """Same full reproduction for the KMV sketch: python recomputes the
     md5 hash space, the k-th order statistic, and the (k-1)*M // v_k
-    estimate per event_type."""
+    estimate per event_type — and (since the r9 fold) for the ``(all)``
+    rollup row, whose python model is simply the global sketch over the
+    union of all users (sketch mergeability makes the merged per-type
+    sketches land on exactly this)."""
     import hashlib
 
     from gmall_flink_realtime4_spark.plans.catalog import queries
@@ -763,6 +766,8 @@ def test_kmv_estimate_matches_python_model_exactly(spark):
     groups = {}
     for r in ev:
         groups.setdefault(r.event_type, set()).add(r.user_id)
+    if groups:
+        groups["(all)"] = set().union(*groups.values())
     K, M = 64, 16**12
     expected = {}
     for et, users in groups.items():

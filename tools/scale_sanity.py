@@ -128,7 +128,7 @@ QUERIES = [
     "dws_gap_fill_locf_daily_orders",
     "dim_scd2_user_event_intervals",
     # new in round 4
-    "llm_sketch_kmv_union",
+    # (llm_sketch_kmv_union folded into llm_sketch_kmv_distinct in r9)
     "llm_multimodal_pixel_stats",
     "dq_null_profile",
     "llm_mix_domains",
