@@ -23,4 +23,5 @@ def load_all() -> None:
     from . import round6_ext_queries  # noqa: F401
     from . import round7_ext_queries  # noqa: F401
     from . import round8_ext_queries  # noqa: F401
+    from . import round9_ext_queries  # noqa: F401
     from . import window_queries  # noqa: F401

@@ -62,112 +62,105 @@ REGISTRY: dict[str, QuerySpec] = {}
 # prefix with those 13 (oldest rows), add any queries new in round 6, and
 # bump test-covered r04-fresh names to round 7 to stay at exactly 50.
 GATE_PRIORITY: list[str] = [
-    # ROUND-8 ROTATION (the r7 verdict's recipe, executed): prefix =
-    # 1 query new in round 8 (llm_quality_classifier, head) + all 34
-    # names whose freshest row is r04 (the round-7 tail comment,
-    # re-derived programmatically: registry minus CORRECTNESS_r07 minus
-    # CORRECTNESS_r06) + 6 CHANGED-PLAN re-entries (the round-8 ANN work:
-    # cosine_topk one-pass rewrite, ivf checkpointed assignment, and the
-    # _topcells default-path revert reaching embedding_cells,
-    # kmeans_step, trained_recall, neardup_recall) + the 9 oldest
-    # r06-fresh names (round-6-new list head, CORRECTNESS_r06 key
-    # order). After this round no query's freshest row is older than r06
-    # — the steady-state 3-round cycle.
+    # ROUND-9 ROTATION (the r8 verdict's recipe, executed): prefix =
+    # 1 query new in round 9 (llm_quality_train_step, head) + 2
+    # CHANGED-PLAN re-entries (the r8-ADVICE BIGINT-cast fix changed
+    # llm_quality_classifier's feature expressions; the registry-freeze
+    # fold changed llm_sketch_kmv_distinct, which absorbed
+    # llm_sketch_kmv_union as its '(all)' row) + all 37 names whose
+    # freshest row is r06 (the round-8 tail comment, re-derived
+    # programmatically: registry keys whose freshest CORRECTNESS row is
+    # r06, in r06 key order) + the 10 oldest r07-fresh names (the
+    # round-7-new list first, then r07 key order) to fill 50.
     #
-    # CADENCE MATH: registry 134 -> 134+1new = 135 (== the ~135 freeze
-    # target). After this round: 50 r08-fresh, 48 r07-fresh, 37
-    # r06-fresh. ceil(135/50) = 3 rounds per full cycle; no row ever
-    # older than 2 rounds from here on.
+    # CADENCE MATH: registry 135 -> 135-1fold+1new = 135 (the freeze
+    # ceiling holds). After this round: 50 r09-fresh, 47 r08-fresh, 38
+    # r07-fresh; no query's freshest row older than r07 — the second
+    # full turn of the steady-state 3-round cycle (ceil(135/50) = 3).
     #
-    # ROUND-9 ROTATION RECIPE: prefix = any queries new in round 9 + any
-    # changed-plan re-entries + the 37 remaining r06-fresh names (listed
-    # in the tail comment below) + the oldest r07-fresh names to fill 50
-    # (start with the round-7-new list: f_skyline_pareto_suppliers,
-    # dws_event_cooccurrence_lift, ...).
-    # new in round 8 (needs its first driver row)
+    # ROUND-10 ROTATION RECIPE: prefix = any queries new in round 10 +
+    # any changed-plan re-entries + the 38 remaining r07-fresh names
+    # (tail comment below) + the oldest r08-fresh names to fill 50
+    # (start with the round-8 gate's head order: dws_event_anomaly_zscore,
+    # f_unpivot_event_day, dq_referential_integrity, ...).
+    # new in round 9 (needs its first driver row)
+    "llm_quality_train_step",
+    # CHANGED-PLAN re-entries (the r4/r5/r7/r8 convention): the BIGINT
+    # overflow fix rewrote the classifier's feature block on both
+    # engines; the kmv fold rewrote the sketch query's plan (two arms,
+    # checkpointed sketch). Both were r08-fresh; they re-enter now.
     "llm_quality_classifier",
-    # freshest row is r04 — the full 34-name tail from round 7
-    "dws_event_anomaly_zscore",
-    "f_unpivot_event_day",
-    "dq_referential_integrity",
-    "dws_user_path_transitions",
-    "dq_null_profile",
-    "dwd_trade_cart_add",
-    "dwd_interaction_comment_info",
-    "dwd_trade_order_refund",
-    "dwd_base_db_router",
-    "dws_traffic_source_keyword_page_view_window",
-    "dws_traffic_vc_ch_ar_is_new_page_view_window",
-    "dws_traffic_home_detail_page_view_window",
-    "dws_user_user_login_window",
-    "dws_user_user_register_window",
-    "dws_trade_cart_add_uu_window",
-    "dws_trade_payment_suc_window",
-    "dws_trade_order_window",
-    "dws_trade_sku_order_window",
-    "dws_trade_province_order_window",
-    "p1_json_parse_validity_filter",
-    "f_date_formats",
-    "f_conditional_cast_math",
-    "f_asof_join_latest_order",
-    "f_json_props_extract",
-    "llm_multimodal_decode",
-    "llm_multimodal_frame_sample",
-    "llm_multimodal_pixel_stats",
-    "llm_sample_stratified",
-    "llm_pack_sequences",
-    "llm_dedup_simhash",
-    "llm_dedup_simhash_pairs",
     "llm_sketch_kmv_distinct",
-    "llm_sketch_histogram_quantiles",
-    # CHANGED-PLAN queries re-enter the gate (the r4/r5/r7 convention) —
-    # the round-8 ANN work changed six plans: the cosine_topk one-pass
-    # rewrite, ivf's checkpointed assignment, and the _topcells default
-    # path revert (which reaches embedding_cells, kmeans_step,
-    # trained_recall, and neardup_recall — the latter composes the
-    # cells generator; embedding_cosine is pure sign-LSH, no _topcells,
-    # plan unchanged, NOT re-gated). All six take gate slots this
-    # round; they displaced the six NEWEST of the 15 r06-head names
-    # (pagerank, hll, bm25, winnow, ks-drift, vocab-drift — each
-    # unchanged since its r06 row and covered by dedicated
-    # python-model/plan/partials tests), which rotate to round 9.
-    "llm_ann_cosine_topk",
-    "llm_ann_ivf",
-    "llm_dedup_embedding_cells",
-    "llm_embedding_kmeans_step",
-    "llm_ann_ivf_trained_recall",
-    "llm_neardup_recall",
-    # freshest row is r06 — the 9 oldest (round-6-new list head).
-    # The remaining 37 r06-fresh names rotate to round 9 (the 6
-    # displaced changed-plan slots above lead, then — note cosine_topk /
-    # ivf / embedding_cells / neardup_recall leave this set: they are
-    # gated THIS round as changed-plan re-entries):
-    # dws_event_type_pagerank,
-    # llm_sketch_hll_distinct, llm_bm25_topk, llm_winnow_fingerprints,
-    # dq_distribution_drift_ks, dq_vocab_drift,
-    # dq_langid_eval, llm_lsh_tuning_curve, dq_benford_first_digit,
-    # llm_sample_pps, llm_multimodal_audio_resample, dws_dau_wau_stickiness,
-    # llm_dedup_containment_lsh, f_set_ops_source_overlap,
-    # dq_reconcile_orders_lineitem, f_bloom_prefilter_semi_join,
-    # llm_multimodal_resize, llm_multimodal_audio_stats, llm_pii_redact,
-    # llm_text_unigram_surprisal, llm_text_bigram_surprisal,
-    # llm_bpe_pair_counts, f_entity_resolution_customers, llm_sketch_countmin,
-    # llm_dedup_url_normalize, llm_dedup_clusters, llm_dedup_exact,
-    # llm_dedup_ngram_jaccard, llm_text_token_count,
-    # llm_text_quality_score, llm_text_langid, llm_text_length_quantiles,
-    # llm_corpus_prepare, llm_text_fingerprint, llm_dedup_minhash_lsh,
-    # llm_chunk_dedup, llm_ngram_heavy_hitters
-    # — every one r06-green, unchanged since that row, exercised by
+    # freshest row is r06 — the full 37-name tail from round 8, r06 key
+    # order
+    "dws_event_type_pagerank",
+    "llm_sketch_hll_distinct",
+    "llm_bm25_topk",
+    "llm_winnow_fingerprints",
+    "dq_distribution_drift_ks",
+    "dq_vocab_drift",
+    "dq_langid_eval",
+    "llm_lsh_tuning_curve",
+    "dq_benford_first_digit",
+    "llm_sample_pps",
+    "llm_multimodal_audio_resample",
+    "dws_dau_wau_stickiness",
+    "llm_dedup_containment_lsh",
+    "f_set_ops_source_overlap",
+    "dq_reconcile_orders_lineitem",
+    "f_bloom_prefilter_semi_join",
+    "llm_multimodal_resize",
+    "llm_multimodal_audio_stats",
+    "llm_pii_redact",
+    "llm_text_unigram_surprisal",
+    "llm_text_bigram_surprisal",
+    "llm_bpe_pair_counts",
+    "f_entity_resolution_customers",
+    "llm_sketch_countmin",
+    "llm_dedup_url_normalize",
+    "llm_dedup_clusters",
+    "llm_dedup_exact",
+    "llm_dedup_ngram_jaccard",
+    "llm_text_token_count",
+    "llm_text_quality_score",
+    "llm_text_langid",
+    "llm_text_length_quantiles",
+    "llm_corpus_prepare",
+    "llm_text_fingerprint",
+    "llm_dedup_minhash_lsh",
+    "llm_chunk_dedup",
+    "llm_ngram_heavy_hitters",
+    # oldest r07-fresh: the round-7-new list (5), then r07 key order (5).
+    # The remaining 38 r07-fresh names rotate to round 10:
+    # llm_split_train_val_test, llm_type_token_ratio,
+    # f_top_users_per_event_type, dq_outlier_mad_events,
+    # llm_length_decile_curriculum, llm_dup_span_coverage,
+    # llm_embedding_covariance, llm_decontaminate, f_range_band_join,
+    # llm_text_repetition, llm_corpus_final, llm_ann_pq_encode,
+    # llm_ann_pq_adc_recall, llm_dedup_edit_distance_verify,
+    # dwd_base_log_page, dwd_base_log_start, dwd_base_log_err,
+    # dwd_base_log_display, dwd_base_log_action, dim_app_router,
+    # dim_app_materialize, dws_sliding_window_events, llm_corpus_rollup,
+    # dws_user_event_funnel, dws_session_window_events,
+    # dws_time_hierarchy_rollup, dws_user_retention_cohort,
+    # dws_gap_fill_locf_daily_orders, dim_scd2_user_event_intervals,
+    # dwd_trade_order_detail, dwd_trade_order_cancel_detail,
+    # dwd_trade_order_pay_suc_detail,
+    # dws_trade_trademark_category_user_refund_window, dq_audit_warehouse,
+    # llm_mix_domains, llm_text_rare_token_ratio, dq_checksum_partition,
+    # llm_dedup_embedding_cosine
+    # — every one r07-green, unchanged since that row, exercised by
     # dedicated tests plus the in-suite tests/test_oracle_parity.py sweep
-    "llm_multimodal_image_dedup",
-    "llm_multimodal_image_neardup_pairs",
-    "llm_sample_domain_cap",
-    "llm_embedding_quantize_int8",
-    "f_zorder_layout_audit",
-    "dq_table_stats_profile",
-    "dq_sketch_join_cardinality",
-    "llm_bpe_train_merges",
-    "llm_bpe_encode_corpus",
+    "f_skyline_pareto_suppliers",
+    "dws_event_cooccurrence_lift",
+    "llm_text_readability",
+    "llm_sample_reservoir",
+    "llm_embedding_pca_power_step",
+    "llm_tfidf_top_terms",
+    "llm_dedup_containment",
+    "f_pivot_event_day",
+    "f_window_suite_orders",
+    "dws_cube_event_stats",
 ]
 
 

@@ -84,7 +84,7 @@ _STOP = "('the', 'a', 'of', 'to', 'and')"
 
 _FEATURES_SQL = f"""
 f AS (
-    SELECT doc_id,
+    SELECT doc_id, lang,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST((1000 * CAST(length(replace(text, ' ', '')) AS BIGINT))
                 // greatest(len(toks), 1) AS BIGINT)
@@ -101,7 +101,7 @@ f AS (
                     // greatest(length(text)
                                 - length(translate(text, '.!?', '')), 1)
                 - 2143 AS BIGINT) AS ari_c100
-    FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+    FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
           FROM documents)
 )"""
 
@@ -164,12 +164,15 @@ def quality_model_frame(spark: SparkSession) -> DataFrame:
     ).select(*[F.col(c).cast("bigint").alias(c) for c in cols])
 
 
-def quality_features(d: DataFrame) -> DataFrame:
+def quality_features(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Per-document integer feature block over any (doc_id, text) frame —
     one map-side projection, split out so the exact python model drives
-    hand-built edge-case texts."""
+    hand-built edge-case texts. ``carry`` passes extra input columns
+    through untouched (the train step carries the ``lang`` label; the
+    classifier carries nothing, so its plan is byte-identical)."""
     return d.select(
         "doc_id",
+        *[F.col(c) for c in carry],
         F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
         F.expr(
             "CAST((1000 * CAST(length(replace(text, ' ', '')) AS BIGINT))"

@@ -611,3 +611,29 @@ def test_quality_classifier_plan_map_side_broadcast_model(spark):
     from tools.plan_audit import raw_fact_broadcasts
 
     assert raw_fact_broadcasts(plan) == []
+
+
+def test_quality_train_step_single_pass_no_expand(spark):
+    """llm_quality_train_step must be ONE map-combined pass: a pruned
+    (text, lang) scan — doc_id is dropped before the design projection
+    and pruning must reach the reader — a partial-aggregated ungrouped
+    HashAggregate (every partition folds to a single 28-number row
+    map-side), exactly one SinglePartition exchange beyond the loader
+    spread, the 27-row stack on the 1-row result, and NO Expand (a
+    grouping-sets-style Gram would replicate the corpus 27x)."""
+    import re
+
+    plan = _plan(spark, "llm_quality_train_step")
+    tree = plan.split("\n\n")[0]
+    assert "Expand" not in plan
+    assert tree.count("Scan parquet") == 1
+    assert "CartesianProduct" not in tree
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", tree)) == 2
+    assert "SinglePartition" in plan
+    assert "partial_sum" in plan  # map-side combine is on
+    schema = re.search(r"ReadSchema: (.*)", plan).group(1)
+    assert "text" in schema and "lang" in schema
+    assert "doc_id" not in schema and "source" not in schema
+    from tools.plan_audit import raw_fact_broadcasts
+
+    assert raw_fact_broadcasts(plan) == []

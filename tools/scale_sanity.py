@@ -177,6 +177,8 @@ QUERIES = [
     "llm_embedding_pca_power_step",
     # round 8
     "llm_quality_classifier",
+    # round 9
+    "llm_quality_train_step",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
