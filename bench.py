@@ -110,34 +110,32 @@ def main() -> None:
     # this box. N=3 by default so one loaded rep can't set any query's mark.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
-    # Interleaved rotated reps (r7 verdict): rep r runs the WHOLE headline
-    # set once, rotated by r*step positions, step = the smallest integer
-    # >= 7 coprime with len(HEADLINE) (derived, not hard-coded: a future
-    # headline size that is a multiple of a fixed step would silently
-    # collapse the rotations to a handful of shifts and quietly void the
-    # adjacency-robustness claim — r8 ADVICE). Coprimality guarantees
-    # every query gets a DIFFERENT predecessor each rep for any reps <=
-    # len(HEADLINE).
-    # Back-to-back per-query reps let an adjacency effect — e.g. a query
-    # scheduled right after the heavyweight dedup trio inheriting their GC
-    # / page-cache shadow — bias ALL of a query's reps the same way, which
-    # best-of-N then can't dampen; rotation makes the shadow hit at most
-    # one rep per query, so the min is adjacency-robust.
+    # Interleaved STRIDE traversal (r9, fixing the r7/r8 rotation): rep r
+    # visits HEADLINE[(j * stride_r) % n] for j = 0..n-1, with strides =
+    # the first `reps` distinct integers coprime with n (stride 1 =
+    # natural order for rep 0). A stride-s traversal gives every query
+    # the predecessor (q - s) mod n, so DISTINCT strides give every
+    # query a DIFFERENT predecessor in every rep. The r7/r8 ROTATION
+    # only claimed that property: rotating the whole list by a shift
+    # preserves within-cycle adjacency (B still follows A in every rep
+    # except the one B happens to lead), so a heavyweight's GC /
+    # page-cache shadow could still bias ALL of a successor's reps the
+    # same way — exactly what best-of-N can't dampen (r9 review
+    # finding). Under strides the shadow hits at most one rep per
+    # query. Distinctness holds for reps <= phi(n) (8 for n=20); beyond
+    # that strides cycle and the guarantee degrades gracefully.
     # SPARK_GRAFT_BENCH_ORDER=consecutive restores the pre-r8 loop (all
     # reps of one query back-to-back) for methodology A/Bs: back-to-back
     # reps are systematically WARMER (per-query shuffle files / JIT /
     # broadcast reuse), so consecutive totals undercut interleaved ones —
     # compare like with like across rounds.
     order_mode = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "interleaved")
-    step = next(
-        s for s in range(7, 7 + len(HEADLINE))
-        if math.gcd(s, len(HEADLINE)) == 1
-    )
-    assert math.gcd(step, len(HEADLINE)) == 1  # the rotation contract
-    shifts = (
-        [0] * reps
-        if order_mode == "consecutive"
-        else [(r * step) % len(HEADLINE) for r in range(reps)]
+    n = len(HEADLINE)
+    coprimes = [s for s in range(1, n + 1) if math.gcd(s, n) == 1]
+    strides = (
+        [1] * reps
+        if order_mode == "consecutive"  # unused by the loop; stamped only
+        else [coprimes[r % len(coprimes)] for r in range(reps)]
     )
     times_by_query: dict[str, list[float]] = {q: [] for q in HEADLINE}
     rows_by_query: dict[str, int] = {}
@@ -159,8 +157,8 @@ def main() -> None:
                 _run_one(name)
     else:
         for r in range(reps):
-            for name in HEADLINE[shifts[r]:] + HEADLINE[: shifts[r]]:
-                _run_one(name)
+            for j in range(n):
+                _run_one(HEADLINE[(j * strides[r]) % n])
 
     per_query: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -191,7 +189,7 @@ def main() -> None:
                 ),
                 "max_rep_spread": max(spreads.values()),
                 "rep_order": order_mode,
-                "rep_shifts": shifts,
+                "rep_strides": strides,
                 "load_gate": LOAD_GATE,
                 "load_gate_ok": load_gate_ok,
                 "load_wait_sec": waited_sec,

@@ -205,16 +205,45 @@ def test_kmv_sketch_is_partial_agg_fold_no_window(spark):
     event_type at scale. Covers BOTH output arms since the r9 fold: the
     per-type rows and the merged ``(all)`` union row share this plan, so
     the sketch-union path must also stay in the fold world (the former
-    test_kmv_union_no_window guard)."""
+    test_kmv_union_no_window guard).
+
+    Since the fold, the registered query's sketch is localCheckpointed,
+    which TRUNCATES the sketch's derivation out of the explained plan
+    (it shows as Scan ExistingRDD) — so the fold-not-Window property
+    must be pinned on the GENERATOR's own plan, pre-checkpoint, or the
+    guard is vacuous (r9 review finding)."""
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as F
+
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.llm_scale_queries import (
+        _kmv_group_sketch,
+    )
+
+    # 1) the sketch generator itself (pre-checkpoint): the salted fold,
+    # never a Window/row_number over the hash universe
+    e = T.load(spark, SF, "events").filter(F.col("user_id").isNotNull())
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _kmv_group_sketch(e).explain("formatted")
+    sk = buf.getvalue()
+    assert "Window" not in sk
+    assert "row_number" not in sk
+    # bucket collect + per-group merge (collect_set plans as
+    # ObjectHashAggregate), two aggregation levels
+    assert sk.count("ObjectHashAggregate") >= 2
+
+    # 2) the registered query (post-checkpoint): both consumer arms stay
+    # fold-world too, and the group-sketch frame feeds them through ONE
+    # checkpoint — re-deriving it per consumer would double the events
+    # hash scans
     plan = _plan(spark, "llm_sketch_kmv_distinct")
     assert "row_number" not in plan
     assert "Window" not in plan
-    # partial + merge aggregation levels (collect_set plans as
-    # ObjectHashAggregate; the exact-count side uses HashAggregate)
     assert plan.count("ObjectHashAggregate") + plan.count("HashAggregate") >= 2
-    # the group-sketch frame feeds both arms through ONE checkpoint —
-    # re-deriving it per consumer would double the events hash scans
-    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "Scan ExistingRDD" in plan
 
 
 def test_range_band_join_is_hash_not_nested_loop(spark):
