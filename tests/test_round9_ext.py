@@ -126,6 +126,46 @@ def test_quality_train_partials_merge_equals_one_shot(spark):
     assert got == ref and len(ref) == 27
 
 
+def test_quality_train_gram_property_random_texts(spark):
+    """Hypothesis property: the sufficient statistics equal the exact
+    integer python model on RANDOM texts over the classifier property's
+    adversarial alphabet (stopwords, punctuation-only tokens, empty
+    tokens from doubled spaces, long garbage tokens) with RANDOM labels
+    — agreement isn't an artifact of the synthetic corpus's shape, and
+    negative ari products are exercised by construction."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    token = st.sampled_from(
+        ["the", "a", "of", "to", "and", "x", "zz", "q3!", ".", "!?",
+         "", "longgarbagetoken" * 3, "mid.dle"]
+    )
+    docs = st.lists(
+        st.tuples(
+            st.lists(token, min_size=0, max_size=40).map(" ".join),
+            st.sampled_from(["en", "de", "fr"]),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @given(docs=docs)
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def run(docs):
+        rows = [(i, t, lg) for i, (t, lg) in enumerate(docs)]
+        expected = _py_gram(
+            [_py_design(_py_features(i, t), lg) for i, t, lg in rows]
+        )
+        got = _spark_gram(spark, rows)
+        assert got["n"] == expected["n"]
+        for key, want in expected.items():
+            if key != "n":
+                assert int(got[key]) == want, (key, docs)
+
+    run()
+
+
 def test_quality_train_solves_to_usable_model(spark):
     """End-to-end training sanity: the sufficient statistics actually
     SOLVE — Gaussian elimination over exact Fractions on the 6x6 normal
