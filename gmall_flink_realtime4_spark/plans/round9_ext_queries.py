@@ -26,8 +26,10 @@ negative — they are only summed, per the div-sign invariant).
 
 Reference scope: the reference engine (gmall-flink-realtime4) has no
 training surface; its closest pattern is the windowed multi-measure
-reduce (realtime-dws .../DwsTradeSkuOrderWindow.java's ReduceFunction) —
-here the "measures" are the 27 Gram cells and the window is the corpus.
+reduce (realtime-dws/realtime-dws-trade-sku-order-window/.../
+DwsTradeSkuOrderWindow.java:126-128's ReduceFunction folding per-key
+measure sums) — here the "measures" are the 27 Gram cells and the
+window is the corpus.
 """
 
 from __future__ import annotations
