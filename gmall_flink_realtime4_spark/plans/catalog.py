@@ -91,6 +91,15 @@ GATE_PRIORITY: list[str] = [
     # checkpointed sketch). Both were r08-fresh; they re-enter now.
     "llm_quality_classifier",
     "llm_sketch_kmv_distinct",
+    # CHANGED-PLAN re-entries, late round 9 (both were ALREADY in this
+    # round's gate — jaccard in the r06-fresh block, containment in the
+    # r07 tail — moved up to the changed-plan slot; the 50-name SET is
+    # unchanged): the posting-list rewrite (_shingles_sized) dropped the
+    # sizes branch + checkpoint and pinned the self-join shuffle_hash
+    # (AQE had been broadcasting the checkpoint-laundered posting list —
+    # see tools/plan_audit.py --runtime).
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_containment",
     # freshest row is r06 — the full 37-name tail from round 8, r06 key
     # order
     "dws_event_type_pagerank",
@@ -120,7 +129,6 @@ GATE_PRIORITY: list[str] = [
     "llm_dedup_url_normalize",
     "llm_dedup_clusters",
     "llm_dedup_exact",
-    "llm_dedup_ngram_jaccard",
     "llm_text_token_count",
     "llm_text_quality_score",
     "llm_text_langid",
@@ -157,7 +165,6 @@ GATE_PRIORITY: list[str] = [
     "llm_sample_reservoir",
     "llm_embedding_pca_power_step",
     "llm_tfidf_top_terms",
-    "llm_dedup_containment",
     "f_pivot_event_day",
     "f_window_suite_orders",
     "dws_cube_event_stats",

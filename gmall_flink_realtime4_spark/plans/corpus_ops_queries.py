@@ -317,44 +317,43 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same inverted-index candidate join as ``llm_dedup_ngram_jaccard`` (no
     cross join; pairs must share a shingle), so the known 100 TB posture
-    applies: exact baseline; the LSH generator is the scale path. The
-    per-doc size joins key on doc_id (shuffle join — doc-cardinality, NOT
-    broadcastable at scale); scores are integer per-mille, exact on both
-    engines.
+    applies: exact baseline; the LSH generator is the scale path. Scores
+    are integer per-mille, exact on both engines.
+
+    Round 9 plan (the jaccard rewrite, same reasoning): every posting row
+    carries its doc's distinct-shingle count map-side (``_shingles_sized``),
+    the pair groupBy keys on (doc_a, doc_b, n_sh_a, n_sh_b), and the old
+    ``sizes`` groupBy + two shuffle joins of the pair frame against it are
+    gone. The self-join's two sides share one shingle-partitioned exchange
+    (ReuseExchange, plan-guarded), retiring the localCheckpoint of the
+    exploded frame. Output bit-identical.
     """
     d = T.load(spark, sf_dir, "documents")
-    from .llm_scale_queries import _shingles
+    from .llm_scale_queries import _shingles_sized
 
-    # the shingle frame has four consumers (both join sides + both size
-    # joins) — checkpoint so the explode+distinct runs once, not 4x
-    sh = _shingles(d).localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
+    # explicit-width repartition on the join key: exempts the posting
+    # shuffle from AQE's input-byte coalescing, which single-threads the
+    # pair-exploding join at small SF (see the jaccard twin's comment)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sh = _shingles_sized(d).repartition(width, "shingle")
+    # fact-fact self-join: shuffle_hash pin, same reasoning as the jaccard
+    # twin (Catalyst would broadcast the corpus-sized posting list at small
+    # SF once the checkpoint no longer hides the scan stats).
+    a = sh.hint("shuffle_hash").alias("a")
     b = sh.alias("b")
-    inter = (
+    scored = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_sh_a"),
+            F.col("b.n_sh").alias("n_sh_b"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
-    )
-    scored = (
-        inter.join(
-            sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b")
-            ),
-            "doc_b",
-        )
         .withColumn("contain_a_pm", F.expr("(1000 * n_common) div n_sh_a"))
         .withColumn("contain_b_pm", F.expr("(1000 * n_common) div n_sh_b"))
     )

@@ -94,52 +94,53 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one shingle; no cross join) -> intersection counts -> Jaccard in
     exact integer per-mille. At scale this is the classic inverted-index
     candidate join; common-shingle skew is bounded by per-doc distinct.
+
+    Round 9 plan: each posting row carries its doc's distinct-shingle count
+    (``_shingles_sized`` — computed map-side in the projection that builds
+    the array), so the pair groupBy keys on (doc_a, doc_b, na, nb) and the
+    Jaccard denominator is in hand the moment inter_ct is — the old plan's
+    ``sizes`` groupBy plus TWO shuffle joins of the pair frame (the largest
+    intermediate) against it are gone. Both self-join sides are the same
+    shingle-partitioned exchange, so Catalyst's ReuseExchange materializes
+    the posting list ONCE (plan-guarded: single documents scan + a
+    ReusedExchange) — which also retires the old localCheckpoint (CLAUDE.md
+    rule: the exploded frame is LARGER than its source; with 4 consumers
+    the checkpoint paid, with exchange reuse it is a pure extra write).
+    Output bit-identical: same candidate pairs, same exact-integer scores.
     """
+    from .llm_scale_queries import _shingles_sized
+
     d = T.load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    sh = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.greatest(F.size("t") - 3, F.lit(0))),
-                        lambda i: F.concat_ws(
-                            " ",
-                            F.try_element_at(F.col("t"), i + 1),
-                            F.try_element_at(F.col("t"), i + 2),
-                            F.try_element_at(F.col("t"), i + 3),
-                        ),
-                    )
-                )
-            ).alias("shingle"),
-        )
-        # mirror the oracle's range(1, len-1): drop the tail shingles that
-        # would index past the end (concat_ws skips nulls -> short shingles)
-        .filter(F.size(F.split("shingle", " ")) == 3)
-        # four consumers (join sides a/b + size joins sa/sb): checkpoint so
-        # the explode+distinct derivation runs once, not 4x
-        .localCheckpoint()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
+    # Explicit-width repartition on the join key: AQE's partition
+    # coalescing sizes post-shuffle partitions by shuffle INPUT bytes,
+    # but this join's output is ~sum(df^2) PAIRS per posting byte — at
+    # sf0.1 AQE coalesced the posting shuffle to a handful of partitions
+    # and single-threaded the pair explosion (measured 4.5 s vs 1.8 s).
+    # A user REPARTITION_BY_NUM is exempt from coalescing, satisfies the
+    # join's ClusteredDistribution (no second exchange), and tracks the
+    # deployment's configured shuffle width at any scale.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sh = _shingles_sized(d).repartition(width, "shingle")
+    # fact-fact self-join: pin shuffle_hash (the repo's r7 rule) — with a
+    # real scan lineage Catalyst would BROADCAST the corpus-sized posting
+    # list at small SF (the old checkpoint only hid the stats), which dies
+    # at 100 TB; the hint also keeps both sides the same shingle-hash
+    # exchange so ReuseExchange materializes the posting list once.
+    a = sh.hint("shuffle_hash").alias("a")
     b = sh.alias("b")
-    inter = (
+    return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("inter_ct"))
-    )
-    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na")
-    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb")
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -76,6 +76,56 @@ def _shingles(d: DataFrame) -> DataFrame:
     )
 
 
+def _shingles_sized(d: DataFrame) -> DataFrame:
+    """``_shingles`` plus a MAP-SIDE per-doc distinct-shingle count:
+    (doc_id, n_sh BIGINT, shingle).
+
+    The exact pair-scoring queries (ngram-jaccard, containment) need each
+    side's set size next to every intersection row. Computing it here —
+    ``size()`` of the same distinct array the explode consumes, one narrow
+    projection, zero shuffles — lets those queries GROUP the pair join by
+    (doc_a, doc_b, n_a, n_b) directly and drop the whole ``sizes`` branch
+    they used to carry: a per-doc groupBy shuffle of the shingle frame plus
+    TWO shuffle joins of the pair frame (the largest intermediate in either
+    query) against it. n_sh is functionally determined by doc_id, so the
+    wider grouping key changes no groups; the 8-byte column rides a shuffle
+    that already carries the ~20-byte shingle string. Same construction as
+    ``_shingles``, so the candidate space is bit-identical.
+
+    SHAPE MATTERS (measured 6x): this must stay ONE projection with
+    ``size(arr)`` as a sibling column of the ``explode(arr)`` generator
+    plus the post-explode 3-token row filter — exactly ``_shingles``'s
+    shape. The tempting two-step form (project a FILTERED array column,
+    then size+explode it) made Catalyst infer a non-empty filter on the
+    named array column and push the WHOLE array construction below the
+    loader's spread repartition onto the single-task parquet scan
+    (sf0.1: 3.8 s vs 0.6 s; the higher-order F.filter lambda also
+    evaluates interpreted, per element). n_sh = size(arr) is exact
+    despite the unfiltered arr: for docs with >= 3 tokens every
+    generated shingle is a valid 3-token shingle (the index sequence
+    stops at size-3), and shorter docs emit one degenerate shingle the
+    row filter drops — those docs contribute no posting rows, so their
+    n_sh never surfaces.
+    """
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("t") - 3, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.try_element_at(F.col("t"), i + 1),
+                F.try_element_at(F.col("t"), i + 2),
+                F.try_element_at(F.col("t"), i + 3),
+            ),
+        )
+    )
+    return toks.select(
+        "doc_id",
+        F.size(arr).cast("bigint").alias("n_sh"),
+        F.explode(arr).alias("shingle"),
+    ).filter(F.size(F.split("shingle", " ")) == 3)
+
+
 def _minhash_oracle() -> str:
     mins = ",\n           ".join(
         f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(MINHASH_K)

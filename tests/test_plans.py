@@ -604,6 +604,36 @@ def test_fact_fact_joins_never_broadcast(spark):
         assert raw_fact_broadcasts(plan) == [], name
 
 
+def test_shingle_pair_joins_runtime_honest(spark):
+    """The r9 ngram-jaccard/containment rewrite, pinned at the RUNTIME
+    plan level (the static explain cannot see either property):
+
+    - the posting-list self-join must stay ShuffledHashJoin in the FINAL
+      adaptive plan — before the rewrite, AQE promoted the checkpointed
+      (ExistingRDD-laundered) posting list to a broadcast build side at
+      every SF where it fit, so the plan's shape silently flipped with
+      scale and the static fact-broadcast census was blind to it;
+    - the posting list must be derived ONCE: both join sides share one
+      shingle-partitioned exchange via ReuseExchange (this is what
+      replaced the localCheckpoint — the shuffle write IS the
+      materialization, with no 3x-corpus local-disk copy);
+    - zero BroadcastExchange subtrees anywhere (posting list, pair frame
+      and per-doc counts are all corpus-sized; the sizes branch whose
+      doc-cardinality frames used to broadcast is gone entirely).
+
+    Uses the runtime-census helpers from tools/plan_audit.py so this
+    guard and the --runtime audit cannot drift apart."""
+    from tools.plan_audit import _final_plan, runtime_broadcast_findings
+
+    for name in ("llm_dedup_ngram_jaccard", "llm_dedup_containment"):
+        final = _final_plan(queries()[name](spark, SF))
+        assert "isFinalPlan=true" in final, name
+        assert "ShuffledHashJoin" in final, name
+        assert "ReusedExchange" in final, name
+        assert "CartesianProduct" not in final, name
+        assert runtime_broadcast_findings(final) == [], name
+
+
 def test_rare_token_join_shuffled_not_token_stream_broadcast(spark):
     """The per-doc token |><| vocab join must be a ShuffledHashJoin on
     token — Catalyst otherwise broadcast-builds the exploded TOKEN STREAM

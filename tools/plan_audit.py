@@ -10,6 +10,24 @@ constant-size frames, never a real cartesian).
 
 Usage: python tools/plan_audit.py [sf_dir] [out_md]
 Exit code 1 if any CartesianProduct is found.
+
+RUNTIME census: python tools/plan_audit.py --runtime [sf_dir] [out_md]
+EXECUTES every registered query and censuses the FINAL adaptive plan.
+The static census above has a blind spot found in round 9: a
+``localCheckpoint`` launders lineage into ``Scan ExistingRDD``, whose
+static plan carries no stats and no fact-scan Location — so when AQE later
+sees the materialized frame's ACTUAL size and promotes the join to
+broadcast, the static census never knew a corpus-derived frame was on a
+build side (the pre-rewrite ngram-jaccard/containment posting lists, found
+broadcast at x10 in exactly this way). Runtime flags (exit 1):
+CartesianProduct in a final plan; a BroadcastExchange subtree containing a
+``Scan ExistingRDD`` (checkpoint-laundered — unless the checkpoint is in
+CHECKPOINT_BROADCAST_BOUNDED); an UNAGGREGATED fact scan under a
+BroadcastExchange not in BOUNDED_BY_DESIGN (same rule as static, now on
+the real plan). AQE-promoted broadcasts of AGGREGATED fact frames are
+reported but do not fail: AQE decides from actual stage sizes, so a
+corpus-growing aggregate that fits the threshold at the audit SF demotes
+itself back to a shuffle join at scale.
 """
 
 from __future__ import annotations
@@ -66,6 +84,18 @@ BOUNDED_BY_DESIGN: dict[str, frozenset[str]] = {
     "llm_dedup_edit_distance_verify": frozenset({"documents.parquet"}),
     "llm_dup_span_coverage": frozenset({"documents.parquet"}),
     "llm_neardup_recall": frozenset({"embeddings.parquet"}),
+}
+
+
+# Checkpointed frames that are PROVABLY BOUNDED (do not grow with the
+# corpus), so an AQE broadcast over their ExistingRDD scan is safe at any
+# scale. Everything else checkpointed in this repo is corpus-derived
+# (candidate sets, posting lists, assignments) — a broadcast over it at
+# the audit SF means the plan's shape silently depends on AQE size flips,
+# and the static census cannot see the fact lineage at all.
+CHECKPOINT_BROADCAST_BOUNDED: dict[str, str] = {
+    # (query -> why bounded) — populated ONLY by adjudicating an actual
+    # runtime-census finding with a size argument; starts empty on purpose.
 }
 
 
@@ -126,6 +156,133 @@ def raw_fact_broadcasts(plan: str) -> list[str]:
     return found
 
 
+def _final_plan(df) -> str:
+    """Execute ``df`` (wrapped in an ungrouped count so nothing large is
+    collected) and return the FINAL adaptive plan string. The count agg
+    sits above the query's own tree, so every join/exchange decision below
+    it is the one AQE actually took."""
+    dfc = df.groupBy().count()
+    dfc.collect()
+    txt = dfc._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan prints the final tree first, then the initial plan
+    return txt.split("== Initial Plan ==")[0]
+
+
+def runtime_broadcast_findings(final_txt: str) -> list[dict]:
+    """Census BroadcastExchange subtrees of a final adaptive plan string.
+
+    Returns one record per broadcast subtree: which fact files its scans
+    touch (FileScan simpleStrings carry the truncated Location inline),
+    whether it reads a checkpoint (``Scan ExistingRDD``), and whether any
+    aggregate sits between the broadcast and its sources."""
+    lines = final_txt.split("\n")
+    out = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln or "ReusedExchange" in ln:
+            continue
+        d = _tree_depth(ln)
+        sub = []
+        for j in range(i + 1, len(lines)):
+            dj = _tree_depth(lines[j])
+            if 0 <= dj <= d:
+                break
+            sub.append(lines[j])
+        subtxt = "\n".join(sub)
+        out.append(
+            {
+                "facts": sorted({f for f in FACTS if f in subtxt}),
+                "existing_rdd": "Scan ExistingRDD" in subtxt,
+                "aggregated": "Aggregate" in subtxt,
+            }
+        )
+    return out
+
+
+def runtime_audit(spark, sf_dir: str) -> list[dict]:
+    rows = []
+    for name, fn in queries().items():
+        try:
+            final = _final_plan(fn(spark, sf_dir))
+            bx = runtime_broadcast_findings(final)
+            allowed = BOUNDED_BY_DESIGN.get(name, frozenset())
+            bad = []
+            if "CartesianProduct" in final:
+                bad.append("cartesian")
+            for b in bx:
+                if b["existing_rdd"] and name not in CHECKPOINT_BROADCAST_BOUNDED:
+                    bad.append("checkpoint-broadcast")
+                raw = [f for f in b["facts"] if not b["aggregated"]]
+                if any(f not in allowed for f in raw):
+                    bad.append(f"raw-fact-broadcast:{raw}")
+            rows.append(
+                {
+                    "query": name,
+                    "bx": bx,
+                    "bad": bad,
+                    "info": [
+                        b for b in bx if b["facts"] and b["aggregated"]
+                    ],
+                }
+            )
+        except Exception as exc:
+            rows.append({"query": name, "error": str(exc)[:160], "bad": ["error"]})
+    return rows
+
+
+def runtime_main(sf_dir: str, out_md: str) -> None:
+    spark = get_spark("plan_audit_runtime")
+    rows = runtime_audit(spark, sf_dir)
+    bad = [r for r in rows if r.get("bad")]
+    n_bx = sum(len(r.get("bx", [])) for r in rows)
+    n_ck = sum(
+        1 for r in rows for b in r.get("bx", []) if b["existing_rdd"]
+    )
+    n_agg_fact = sum(len(r.get("info", [])) for r in rows)
+    lines = [
+        "# PLANS_RUNTIME — final-adaptive-plan census "
+        "(auto-generated by tools/plan_audit.py --runtime)",
+        "",
+        f"Executed {len(rows)} registered queries at {sf_dir}; censused the",
+        "FINAL adaptive plan of each (the plan AQE actually ran, where",
+        "runtime size-based broadcast promotion and checkpoint-laundered",
+        "lineage are visible — the static census in PLANS.md cannot see",
+        "either). Broadcast subtrees over AGGREGATED fact frames are",
+        "informational: AQE decides from actual stage sizes, so they",
+        "self-demote at scale. FAILURES: CartesianProduct, a broadcast",
+        "over a checkpoint (Scan ExistingRDD) outside",
+        "CHECKPOINT_BROADCAST_BOUNDED, or an unaggregated fact scan under",
+        "a broadcast outside BOUNDED_BY_DESIGN.",
+        "",
+        f"Totals: {n_bx} broadcast subtrees; {n_ck} over checkpoints;",
+        f"{n_agg_fact} AQE-promoted aggregated-fact broadcasts (info).",
+        "",
+        "| query | broadcasts | checkpoint-bx | agg-fact-bx (info) | FAIL |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        if "error" in r:
+            lines.append(f"| {r['query']} | RUN ERROR: {r['error']} | | | error |")
+            continue
+        lines.append(
+            "| {q} | {n} | {ck} | {ag} | {bad} |".format(
+                q=r["query"],
+                n=len(r["bx"]),
+                ck=sum(1 for b in r["bx"] if b["existing_rdd"]),
+                ag=", ".join(
+                    "+".join(b["facts"]) for b in r["info"]
+                ),
+                bad=", ".join(r["bad"]),
+            )
+        )
+    with open(out_md, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(
+        f"wrote {out_md}: {len(rows)} queries executed, "
+        f"failures: {[r['query'] for r in bad]}"
+    )
+    sys.exit(1 if bad else 0)
+
+
 def audit(spark, sf_dir: str) -> list[dict]:
     rows = []
     for name, fn in queries().items():
@@ -152,6 +309,13 @@ def audit(spark, sf_dir: str) -> list[dict]:
 
 
 def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--runtime"]
+    if "--runtime" in sys.argv[1:]:
+        runtime_main(
+            args[0] if args else "/root/testdata/sf0.001",
+            args[1] if len(args) > 1 else "PLANS_RUNTIME.md",
+        )
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_md = sys.argv[2] if len(sys.argv) > 2 else "PLANS.md"
     spark = get_spark("plan_audit")
