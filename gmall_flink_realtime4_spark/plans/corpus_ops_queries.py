@@ -331,11 +331,9 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T.load(spark, sf_dir, "documents")
     from .llm_scale_queries import _shingles_sized
 
-    # explicit-width repartition on the join key: exempts the posting
-    # shuffle from AQE's input-byte coalescing, which single-threads the
-    # pair-exploding join at small SF (see the jaccard twin's comment)
-    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sh = _shingles_sized(d).repartition(width, "shingle")
+    # no user repartition on the posting shuffle — it would disable AQE
+    # skew-join splitting on hot shingles (see the jaccard twin's comment)
+    sh = _shingles_sized(d)
     # fact-fact self-join: shuffle_hash pin, same reasoning as the jaccard
     # twin (Catalyst would broadcast the corpus-sized posting list at small
     # SF once the checkpoint no longer hides the scan stats).

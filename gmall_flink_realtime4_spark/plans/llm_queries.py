@@ -111,16 +111,16 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_scale_queries import _shingles_sized
 
     d = T.load(spark, sf_dir, "documents")
-    # Explicit-width repartition on the join key: AQE's partition
-    # coalescing sizes post-shuffle partitions by shuffle INPUT bytes,
-    # but this join's output is ~sum(df^2) PAIRS per posting byte — at
-    # sf0.1 AQE coalesced the posting shuffle to a handful of partitions
-    # and single-threaded the pair explosion (measured 4.5 s vs 1.8 s).
-    # A user REPARTITION_BY_NUM is exempt from coalescing, satisfies the
-    # join's ClusteredDistribution (no second exchange), and tracks the
-    # deployment's configured shuffle width at any scale.
-    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sh = _shingles_sized(d).repartition(width, "shingle")
+    # NO user repartition on the posting shuffle, deliberately: an
+    # explicit repartition(width, "shingle") exempts the exchange from
+    # AQE's input-byte coalescing (which under-parallelizes this
+    # pair-exploding join at tiny SF) — but it ALSO disables AQE
+    # skew-join splitting, and hot shingles are the real hazard at
+    # scale (measured x30: 17.9 s with the pin vs ~11 s letting AQE
+    # skew-split). ENSURE_REQUIREMENTS + AQE is the right trade at
+    # every scale once the derivation itself is cheap (_shingles_sized
+    # shape note).
+    sh = _shingles_sized(d)
     # fact-fact self-join: pin shuffle_hash (the repo's r7 rule) — with a
     # real scan lineage Catalyst would BROADCAST the corpus-sized posting
     # list at small SF (the old checkpoint only hid the stats), which dies

@@ -92,19 +92,24 @@ def _shingles_sized(d: DataFrame) -> DataFrame:
     that already carries the ~20-byte shingle string. Same construction as
     ``_shingles``, so the candidate space is bit-identical.
 
-    SHAPE MATTERS (measured 6x): this must stay ONE projection with
-    ``size(arr)`` as a sibling column of the ``explode(arr)`` generator
-    plus the post-explode 3-token row filter — exactly ``_shingles``'s
-    shape. The tempting two-step form (project a FILTERED array column,
-    then size+explode it) made Catalyst infer a non-empty filter on the
-    named array column and push the WHOLE array construction below the
-    loader's spread repartition onto the single-task parquet scan
-    (sf0.1: 3.8 s vs 0.6 s; the higher-order F.filter lambda also
-    evaluates interpreted, per element). n_sh = size(arr) is exact
-    despite the unfiltered arr: for docs with >= 3 tokens every
-    generated shingle is a valid 3-token shingle (the index sequence
-    stops at size-3), and shorter docs emit one degenerate shingle the
-    row filter drops — those docs contribute no posting rows, so their
+    SHAPE MATTERS (two measured dead ends, both row-identical):
+    (1) The array must be projected as a NAMED COLUMN in its own step so
+    it evaluates ONCE — putting ``size(arr_expr)`` and
+    ``explode(arr_expr)`` as siblings in one projection evaluates the
+    expression twice (Project and Generate are different operators, no
+    cross-operator CSE): hidden at sf0.1 (~0.6 s derivation) but ~2x the
+    whole query at x30. (2) The generator must be ``explode_outer``, not
+    ``explode`` — InferFiltersFromGenerate skips outer generators, while
+    plain explode over a named column made Catalyst infer a non-empty
+    filter and predicate-pushdown substitute the WHOLE array
+    construction below the loader's spread repartition onto the
+    single-task parquet scan (sf0.1: 3.8 s vs 0.65 s). outer == inner
+    here because the array is never empty (sequence(0, >=0) yields >= 1
+    index; degenerate short shingles from tiny docs are dropped by the
+    post-explode row filter, the same filter ``_shingles`` uses).
+    n_sh = size(arr) is exact for every SURVIVING row: docs with >= 3
+    tokens generate only valid 3-token shingles (the index sequence
+    stops at size-3), and shorter docs' rows are all dropped, so their
     n_sh never surfaces.
     """
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
@@ -119,10 +124,11 @@ def _shingles_sized(d: DataFrame) -> DataFrame:
             ),
         )
     )
-    return toks.select(
+    step = toks.select("doc_id", arr.alias("shs"))
+    return step.select(
         "doc_id",
-        F.size(arr).cast("bigint").alias("n_sh"),
-        F.explode(arr).alias("shingle"),
+        F.size("shs").cast("bigint").alias("n_sh"),
+        F.explode_outer("shs").alias("shingle"),
     ).filter(F.size(F.split("shingle", " ")) == 3)
 
 
