@@ -62,112 +62,106 @@ REGISTRY: dict[str, QuerySpec] = {}
 # prefix with those 13 (oldest rows), add any queries new in round 6, and
 # bump test-covered r04-fresh names to round 7 to stay at exactly 50.
 GATE_PRIORITY: list[str] = [
-    # ROUND-9 ROTATION (the r8 verdict's recipe, executed): prefix =
-    # 1 query new in round 9 (llm_quality_train_step, head) + 2
-    # CHANGED-PLAN re-entries (the r8-ADVICE BIGINT-cast fix changed
-    # llm_quality_classifier's feature expressions; the registry-freeze
-    # fold changed llm_sketch_kmv_distinct, which absorbed
-    # llm_sketch_kmv_union as its '(all)' row) + all 37 names whose
-    # freshest row is r06 (the round-8 tail comment, re-derived
-    # programmatically: registry keys whose freshest CORRECTNESS row is
-    # r06, in r06 key order) + the 10 oldest r07-fresh names (the
-    # round-7-new list first, then r07 key order) to fill 50.
+    # ROUND-10 ROTATION (the r9 verdict's recipe, executed): prefix =
+    # CHANGED-PLAN re-entries (the PQ-codebook training fold rewrote
+    # llm_ann_pq_adc_recall into a seed-vs-trained recall comparison —
+    # the r5 IVF-training pattern) + ALL 38 names whose freshest driver
+    # row is r07 (the round-9 tail comment, re-derived programmatically:
+    # registry keys in CORRECTNESS_r07 absent from r08/r09, in r07 key
+    # order) + the 12 oldest r08-fresh names (round-8 gate head order)
+    # to fill 50. The PQ names were already in the 38, so the 50-name
+    # SET is exactly 38 r07-fresh + 12 r08-fresh.
     #
-    # CADENCE MATH: registry 135 -> 135-1fold+1new = 135 (the freeze
-    # ceiling holds). After this round: 50 r09-fresh, 47 r08-fresh, 38
-    # r07-fresh; no query's freshest row older than r07 — the second
-    # full turn of the steady-state 3-round cycle (ceil(135/50) = 3).
+    # CADENCE MATH: registry stays 135 (freeze ceiling; the PQ training
+    # folds INTO the existing adc_recall query, kmv-union style). After
+    # this round: 50 r10-fresh, 50 r09-fresh, 35 r08-fresh; no query's
+    # freshest row older than r08 — the steady-state 3-round cycle
+    # (ceil(135/50) = 3) holds for a third consecutive turn.
     #
-    # ROUND-10 ROTATION RECIPE: prefix = any queries new in round 10 +
-    # any changed-plan re-entries + the 38 remaining r07-fresh names
-    # (tail comment below) + the oldest r08-fresh names to fill 50
-    # (start with the round-8 gate's head order: dws_event_anomaly_zscore,
-    # f_unpivot_event_day, dq_referential_integrity, ...).
-    # new in round 9 (needs its first driver row)
-    "llm_quality_train_step",
-    # CHANGED-PLAN re-entries (the r4/r5/r7/r8 convention): the BIGINT
-    # overflow fix rewrote the classifier's feature block on both
-    # engines; the kmv fold rewrote the sketch query's plan (two arms,
-    # checkpointed sketch). Both were r08-fresh; they re-enter now.
-    "llm_quality_classifier",
-    "llm_sketch_kmv_distinct",
-    # CHANGED-PLAN re-entries, late round 9 (both were ALREADY in this
-    # round's gate — jaccard in the r06-fresh block, containment in the
-    # r07 tail — moved up to the changed-plan slot; the 50-name SET is
-    # unchanged): the posting-list rewrite (_shingles_sized) dropped the
-    # sizes branch + checkpoint and pinned the self-join shuffle_hash
-    # (AQE had been broadcasting the checkpoint-laundered posting list —
-    # see tools/plan_audit.py --runtime).
-    "llm_dedup_ngram_jaccard",
-    "llm_dedup_containment",
-    # freshest row is r06 — the full 37-name tail from round 8, r06 key
-    # order
-    "dws_event_type_pagerank",
-    "llm_sketch_hll_distinct",
-    "llm_bm25_topk",
-    "llm_winnow_fingerprints",
-    "dq_distribution_drift_ks",
-    "dq_vocab_drift",
-    "dq_langid_eval",
-    "llm_lsh_tuning_curve",
-    "dq_benford_first_digit",
-    "llm_sample_pps",
-    "llm_multimodal_audio_resample",
-    "dws_dau_wau_stickiness",
-    "llm_dedup_containment_lsh",
-    "f_set_ops_source_overlap",
-    "dq_reconcile_orders_lineitem",
-    "f_bloom_prefilter_semi_join",
-    "llm_multimodal_resize",
-    "llm_multimodal_audio_stats",
-    "llm_pii_redact",
-    "llm_text_unigram_surprisal",
-    "llm_text_bigram_surprisal",
-    "llm_bpe_pair_counts",
-    "f_entity_resolution_customers",
-    "llm_sketch_countmin",
-    "llm_dedup_url_normalize",
-    "llm_dedup_clusters",
-    "llm_dedup_exact",
-    "llm_text_token_count",
-    "llm_text_quality_score",
-    "llm_text_langid",
-    "llm_text_length_quantiles",
-    "llm_corpus_prepare",
-    "llm_text_fingerprint",
-    "llm_dedup_minhash_lsh",
-    "llm_chunk_dedup",
-    "llm_ngram_heavy_hitters",
-    # oldest r07-fresh: the round-7-new list (5), then r07 key order (5).
-    # The remaining 38 r07-fresh names rotate to round 10:
-    # llm_split_train_val_test, llm_type_token_ratio,
-    # f_top_users_per_event_type, dq_outlier_mad_events,
-    # llm_length_decile_curriculum, llm_dup_span_coverage,
-    # llm_embedding_covariance, llm_decontaminate, f_range_band_join,
-    # llm_text_repetition, llm_corpus_final, llm_ann_pq_encode,
-    # llm_ann_pq_adc_recall, llm_dedup_edit_distance_verify,
-    # dwd_base_log_page, dwd_base_log_start, dwd_base_log_err,
-    # dwd_base_log_display, dwd_base_log_action, dim_app_router,
-    # dim_app_materialize, dws_sliding_window_events, llm_corpus_rollup,
-    # dws_user_event_funnel, dws_session_window_events,
-    # dws_time_hierarchy_rollup, dws_user_retention_cohort,
-    # dws_gap_fill_locf_daily_orders, dim_scd2_user_event_intervals,
-    # dwd_trade_order_detail, dwd_trade_order_cancel_detail,
-    # dwd_trade_order_pay_suc_detail,
-    # dws_trade_trademark_category_user_refund_window, dq_audit_warehouse,
-    # llm_mix_domains, llm_text_rare_token_ratio, dq_checksum_partition,
-    # llm_dedup_embedding_cosine
-    # — every one r07-green, unchanged since that row, exercised by
+    # ROUND-11 ROTATION RECIPE: prefix = any queries new in round 11 +
+    # any changed-plan re-entries + the 35 remaining r08-fresh names
+    # (tail comment below) + the oldest r09-fresh names (round-9 gate
+    # head order: llm_quality_train_step, llm_quality_classifier,
+    # llm_sketch_kmv_distinct, llm_dedup_ngram_jaccard, ...) to fill 50.
+    #
+    # CHANGED-PLAN re-entries (the r4/r5/r7/r8/r9 convention): the
+    # round-10 PQ-codebook training (one exact-decimal Lloyd step per
+    # subspace, seed-vs-trained ADC recall side-by-side) rewrote
+    # llm_ann_pq_adc_recall's plan; llm_ann_pq_encode shares the seed
+    # codebook helper and re-enters with it. Both were r07-fresh and
+    # already rotate in this round — moved to the head slot.
+    "llm_ann_pq_adc_recall",
+    "llm_ann_pq_encode",
+    # freshest row is r07 — the remaining 36 of the 38-name tail from
+    # round 9, r07 key order
+    "llm_split_train_val_test",
+    "llm_type_token_ratio",
+    "f_top_users_per_event_type",
+    "dq_outlier_mad_events",
+    "llm_length_decile_curriculum",
+    "llm_dup_span_coverage",
+    "llm_embedding_covariance",
+    "llm_decontaminate",
+    "f_range_band_join",
+    "llm_text_repetition",
+    "llm_corpus_final",
+    "llm_dedup_edit_distance_verify",
+    "dwd_base_log_page",
+    "dwd_base_log_start",
+    "dwd_base_log_err",
+    "dwd_base_log_display",
+    "dwd_base_log_action",
+    "dim_app_router",
+    "dim_app_materialize",
+    "dws_sliding_window_events",
+    "llm_corpus_rollup",
+    "dws_user_event_funnel",
+    "dws_session_window_events",
+    "dws_time_hierarchy_rollup",
+    "dws_user_retention_cohort",
+    "dws_gap_fill_locf_daily_orders",
+    "dim_scd2_user_event_intervals",
+    "dwd_trade_order_detail",
+    "dwd_trade_order_cancel_detail",
+    "dwd_trade_order_pay_suc_detail",
+    "dws_trade_trademark_category_user_refund_window",
+    "dq_audit_warehouse",
+    "llm_mix_domains",
+    "llm_text_rare_token_ratio",
+    "dq_checksum_partition",
+    "llm_dedup_embedding_cosine",
+    # oldest r08-fresh: round-8 gate head order, 12 names to fill 50.
+    # The remaining 35 r08-fresh names rotate to round 11 (r08 key
+    # order): dws_user_user_login_window, dws_user_user_register_window,
+    # dws_trade_cart_add_uu_window, dws_trade_payment_suc_window,
+    # dws_trade_order_window, dws_trade_sku_order_window,
+    # dws_trade_province_order_window, p1_json_parse_validity_filter,
+    # f_date_formats, f_conditional_cast_math, f_asof_join_latest_order,
+    # f_json_props_extract, llm_multimodal_decode,
+    # llm_multimodal_frame_sample, llm_multimodal_pixel_stats,
+    # llm_sample_stratified, llm_pack_sequences, llm_dedup_simhash,
+    # llm_dedup_simhash_pairs, llm_sketch_histogram_quantiles,
+    # llm_ann_cosine_topk, llm_ann_ivf, llm_dedup_embedding_cells,
+    # llm_embedding_kmeans_step, llm_ann_ivf_trained_recall,
+    # llm_neardup_recall, llm_multimodal_image_dedup,
+    # llm_multimodal_image_neardup_pairs, llm_sample_domain_cap,
+    # llm_embedding_quantize_int8, f_zorder_layout_audit,
+    # dq_table_stats_profile, dq_sketch_join_cardinality,
+    # llm_bpe_train_merges, llm_bpe_encode_corpus
+    # — every one r08-green, unchanged since that row, exercised by
     # dedicated tests plus the in-suite tests/test_oracle_parity.py sweep
-    "f_skyline_pareto_suppliers",
-    "dws_event_cooccurrence_lift",
-    "llm_text_readability",
-    "llm_sample_reservoir",
-    "llm_embedding_pca_power_step",
-    "llm_tfidf_top_terms",
-    "f_pivot_event_day",
-    "f_window_suite_orders",
-    "dws_cube_event_stats",
+    "dws_event_anomaly_zscore",
+    "f_unpivot_event_day",
+    "dq_referential_integrity",
+    "dws_user_path_transitions",
+    "dq_null_profile",
+    "dwd_trade_cart_add",
+    "dwd_interaction_comment_info",
+    "dwd_trade_order_refund",
+    "dwd_base_db_router",
+    "dws_traffic_source_keyword_page_view_window",
+    "dws_traffic_vc_ch_ar_is_new_page_view_window",
+    "dws_traffic_home_detail_page_view_window",
 ]
 
 

@@ -229,6 +229,13 @@ def runtime_audit(spark, sf_dir: str) -> list[dict]:
 
 def runtime_main(sf_dir: str, out_md: str) -> None:
     spark = get_spark("plan_audit_runtime")
+    # r9-ADVICE fix: runtime_broadcast_findings substring-matches fact
+    # filenames against the final plan's toString(), but FileScan
+    # simpleStrings truncate each metadata entry (incl. Location) at
+    # spark.sql.maxMetadataStringLength (default 100 chars) — a long
+    # sf_dir path could silently drop the filename and under-report the
+    # fact-in-bx column. Raise it so Location always reaches the filename.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
     rows = runtime_audit(spark, sf_dir)
     bad = [r for r in rows if r.get("bad")]
     n_bx = sum(len(r.get("bx", [])) for r in rows)
