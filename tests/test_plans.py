@@ -312,9 +312,18 @@ def test_pq_codebook_broadcast_assignment_map_only(spark):
 
 def test_adc_search_never_scans_base_vectors_at_query_time(spark):
     """ADC candidate scoring must be codes x broadcast distance-table —
-    map-side join + one sum; the only sort-merge allowed anywhere is none."""
+    map-side join + one sum — for BOTH the seed and the trained codebook
+    paths; the r10 training step (one Lloyd refinement) must likewise be
+    broadcast/map-only: codebook training is a map-combined hash agg over
+    (m, cid, pos), re-assignment joins the broadcast trained codebook.
+    No sort-merge join and no cartesian anywhere in the whole plan."""
     plan = _plan(spark, "llm_ann_pq_adc_recall")
     assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the trained-codebook checkpoint feeds two broadcast consumers; the
+    # seed-assignment checkpoint feeds codes + training (ExistingRDD x2)
+    assert plan.count("BroadcastExchange") >= 3
 
 
 def test_containment_lsh_candidates_materialized_once(spark):

@@ -1331,6 +1331,141 @@ def test_pq_encode_matches_python_model_exactly(spark):
     assert got == expected
 
 
+def test_pq_trained_adc_recall_matches_python_model_exactly(spark):
+    """From-scratch reproduction of the FULL seed-vs-trained ADC recall
+    query: seed assignment, the one-Lloyd-step trained codebook (floored
+    integer mean at the offset 1e-7 scale — python's non-negative //
+    equals Spark's div and DuckDB's //), trained re-assignment, both ADC
+    distance tables, both top-5 rankings, the exact top-5, and the
+    per-mille recalls. Every arithmetic step is exact integers, so the
+    assert is equality, not tolerance."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.llm_pipeline_queries import (
+        ADC_NQ,
+        ADC_TOPK,
+        PQ_D,
+        PQ_K,
+        PQ_M,
+        PQ_OFF_INT,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+
+    def q7(x):
+        return int(
+            (Decimal(float(x)) * (10**7)).quantize(Decimal(1), ROUND_HALF_UP)
+        )
+
+    vecs = {r.vec_id: [q7(x) for x in r.embedding] for r in rows}
+
+    def sub(v, m):
+        return v[m * PQ_D : (m + 1) * PQ_D]
+
+    seed_cb = {
+        m: {cid: sub(vecs[cid], m) for cid in vecs if cid < PQ_K}
+        for m in range(PQ_M)
+    }
+    # seed assignment (d2 in e14 integer units, tie on cid)
+    codes = {
+        (vid, m): min(
+            (sum((a - c) ** 2 for a, c in zip(sub(v, m), cv)), cid)
+            for cid, cv in seed_cb[m].items()
+        )[1]
+        for vid, v in vecs.items()
+        for m in range(PQ_M)
+    }
+    # one Lloyd step: floored integer mean of offset-scaled members
+    members = {}
+    for (vid, m), cid in codes.items():
+        members.setdefault((m, cid), []).append(
+            [x + PQ_OFF_INT for x in sub(vecs[vid], m)]
+        )
+    tcb = {
+        m: {
+            cid: [
+                sum(mem[j] for mem in mm) // len(mm) for j in range(PQ_D)
+            ]
+            for (m2, cid), mm in members.items()
+            if m2 == m
+        }
+        for m in range(PQ_M)
+    }
+    tcodes = {
+        (vid, m): min(
+            (
+                sum(
+                    (a + PQ_OFF_INT - c) ** 2
+                    for a, c in zip(sub(v, m), cv)
+                ),
+                cid,
+            )
+            for cid, cv in tcb[m].items()
+        )[1]
+        for vid, v in vecs.items()
+        for m in range(PQ_M)
+    }
+
+    def topk(dists):
+        return {v for _, v in sorted(dists)[:ADC_TOPK]}
+
+    expected = {}
+    for qid in range(ADC_NQ):
+        qv = vecs[qid]
+        exact = topk(
+            (sum((a - b) ** 2 for a, b in zip(qv, v)), vid)
+            for vid, v in vecs.items()
+            if vid != qid
+        )
+        sdtab = {
+            (m, cid): sum((a - c) ** 2 for a, c in zip(sub(qv, m), cv))
+            for m in range(PQ_M)
+            for cid, cv in seed_cb[m].items()
+        }
+        adc_seed = topk(
+            (sum(sdtab[(m, codes[(vid, m)])] for m in range(PQ_M)), vid)
+            for vid in vecs
+            if vid != qid
+        )
+        tdtab = {
+            (m, cid): sum(
+                (a + PQ_OFF_INT - c) ** 2 for a, c in zip(sub(qv, m), cv)
+            )
+            for m in range(PQ_M)
+            for cid, cv in tcb[m].items()
+        }
+        adc_tr = topk(
+            (sum(tdtab[(m, tcodes[(vid, m)])] for m in range(PQ_M)), vid)
+            for vid in vecs
+            if vid != qid
+        )
+        hs, ht = len(exact & adc_seed), len(exact & adc_tr)
+        expected[qid] = (
+            ADC_TOPK,
+            hs,
+            ht,
+            (1000 * hs) // ADC_TOPK,
+            (1000 * ht) // ADC_TOPK,
+        )
+
+    out = queries()["llm_ann_pq_adc_recall"](spark, sf).collect()
+    got = {
+        r.qid: (
+            r.k,
+            r.hits_seed,
+            r.hits_trained,
+            r.recall_seed_pm,
+            r.recall_trained_pm,
+        )
+        for r in out
+    }
+    assert got == expected
+
+
 def test_split_and_mix_match_python_model_exactly(spark):
     """From-scratch reproduction of the two md5-threshold sampling ops:
     the 90/5/5 split (hash of doc_id||':split' vs per-mille thresholds)
