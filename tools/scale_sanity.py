@@ -17,6 +17,21 @@ a degenerate duplicate pile:
 
 Usage: python tools/scale_sanity.py [N] [query ...]
 (with query names given, only those run — for re-measuring a changed plan)
+
+x100 tier: python tools/scale_sanity.py --tier x100 [query ... | all]
+Institutionalizes round 9's one-off hand-run: N=100, driver heap raised
+to 96g (SPARK_GRAFT_DRIVER_MEM still wins if set), and the default run
+list is TIME-BUDGETED — the 20 bench flagships + the round's
+changed-plan queries (X100_DEFAULT below), not all 135; `all` runs the
+full registry (r9 measured ~30 min). Append rows to SCALE.md from the
+JSON this prints.
+
+Skew mode: python tools/scale_sanity.py [N] --skew [query ... | all]
+Replicates with DELIBERATE hot keys (~x100 the median: one domain, one
+user, one shingle — see replicate_skew) and runs the skew-exposed
+queries (SKEW_DEFAULT) — the evidence that the repo's skew story (AQE
+skew-split, salting-free pair joins, domain caps) holds when a key is
+actually hot, not just when growth is uniform.
 """
 
 from __future__ import annotations
@@ -183,6 +198,38 @@ QUERIES = [
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
+# --tier x100 default run list (time-budgeted): the bench.py headline
+# flagships + this round's changed-plan queries. llm_lsh_tuning_curve is
+# deliberately ABSENT: its exact ground-truth join is the documented
+# super-linear honesty row (150.8 s at x100, r9) — run it explicitly
+# when its plan changes, not every round.
+X100_DEFAULT = [
+    "dws_trade_sku_order_window",
+    "dwd_trade_order_detail",
+    "dwd_trade_order_pay_suc_detail",
+    "dws_trade_province_order_window",
+    "dws_traffic_vc_ch_ar_is_new_page_view_window",
+    "dws_user_user_login_window",
+    "dwd_base_log_page",
+    "llm_dedup_exact",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_minhash_lsh",
+    "llm_ann_cosine_topk",
+    "llm_ann_ivf",
+    "llm_dedup_embedding_cells",
+    "llm_dedup_containment_lsh",
+    "llm_corpus_final",
+    "llm_multimodal_decode",
+    "llm_dedup_simhash",
+    "dws_sliding_window_events",
+    "dws_session_window_events",
+    "dws_user_event_funnel",
+    # changed-plan this round (keep current per round)
+    "llm_dedup_containment",
+    "llm_ann_pq_encode",
+    "llm_ann_pq_adc_recall",
+]
+
 
 def replicate(spark, n: int, out: str) -> None:
     os.makedirs(out, exist_ok=True)
@@ -239,22 +286,129 @@ def replicate(spark, n: int, out: str) -> None:
     ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
 
+def replicate_skew(spark, n: int, out: str) -> None:
+    """Key-aware replication with DELIBERATE hot keys (~x100 the median),
+    for measuring the skew story (AQE skew-split on pair joins, domain
+    caps, top-K) instead of assuming it:
+
+    - documents: sources salted per replica (20 -> 20*n domains of 250
+      docs), then every even doc_id reassigned to ONE hot domain — at
+      x10 that is 25k docs vs a 250-doc median (x100). Every 20th doc
+      additionally gets a fixed UNSALTED sentence appended, making one
+      shingle's posting list ~n*250 docs (x10: 2.5k docs -> ~3.1M pairs
+      from that single join key) while the token salting keeps the rest
+      of the candidate space linear.
+    - events: every 15th event reassigned to ONE hot user — x10: ~66k
+      events vs a ~660 median (x100).
+    - lineitem/orders/embeddings/dims: exactly as ``replicate``.
+    """
+    replicate(spark, n, out)
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    (
+        docs.withColumn(
+            "source",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("srchot")).otherwise(
+                F.concat(
+                    F.col("source"),
+                    F.lit("_r"),
+                    F.expr("doc_id div 10000000").cast("string"),
+                )
+            ),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 20 == 0,
+                F.concat(
+                    F.col("text"), F.lit(" hotkey alpha beta gamma hotkey")
+                ),
+            ).otherwise(F.col("text")),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/documents_skew.parquet")
+    )
+    shutil.rmtree(f"{out}/documents.parquet")
+    os.rename(f"{out}/documents_skew.parquet", f"{out}/documents.parquet")
+    ev = spark.read.parquet(f"{out}/events.parquet")
+    hot_user = ev.agg(F.min("user_id")).collect()[0][0]
+    (
+        ev.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 15 == 0, F.lit(hot_user)).otherwise(
+                F.col("user_id")
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/events_skew.parquet")
+    )
+    shutil.rmtree(f"{out}/events.parquet")
+    os.rename(f"{out}/events_skew.parquet", f"{out}/events.parquet")
+
+
+# --skew default run list: the queries whose 100 TB hazard IS the hot key
+# (pair-exploding joins, domain caps, per-key top-K / path stats).
+SKEW_DEFAULT = [
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_containment",
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_containment_lsh",
+    "llm_ngram_heavy_hitters",
+    "llm_sample_domain_cap",
+    "llm_mix_domains",
+    "f_top_users_per_event_type",
+    "dws_user_path_transitions",
+]
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    scaled = f"/tmp/spark_graft_scale_x{n}"
+    argv = list(sys.argv[1:])
+    tier = None
+    skew = False
+    if "--tier" in argv:
+        i = argv.index("--tier")
+        tier = argv[i + 1]
+        del argv[i : i + 2]
+    if "--skew" in argv:
+        skew = True
+        argv.remove("--skew")
+    if tier is not None:
+        n = int(tier.lstrip("x"))
+        names = argv
+    else:
+        n = int(argv[0]) if argv and argv[0].isdigit() else 10
+        names = argv[1:] if argv and argv[0].isdigit() else argv
+    if n >= 100:
+        # r9's hand-run knob, institutionalized: the 100-way union +
+        # multi-GB pair frames need a bigger driver heap in local mode.
+        # Must happen before the JVM exists; an explicit env still wins.
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "96g")
+    scaled = f"/tmp/spark_graft_scale_x{n}" + ("skew" if skew else "")
     spark = get_spark("scale_sanity")
     if not os.path.exists(f"{scaled}/embeddings.parquet"):
-        print(f"# replicating sf0.1 x{n} -> {scaled}", file=sys.stderr)
-        replicate(spark, n, scaled)
+        print(
+            f"# replicating sf0.1 x{n}{' +skew' if skew else ''} -> {scaled}",
+            file=sys.stderr,
+        )
+        (replicate_skew if skew else replicate)(spark, n, scaled)
     qs = queries()
     missing = sorted(set(qs) - set(QUERIES))
     if missing:  # registry drift: a query with no scale row is invisible
         print(f"# WARNING not scale-covered: {missing}", file=sys.stderr)
-    unknown = [a for a in sys.argv[2:] if a not in qs]
+    run_all = names == ["all"]
+    unknown = [] if run_all else [a for a in names if a not in qs]
     if unknown:  # a typo must not silently fall back to the FULL x-N sweep
         print(f"unknown query name(s): {unknown}", file=sys.stderr)
         sys.exit(2)
-    run_list = list(sys.argv[2:]) or QUERIES
+    if run_all:
+        run_list = QUERIES
+    elif names:
+        run_list = names
+    elif skew:
+        run_list = SKEW_DEFAULT
+    elif tier is not None and n >= 100:
+        run_list = X100_DEFAULT
+    else:
+        run_list = QUERIES
     # Untimed warm-up (the bench.py discipline): JVM JIT, parquet footers,
     # Arrow/Python workers, and whole-stage codegen all first-touch on
     # someone — without this the sweep charged ~10 s of session warm-up to
@@ -286,7 +440,8 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 2)
         results[name] = {"sec": dt, "rows": cnt}
         print(f"# {name}: {cnt} rows in {dt}s", file=sys.stderr)
-    print(json.dumps({"scale": f"sf0.1 x{n}", "results": results}))
+    label = f"sf0.1 x{n}" + (" skew" if skew else "")
+    print(json.dumps({"scale": label, "results": results}))
 
 
 if __name__ == "__main__":
