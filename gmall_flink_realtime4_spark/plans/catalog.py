@@ -68,21 +68,24 @@ GATE_PRIORITY: list[str] = [
     # the r5 IVF-training pattern) + ALL 38 names whose freshest driver
     # row is r07 (the round-9 tail comment, re-derived programmatically:
     # registry keys in CORRECTNESS_r07 absent from r08/r09, in r07 key
-    # order) + the 12 oldest r08-fresh names (round-8 gate head order)
-    # to fill 50. The PQ names were already in the 38, so the 50-name
-    # SET is exactly 38 r07-fresh + 12 r08-fresh.
+    # order) + the 11 oldest r08-fresh names (round-8 gate head order)
+    # to fill 50 with the chunk-dedup re-entry. The PQ names were
+    # already in the 38, so the 50-name SET is 38 r07-fresh + 11
+    # r08-fresh + llm_chunk_dedup (r09-fresh, changed plan).
     #
     # CADENCE MATH: registry stays 135 (freeze ceiling; the PQ training
     # folds INTO the existing adc_recall query, kmv-union style). After
-    # this round: 50 r10-fresh, 50 r09-fresh, 35 r08-fresh; no query's
+    # this round: 50 r10-fresh, 49 r09-fresh, 36 r08-fresh; no query's
     # freshest row older than r08 — the steady-state 3-round cycle
     # (ceil(135/50) = 3) holds for a third consecutive turn.
     #
     # ROUND-11 ROTATION RECIPE: prefix = any queries new in round 11 +
-    # any changed-plan re-entries + the 35 remaining r08-fresh names
-    # (tail comment below) + the oldest r09-fresh names (round-9 gate
-    # head order: llm_quality_train_step, llm_quality_classifier,
-    # llm_sketch_kmv_distinct, llm_dedup_ngram_jaccard, ...) to fill 50.
+    # any changed-plan re-entries + the 36 remaining r08-fresh names
+    # (tail comment below, PLUS dws_traffic_home_detail_page_view_window
+    # which yielded its slot to the chunk-dedup re-entry) + the oldest
+    # r09-fresh names (round-9 gate head order: llm_quality_train_step,
+    # llm_quality_classifier, llm_sketch_kmv_distinct,
+    # llm_dedup_ngram_jaccard, ...) to fill 50.
     #
     # CHANGED-PLAN re-entries (the r4/r5/r7/r8/r9 convention): the
     # round-10 PQ-codebook training (one exact-decimal Lloyd step per
@@ -90,8 +93,14 @@ GATE_PRIORITY: list[str] = [
     # llm_ann_pq_adc_recall's plan; llm_ann_pq_encode shares the seed
     # codebook helper and re-enters with it. Both were r07-fresh and
     # already rotate in this round — moved to the head slot.
+    # llm_chunk_dedup (r09-fresh) re-enters because the r10 runtime-census
+    # closure pinned its join-back shuffle_hash (the x10 census showed the
+    # raw chunk frame still AQE-broadcast — results identical, plan
+    # changed); dws_traffic_home_detail_page_view_window rotates to r11
+    # to hold the gate at 50.
     "llm_ann_pq_adc_recall",
     "llm_ann_pq_encode",
+    "llm_chunk_dedup",
     # freshest row is r07 — the remaining 36 of the 38-name tail from
     # round 9, r07 key order
     "llm_split_train_val_test",
@@ -161,7 +170,6 @@ GATE_PRIORITY: list[str] = [
     "dwd_base_db_router",
     "dws_traffic_source_keyword_page_view_window",
     "dws_traffic_vc_ch_ar_is_new_page_view_window",
-    "dws_traffic_home_detail_page_view_window",
 ]
 
 

@@ -106,7 +106,15 @@ def chunk_dedup(d: DataFrame) -> DataFrame:
     keeper = c.groupBy("chunk_text").agg(
         F.min(F.struct("doc_id", "chunk_idx")).alias("k")
     )
-    r = c.join(keeper, "chunk_text").withColumn(
+    # r10 runtime-census closure: the join-back is FACT-FACT (both sides
+    # corpus-sized — occurrences vs distinct chunks), and the x10 runtime
+    # census showed AQE still broadcast-promoting the raw side under the
+    # repo's generous 64 MB threshold (it did NOT self-demote as the
+    # sf0.001 ledger assumed). Pin shuffle_hash per the r7 fact-fact rule:
+    # build side = the distinct-chunk keeper (always the smaller), AQE
+    # skew-split stays available for hot boilerplate chunks, and both
+    # sides hash on chunk_text so the exploded exchange is reused.
+    r = c.join(keeper.hint("shuffle_hash"), "chunk_text").withColumn(
         "is_keeper",
         (F.col("doc_id") == F.col("k.doc_id"))
         & (F.col("chunk_idx") == F.col("k.chunk_idx")),

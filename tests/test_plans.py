@@ -643,6 +643,23 @@ def test_shingle_pair_joins_runtime_honest(spark):
         assert runtime_broadcast_findings(final) == [], name
 
 
+def test_chunk_dedup_join_back_runtime_honest(spark):
+    """r10 closure of the r9 verdict's runtime-census watch item: the
+    chunk-dedup join-back (occurrences x distinct-chunk keepers) is
+    fact-fact, and the x10 runtime census proved the sf0.001 ledger's
+    self-demotion assumption WRONG — AQE still broadcast the raw exploded
+    side at x10 under the repo's 64 MB threshold. Now shuffle_hash-pinned
+    (r7 fact-fact rule); the FINAL adaptive plan must carry zero broadcast
+    subtrees at any SF."""
+    from tools.plan_audit import _final_plan, runtime_broadcast_findings
+
+    final = _final_plan(queries()["llm_chunk_dedup"](spark, SF))
+    assert "isFinalPlan=true" in final
+    assert "ShuffledHashJoin" in final
+    assert "CartesianProduct" not in final
+    assert runtime_broadcast_findings(final) == []
+
+
 def test_rare_token_join_shuffled_not_token_stream_broadcast(spark):
     """The per-doc token |><| vocab join must be a ShuffledHashJoin on
     token — Catalyst otherwise broadcast-builds the exploded TOKEN STREAM

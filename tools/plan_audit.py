@@ -28,7 +28,11 @@ frame that fits the threshold here demotes itself back to a shuffle join
 at real scale — runtime promotion is self-correcting by construction
 (first full census: 36/135 queries carry such promotions over
 checkpointed candidate/model/config frames at sf0.001, all legitimate at
-that size; llm_chunk_dedup's raw chunk frame is broadcast the same way).
+that size). Caveat learned in r10: "self-demotes at scale" must be
+PROVEN per query, not assumed — llm_chunk_dedup's raw chunk frame was
+still broadcast at x10 under the repo's generous 64 MB threshold and is
+now shuffle_hash-pinned + runtime-guarded
+(tests/test_plans.py::test_chunk_dedup_join_back_runtime_honest).
 What is NOT self-correcting is (a) a CartesianProduct — the only runtime
 FAILURE (exit 1) — and (b) a shape the repo explicitly pinned drifting
 back (enforced per-query where it matters, e.g.
@@ -196,9 +200,11 @@ def runtime_broadcast_findings(final_txt: str) -> list[dict]:
     return out
 
 
-def runtime_audit(spark, sf_dir: str) -> list[dict]:
+def runtime_audit(spark, sf_dir: str, names: list[str] | None = None) -> list[dict]:
     rows = []
     for name, fn in queries().items():
+        if names and name not in names:
+            continue
         try:
             final = _final_plan(fn(spark, sf_dir))
             bx = runtime_broadcast_findings(final)
@@ -227,7 +233,7 @@ def runtime_audit(spark, sf_dir: str) -> list[dict]:
     return rows
 
 
-def runtime_main(sf_dir: str, out_md: str) -> None:
+def runtime_main(sf_dir: str, out_md: str, names: list[str] | None = None) -> None:
     spark = get_spark("plan_audit_runtime")
     # r9-ADVICE fix: runtime_broadcast_findings substring-matches fact
     # filenames against the final plan's toString(), but FileScan
@@ -236,7 +242,7 @@ def runtime_main(sf_dir: str, out_md: str) -> None:
     # sf_dir path could silently drop the filename and under-report the
     # fact-in-bx column. Raise it so Location always reaches the filename.
     spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
-    rows = runtime_audit(spark, sf_dir)
+    rows = runtime_audit(spark, sf_dir, names)
     bad = [r for r in rows if r.get("bad")]
     n_bx = sum(len(r.get("bx", [])) for r in rows)
     n_ck = sum(
@@ -321,6 +327,8 @@ def main() -> None:
         runtime_main(
             args[0] if args else "/root/testdata/sf0.001",
             args[1] if len(args) > 1 else "PLANS_RUNTIME.md",
+            args[2:] or None,  # optional query-name filter: a targeted
+            # runtime census (e.g. one query at x10) without a full sweep
         )
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
