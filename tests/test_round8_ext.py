@@ -295,6 +295,90 @@ def test_incremental_corpus_final_foreach_batch_e2e(spark, tmp_path):
     assert got == ref and len(ref) >= 2
 
 
+def test_incremental_corpus_final_soak_restart(spark, tmp_path):
+    """Long-soak version of the whole-DAG twin (r9 verdict item 6):
+    documents arrive over 12 micro-batches with a MID-STREAM STOP after
+    the first 6 and a checkpoint-recovery restart for the rest. The
+    restarted query must RESUME (batchId continues past the pre-stop
+    batches, not restart at 0), the accumulated state tables must hold
+    exactly one partial row per input row (no replay double-append —
+    the parquet state would silently double if recovery re-ran a
+    committed batch, and finalize is NOT duplicate-tolerant by design),
+    and finalize over the soaked state must equal the one-shot
+    registered query exactly."""
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.catalog import queries
+    from gmall_flink_realtime4_spark.plans.llm_pipeline_queries import (
+        corpus_final_feat_partials,
+        corpus_final_finalize,
+        corpus_final_shingle_partials,
+    )
+    from gmall_flink_realtime4_spark.streaming.runner import (
+        empty_stream_dir,
+        stream_parquet_source,
+    )
+
+    docs = T.load(spark, SF, "documents")
+    src = empty_stream_dir(str(tmp_path))
+    kept_dir = str(tmp_path / "state_kept")
+    sh_dir = str(tmp_path / "state_shingles")
+    ckpt = str(tmp_path / "ckpt")  # SHARED across restarts — the recovery
+
+    def accumulate(bdf, _bid):
+        corpus_final_feat_partials(bdf).write.mode("append").parquet(kept_dir)
+        corpus_final_shingle_partials(bdf).write.mode("append").parquet(
+            sh_dir
+        )
+
+    def start():
+        s = stream_parquet_source(spark, src, docs.schema)  # 1 file/trigger
+        return (
+            s.writeStream.foreachBatch(accumulate)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # Partials are pure per-row, so round-robin file order is fine; the
+    # halves split on doc_id parity so both runs carry every domain/shape.
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    half1.repartition(6).write.mode("append").parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+        pre_stop_batch = q.lastProgress["batchId"]
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert pre_stop_batch >= 5  # 6 files at maxFilesPerTrigger=1
+
+    half2.repartition(6).write.mode("append").parquet(src)  # while down
+    q = start()
+    try:
+        q.processAllAvailable()
+        post_restart_batch = q.lastProgress["batchId"]
+    finally:
+        q.stop()
+        q.awaitTermination()
+    # Resumed from the checkpoint: batch ids CONTINUE past the pre-stop
+    # run — a fresh (non-recovered) query would re-number from 0.
+    assert post_restart_batch > pre_stop_batch
+
+    kept = spark.read.parquet(kept_dir)
+    sh = spark.read.parquet(sh_dir)
+    # Exactly-once state: one partial row per one-shot partial row —
+    # a replayed committed batch would double these counts.
+    assert kept.count() == corpus_final_feat_partials(docs).count()
+    assert sh.count() == corpus_final_shingle_partials(docs).count()
+    got = {tuple(r) for r in corpus_final_finalize(kept, sh).collect()}
+    ref = {
+        tuple(r)
+        for r in queries()["llm_corpus_final"](spark, SF).collect()
+    }
+    assert got == ref and len(ref) >= 2
+
+
 def test_quality_classifier_property_random_texts(spark):
     """Hypothesis property: the Spark feature/score block equals the
     exact python model on RANDOM texts over an adversarial alphabet —
