@@ -151,6 +151,21 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # Join left FREE on purpose — a shuffle_hash pin was tried and retired
+    # here (r10, measured): at x10-x100 AQE broadcasts the CORPUS
+    # projection (24 B/doc — BuildLeft, probed by the one-partition offset
+    # frame), which looks like the chunk_dedup hazard but is
+    # THRESHOLD-BOUNDED by construction: the build side is actual-bytes
+    # ≤64 MB or the promotion never happens, so the single-task probe
+    # stage can only ever see threshold-bounded build + matched output,
+    # and past ~2.5M docs size-truth demotes to a parallel SHJ on bkt
+    # (uniform keys — no skew hazard). The pin bought nothing anywhere
+    # (sf0.1/x100 even) and taxed x10 ~0-20% (alternated isopairs, 2
+    # rounds) by forcing the corpus hash exchange below the join where
+    # the broadcast plan defers it to the window. Opposite adjudication
+    # from llm_chunk_dedup, whose broadcast frame was text-wide and
+    # fact-fact-skewed: self-demotion is proven per query, not assumed —
+    # here it was proven SAFE.
     c = b.join(off, "bkt").withColumn(
         "cum_ex", F.col("off") + F.coalesce(F.sum("n_tok").over(ww), F.lit(0))
     )
