@@ -301,11 +301,17 @@ def test_incremental_corpus_final_soak_restart(spark, tmp_path):
     the first 6 and a checkpoint-recovery restart for the rest. The
     restarted query must RESUME (batchId continues past the pre-stop
     batches, not restart at 0), the accumulated state tables must hold
-    exactly one partial row per input row (no replay double-append —
-    the parquet state would silently double if recovery re-ran a
-    committed batch, and finalize is NOT duplicate-tolerant by design),
-    and finalize over the soaked state must equal the one-shot
-    registered query exactly."""
+    exactly one partial row per input row, and finalize over the soaked
+    state must equal the one-shot registered query exactly.
+
+    foreachBatch is at-least-once under CRASH recovery (a batch that
+    fails between the parquet append and the commit-log write replays),
+    so accumulate is IDEMPOTENT: each batch overwrites its own
+    batchId-keyed partition dir — a replayed batch rewrites the same
+    rows instead of doubling them (the standard foreachBatch recipe).
+    This test's clean stop/restart proves no-replay across graceful
+    recovery; the batchId keying is what extends the exactly-once
+    EFFECT to crash replay."""
     from gmall_flink_realtime4_spark import tables as T
     from gmall_flink_realtime4_spark.plans.catalog import queries
     from gmall_flink_realtime4_spark.plans.llm_pipeline_queries import (
@@ -324,10 +330,14 @@ def test_incremental_corpus_final_soak_restart(spark, tmp_path):
     sh_dir = str(tmp_path / "state_shingles")
     ckpt = str(tmp_path / "ckpt")  # SHARED across restarts — the recovery
 
-    def accumulate(bdf, _bid):
-        corpus_final_feat_partials(bdf).write.mode("append").parquet(kept_dir)
-        corpus_final_shingle_partials(bdf).write.mode("append").parquet(
-            sh_dir
+    def accumulate(bdf, bid):
+        # batchId-keyed OVERWRITE => a replayed committed batch rewrites
+        # its own partition instead of double-appending (idempotence)
+        corpus_final_feat_partials(bdf).write.mode("overwrite").parquet(
+            f"{kept_dir}/batch_id={bid}"
+        )
+        corpus_final_shingle_partials(bdf).write.mode("overwrite").parquet(
+            f"{sh_dir}/batch_id={bid}"
         )
 
     def start():
@@ -347,6 +357,10 @@ def test_incremental_corpus_final_soak_restart(spark, tmp_path):
     q = start()
     try:
         q.processAllAvailable()
+        # lastProgress stays None until the first progress event — surface
+        # a zero-batch run (e.g. invisible source files) as THIS assert,
+        # not a TypeError on the subscript
+        assert q.lastProgress is not None, "stream recorded no progress"
         pre_stop_batch = q.lastProgress["batchId"]
     finally:
         q.stop()
@@ -357,6 +371,7 @@ def test_incremental_corpus_final_soak_restart(spark, tmp_path):
     q = start()
     try:
         q.processAllAvailable()
+        assert q.lastProgress is not None, "restarted stream recorded no progress"
         post_restart_batch = q.lastProgress["batchId"]
     finally:
         q.stop()
@@ -365,8 +380,10 @@ def test_incremental_corpus_final_soak_restart(spark, tmp_path):
     # run — a fresh (non-recovered) query would re-number from 0.
     assert post_restart_batch > pre_stop_batch
 
-    kept = spark.read.parquet(kept_dir)
-    sh = spark.read.parquet(sh_dir)
+    # partition discovery surfaces the batch_id key as a column — drop it
+    # so finalize sees the exact partial schema
+    kept = spark.read.parquet(kept_dir).drop("batch_id")
+    sh = spark.read.parquet(sh_dir).drop("batch_id")
     # Exactly-once state: one partial row per one-shot partial row —
     # a replayed committed batch would double these counts.
     assert kept.count() == corpus_final_feat_partials(docs).count()
