@@ -639,21 +639,26 @@ def _sqdist_int(a, b):
     )
 
 
-def _pq_trained_codebook(assign_sv: DataFrame) -> DataFrame:
-    """One Lloyd step per subspace: (m, cid, qarr) trained codewords.
+def _pq_trained_codebook_int(assign: DataFrame) -> DataFrame:
+    """One Lloyd step per subspace over an OFFSET-INT assignment frame
+    (vec_id, m, cid, xint): (m, cid, qarr) trained codewords.
 
     Centroid component = integer-floored mean of the assigned members at
-    the offset 1e-7 scale: q = sum(xi) div n. Sums and counts come from
-    ONE map-combined hash agg over (m, cid, pos) — PQ_M*PQ_K*PQ_D groups
+    the offset scale: q = sum(xi) div n — xi > 0 by construction (both
+    PQ_OFF_INT and PQ_RES_OFF offsets), so Spark's truncating `div` and
+    DuckDB's flooring `//` agree. Sums and counts come from ONE
+    map-combined hash agg over (m, cid, pos) — PQ_M*PQ_K*PQ_D groups
     total, no corpus joins (n is the member count replicated per pos, so
     no separate count frame). sum as decimal(28,0): at 1e12 members a
-    cell sum reaches ~2e21, past BIGINT but comfortably inside 28 digits.
-    Seeded cells are never empty (every cid < PQ_K assigns d2=0 to
-    itself, modulo exact-duplicate subvectors — in which case the lower
-    cid absorbs both and the empty cell simply drops on BOTH engines)."""
+    cell sum reaches ~4e21, past BIGINT but comfortably inside 28 digits.
+    Seed-assigned cells are never empty (every seed cid assigns d2=0 to
+    itself, modulo exact-duplicate subvectors — the lower cid absorbs
+    both and the empty cell drops on BOTH engines); a LATER Lloyd step
+    can starve a cell (standard cell death), identically on both engines
+    since the assignment is deterministic."""
     comp = (
-        assign_sv.select(
-            "m", "cid", F.posexplode(_sv_int(F.col("svq"))).alias("pos", "xi")
+        assign.select(
+            "m", "cid", F.posexplode(F.col("xint")).alias("pos", "xi")
         )
         .groupBy("m", "cid", "pos")
         .agg(
@@ -735,15 +740,19 @@ def llm_ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ADC search over PQ codes — asymmetric distance computation + recall@k.
+# ADC search over PQ codes — asymmetric distance computation + recall@k,
+# as a Lloyd-training recall CURVE (seed, 1 step, 2 steps) plus the
+# composed IVF-PQ index (coarse cells -> residual PQ -> cell-probed ADC).
 # ---------------------------------------------------------------------------
 ADC_NQ = 8  # query set (same convention as llm_scale_queries.ANN_N_QUERIES)
 ADC_TOPK = 5
+IVFPQ_C = 16  # coarse IVF cells (seed scheme: vec_id < C, as llm_ann_ivf)
+IVFPQ_NPROBE = 2
+# residual re-offset: xi, ci in (0, 2e9) => xi - ci + 2e9 in (0, 4e9) > 0,
+# keeping the trained-mean division (s div n vs s // n) and every other
+# integer op on residuals sign-safe on both engines (CLAUDE.md div rule)
+PQ_RES_OFF = 2_000_000_000
 
-_PQ_QDIFF = (
-    "(CAST(CAST(q.embedding[q.m * {d} + jx.j] AS DOUBLE) AS DECIMAL(9,7))"
-    " - CAST(CAST(cb.cemb[q.m * {d} + jx.j] AS DOUBLE) AS DECIMAL(9,7)))"
-).format(d=PQ_D)
 _PQ_XDIFF = (
     "(CAST(CAST(b.embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7))"
     " - CAST(CAST(q.embedding[ix.i] AS DOUBLE) AS DECIMAL(9,7)))"
@@ -755,213 +764,407 @@ _PQ_XI = (
 ).format(d=PQ_D, off=PQ_OFF_INT)
 
 
-@query(
-    "llm_ann_pq_adc_recall",
-    oracle=f"""
-WITH ms AS (
-    SELECT unnest(range(0, {PQ_M})) AS m
-), jx AS (
-    SELECT unnest(range(1, {PQ_D + 1})) AS j
-), ix AS (
-    SELECT unnest(range(1, {PQ_M * PQ_D + 1})) AS i
-), b AS (
-    SELECT vec_id, m, embedding FROM embeddings, ms
-), cb AS (
-    SELECT vec_id AS cid, m, embedding AS cemb FROM embeddings, ms
-    WHERE vec_id < {PQ_K}
-), d AS (
-    SELECT b.vec_id, b.m, cb.cid, SUM({_PQ_DIFF} * {_PQ_DIFF}) AS d2
-    FROM b JOIN cb ON b.m = cb.m, jx
+def _sql_pq_assign(name: str, src: str, cb: str, huge: bool = False) -> str:
+    """CTE pair: per-(vec_id, m) squared-L2 to every codeword of ``cb``
+    over the long-form int frame ``src`` (vec_id, m, j, xi), then the
+    (d2, cid)-argmin. ``huge=True`` lifts the per-term square to HUGEINT
+    for the residual space, where diffs reach 4e9 and the BIGINT square
+    would overflow (flat space stays < 2e9 -> square < 4e18, in range)."""
+    sq = (
+        "CAST(sv.xi - c.q AS HUGEINT) * (sv.xi - c.q)"
+        if huge
+        else "(sv.xi - c.q) * (sv.xi - c.q)"
+    )
+    return f"""{name}_d AS (
+    SELECT sv.vec_id, sv.m, c.cid, SUM({sq}) AS d2
+    FROM {src} sv JOIN {cb} c ON sv.m = c.m AND sv.j = c.j
     GROUP BY 1, 2, 3
-), codes AS (
+), {name} AS (
     SELECT vec_id, m, cid FROM (
-        SELECT vec_id, m, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
-        FROM d
+        SELECT vec_id, m, cid, ROW_NUMBER() OVER (
+            PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+        FROM {name}_d
     ) WHERE rn = 1
-), svint AS (
-    SELECT b.vec_id, b.m, jx.j, {_PQ_XI} AS xi
-    FROM b, jx
-), tcb AS (
-    SELECT sv.m, c.cid, sv.j, SUM(sv.xi) // COUNT(*) AS cq
-    FROM codes c JOIN svint sv ON c.vec_id = sv.vec_id AND c.m = sv.m
+)"""
+
+
+def _sql_pq_train(name: str, assign: str, src: str) -> str:
+    """One Lloyd step as a CTE: codeword component = floored integer mean
+    of the members' offset-int components (all positive, so // == div)."""
+    return f"""{name} AS (
+    SELECT sv.m, a.cid, sv.j, SUM(sv.xi) // COUNT(*) AS q
+    FROM {assign} a JOIN {src} sv
+        ON a.vec_id = sv.vec_id AND a.m = sv.m
     GROUP BY 1, 2, 3
-), td AS (
-    SELECT sv.vec_id, sv.m, t.cid,
-           SUM((sv.xi - t.cq) * (sv.xi - t.cq)) AS d2
-    FROM svint sv JOIN tcb t ON sv.m = t.m AND sv.j = t.j
-    GROUP BY 1, 2, 3
-), tcodes AS (
-    SELECT vec_id, m, cid FROM (
-        SELECT vec_id, m, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
-        FROM td
-    ) WHERE rn = 1
-), q AS (
-    SELECT vec_id AS qid, m, embedding FROM embeddings, ms
-    WHERE vec_id < {ADC_NQ}
-), dtab AS (
-    SELECT q.qid, q.m, cb.cid, SUM({_PQ_QDIFF} * {_PQ_QDIFF}) AS qd2
-    FROM q JOIN cb ON q.m = cb.m, jx
-    GROUP BY 1, 2, 3
-), adc AS (
-    SELECT dt.qid, c.vec_id, SUM(dt.qd2) AS ad2
-    FROM codes c JOIN dtab dt ON c.m = dt.m AND c.cid = dt.cid
-    WHERE c.vec_id <> dt.qid
-    GROUP BY 1, 2
-), adc5 AS (
-    SELECT qid, vec_id FROM (
-        SELECT qid, vec_id,
-               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ad2, vec_id) AS rk
-        FROM adc
-    ) WHERE rk <= {ADC_TOPK}
-), tdtab AS (
-    SELECT sv.vec_id AS qid, sv.m, t.cid,
-           SUM((sv.xi - t.cq) * (sv.xi - t.cq)) AS qd2
-    FROM svint sv JOIN tcb t ON sv.m = t.m AND sv.j = t.j
+)"""
+
+
+def _sql_pq_adc(name: str, codes: str, cb: str, src: str) -> str:
+    """ADC top-k as CTEs: query distance table (qid, m, cid) against
+    ``cb``, summed over stored ``codes``, ranked (ad2, vec_id). The
+    trained codebooks hold HUGEINT q (// of a HUGEINT sum), so the diff
+    promotes past BIGINT automatically — no overflow either space."""
+    return f"""{name}_dt AS (
+    SELECT sv.vec_id AS qid, sv.m, c.cid,
+           SUM(CAST(sv.xi - c.q AS HUGEINT) * (sv.xi - c.q)) AS qd2
+    FROM {src} sv JOIN {cb} c ON sv.m = c.m AND sv.j = c.j
     WHERE sv.vec_id < {ADC_NQ}
     GROUP BY 1, 2, 3
-), tadc AS (
-    SELECT dt.qid, c.vec_id, SUM(dt.qd2) AS ad2
-    FROM tcodes c JOIN tdtab dt ON c.m = dt.m AND c.cid = dt.cid
-    WHERE c.vec_id <> dt.qid
+), {name}_s AS (
+    SELECT dt.qid, a.vec_id, SUM(dt.qd2) AS ad2
+    FROM {codes} a JOIN {name}_dt dt ON a.m = dt.m AND a.cid = dt.cid
+    WHERE a.vec_id <> dt.qid
     GROUP BY 1, 2
-), tadc5 AS (
+), {name} AS (
     SELECT qid, vec_id FROM (
-        SELECT qid, vec_id,
-               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ad2, vec_id) AS rk
-        FROM tadc
+        SELECT qid, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY ad2, vec_id) AS rk
+        FROM {name}_s
     ) WHERE rk <= {ADC_TOPK}
-), ex AS (
+)"""
+
+
+def _adc_recall_oracle() -> str:
+    """The full seed / 1-Lloyd / 2-Lloyd / IVF-PQ recall oracle, assembled
+    from the generator CTEs so every Lloyd iteration is the same SQL."""
+    parts = [
+        f"ms AS (SELECT unnest(range(0, {PQ_M})) AS m)",
+        f"jx AS (SELECT unnest(range(1, {PQ_D + 1})) AS j)",
+        f"ix AS (SELECT unnest(range(1, {PQ_M * PQ_D + 1})) AS i)",
+        "b AS (SELECT vec_id, m, embedding FROM embeddings, ms)",
+        f"svint AS (SELECT b.vec_id, b.m, jx.j, {_PQ_XI} AS xi FROM b, jx)",
+        # -- flat PQ: seed codebook, then the 2-step Lloyd recall curve
+        "cb0 AS (SELECT m, vec_id AS cid, j, xi AS q FROM svint"
+        f" WHERE vec_id < {PQ_K})",
+        _sql_pq_assign("pa0", "svint", "cb0"),
+        _sql_pq_train("cb1", "pa0", "svint"),
+        _sql_pq_assign("pa1", "svint", "cb1"),
+        _sql_pq_train("cb2", "pa1", "svint"),
+        _sql_pq_assign("pa2", "svint", "cb2"),
+        _sql_pq_adc("top0", "pa0", "cb0", "svint"),
+        _sql_pq_adc("top1", "pa1", "cb1", "svint"),
+        _sql_pq_adc("top2", "pa2", "cb2", "svint"),
+        # -- IVF-PQ: coarse cells -> residuals -> residual PQ -> probed ADC
+        "ccb AS (SELECT vec_id AS cell, m, j, xi AS ci FROM svint"
+        f" WHERE vec_id < {IVFPQ_C})",
+        """cd AS (
+    SELECT sv.vec_id, c.cell, SUM((sv.xi - c.ci) * (sv.xi - c.ci)) AS cd2
+    FROM svint sv JOIN ccb c ON sv.m = c.m AND sv.j = c.j
+    GROUP BY 1, 2
+)""",
+        """crank AS (
+    SELECT vec_id, cell, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cd2, cell) AS rn
+    FROM cd
+)""",
+        "cassign AS (SELECT vec_id, cell FROM crank WHERE rn = 1)",
+        f"cprobes AS (SELECT vec_id AS qid, cell FROM crank"
+        f" WHERE vec_id < {ADC_NQ} AND rn <= {IVFPQ_NPROBE})",
+        f"""resint AS (
+    SELECT sv.vec_id, sv.m, sv.j, sv.xi - c.ci + {PQ_RES_OFF} AS xi
+    FROM svint sv
+    JOIN cassign a ON sv.vec_id = a.vec_id
+    JOIN ccb c ON a.cell = c.cell AND sv.m = c.m AND sv.j = c.j
+)""",
+        f"rcb0 AS (SELECT m, vec_id - {IVFPQ_C} AS cid, j, xi AS q"
+        f" FROM resint WHERE vec_id >= {IVFPQ_C}"
+        f" AND vec_id < {IVFPQ_C + PQ_K})",
+        _sql_pq_assign("ra0", "resint", "rcb0", huge=True),
+        _sql_pq_train("rcb1", "ra0", "resint"),
+        _sql_pq_assign("ra1", "resint", "rcb1", huge=True),
+        _sql_pq_train("rcb2", "ra1", "resint"),
+        _sql_pq_assign("ra2", "resint", "rcb2", huge=True),
+        f"""qres AS (
+    SELECT p.qid, p.cell, sv.m, sv.j, sv.xi - c.ci + {PQ_RES_OFF} AS xi
+    FROM cprobes p
+    JOIN svint sv ON p.qid = sv.vec_id
+    JOIN ccb c ON p.cell = c.cell AND sv.m = c.m AND sv.j = c.j
+)""",
+        """idt AS (
+    SELECT q.qid, q.cell, q.m, c.cid,
+           SUM(CAST(q.xi - c.q AS HUGEINT) * (q.xi - c.q)) AS qd2
+    FROM qres q JOIN rcb2 c ON q.m = c.m AND q.j = c.j
+    GROUP BY 1, 2, 3, 4
+)""",
+        """iadc AS (
+    SELECT dt.qid, r.vec_id, SUM(dt.qd2) AS ad2
+    FROM ra2 r
+    JOIN cassign a ON r.vec_id = a.vec_id
+    JOIN idt dt ON a.cell = dt.cell AND r.m = dt.m AND r.cid = dt.cid
+    WHERE r.vec_id <> dt.qid
+    GROUP BY 1, 2
+)""",
+        f"""itop AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY ad2, vec_id) AS rk
+        FROM iadc
+    ) WHERE rk <= {ADC_TOPK}
+)""",
+        # -- exact ground truth (full-vector decimal L2, unchanged)
+        f"""ex AS (
     SELECT q.vec_id AS qid, b.vec_id, SUM({_PQ_XDIFF} * {_PQ_XDIFF}) AS xd2
     FROM embeddings b, embeddings q, ix
     WHERE q.vec_id < {ADC_NQ} AND b.vec_id <> q.vec_id
     GROUP BY 1, 2
-), ex5 AS (
+)""",
+        f"""ex5 AS (
     SELECT qid, vec_id FROM (
-        SELECT qid, vec_id,
-               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY xd2, vec_id) AS rk
+        SELECT qid, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY xd2, vec_id) AS rk
         FROM ex
     ) WHERE rk <= {ADC_TOPK}
-)
+)""",
+    ]
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
 SELECT e.qid,
        CAST(COUNT(*) AS BIGINT) AS k,
-       CAST(COUNT(a.vec_id) AS BIGINT) AS hits_seed,
-       CAST(COUNT(t.vec_id) AS BIGINT) AS hits_trained,
-       CAST((1000 * COUNT(a.vec_id)) // COUNT(*) AS BIGINT) AS recall_seed_pm,
-       CAST((1000 * COUNT(t.vec_id)) // COUNT(*) AS BIGINT)
-           AS recall_trained_pm
+       CAST(COUNT(s0.vec_id) AS BIGINT) AS hits_seed,
+       CAST(COUNT(s1.vec_id) AS BIGINT) AS hits_t1,
+       CAST(COUNT(s2.vec_id) AS BIGINT) AS hits_t2,
+       CAST(COUNT(si.vec_id) AS BIGINT) AS hits_ivfpq,
+       CAST((1000 * COUNT(s0.vec_id)) // COUNT(*) AS BIGINT)
+           AS recall_seed_pm,
+       CAST((1000 * COUNT(s1.vec_id)) // COUNT(*) AS BIGINT) AS recall_t1_pm,
+       CAST((1000 * COUNT(s2.vec_id)) // COUNT(*) AS BIGINT) AS recall_t2_pm,
+       CAST((1000 * COUNT(si.vec_id)) // COUNT(*) AS BIGINT)
+           AS recall_ivfpq_pm
 FROM ex5 e
-LEFT JOIN adc5 a ON e.qid = a.qid AND e.vec_id = a.vec_id
-LEFT JOIN tadc5 t ON e.qid = t.qid AND e.vec_id = t.vec_id
+LEFT JOIN top0 s0 ON e.qid = s0.qid AND e.vec_id = s0.vec_id
+LEFT JOIN top1 s1 ON e.qid = s1.qid AND e.vec_id = s1.vec_id
+LEFT JOIN top2 s2 ON e.qid = s2.qid AND e.vec_id = s2.vec_id
+LEFT JOIN itop si ON e.qid = si.qid AND e.vec_id = si.vec_id
 GROUP BY 1
-""",
-    tags=("llm-ann", "compression", "iterative"),
-)
-def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADC (asymmetric distance) top-k search over PQ codes — SEED vs
-    TRAINED codebook side-by-side, recall@{k} measured against the exact
-    L2 top-k. The search half of IVF-PQ, completing llm_ann_pq_encode,
-    plus the training step the r9 verdict called the last honest ANN gap.
+"""
 
-    Training = one Lloyd refinement per subspace (the r5 IVF-quantizer
-    pattern, adapted to L2): seed-assign every subvector, then each
-    codeword moves to the integer-floored MEAN of its members at the
-    offset 1e-7 scale (xi = x*1e7 + 1e9 > 0, so Spark's truncating `div`
-    and DuckDB's flooring `//` agree — L2 is not scale-invariant, so the
-    IVF sums-only trick doesn't apply and the mean needs an exact,
-    engine-portable division). One map-combined (m, cid, pos) hash agg —
-    M*K*D groups — trains the whole codebook; re-assignment and the
-    trained distance table reuse the same broadcast-codebook map-only
-    shape as the seed path.
 
-    Scale shape: both distance TABLEs (NQ x M x K) are broadcast;
-    candidate scoring joins stored codes map-side — base vectors are
-    never read at query time (the point of PQ at 100 TB: codes are M
-    bytes/vector). Exact rerank confined to the NQ queries; all ties
-    broken on ids on both engines.
+def _argmin_codes(
+    frame: DataFrame, cb: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Nearest codeword per (vec_id, m) against a BROADCAST codebook
+    (m, cid, qarr) over an offset-int frame (vec_id, m, xint, *keep) ->
+    (vec_id, m, cid, xint, *keep).
 
-    Measured (sf0.01): seed recall@5 mean ~15% (isotropic testdata +
-    16-codeword seed quantizes coarsely — the honest reading documented
-    since r7); ONE Lloyd step lifts mean recall to ~2x seed (see
-    ROUND10_NOTES for the per-round numbers) because, unlike IVF's fixed
-    nprobe budget, lower quantization distortion improves ADC ranking
-    directly."""
-    emb = T.load(spark, sf_dir, "embeddings")
-    # seed assignment feeds BOTH the seed ADC codes and the training agg;
-    # re-deriving costs the K-wide candidate frame + argmin window twice,
-    # the (vec_id, m, cid, svq) frame is 1/K of that (CLAUDE.md rule) —
-    # d2 dropped before the checkpoint, neither consumer needs it
-    assign = (
-        _pq_assign(emb)
-        .select("vec_id", "m", "cid", "svq")
-        .localCheckpoint(eager=True)
+    min-struct argmin instead of the r10 row_number window: the agg is
+    partial-aggregable, so map-side combine shrinks the K-wide candidate
+    stream to one row per (vec_id, m) BEFORE the shuffle (the window
+    shuffled all K candidates). (d2, cid) is already a total order (cid
+    unique per group), so the payload fields never decide the min."""
+    cand = frame.join(F.broadcast(cb), "m").withColumn(
+        "d2", _sqdist_int(F.col("xint"), F.col("qarr"))
     )
-    codes = assign.select("vec_id", "m", "cid")
-    # trained codebook: tiny (M x K rows), two broadcast consumers — the
-    # checkpoint collapses the training agg to one run
-    tcb = _pq_trained_codebook(assign).localCheckpoint(eager=True)
-    qsub = _pq_subvectors(emb.filter(F.col("vec_id") < ADC_NQ)).select(
-        F.col("vec_id").alias("qid"), "m", _qdec(F.col("sv")).alias("qvq")
+    fields = ["d2", "cid", "xint", *keep]
+    return (
+        cand.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(*fields)).alias("b"))
+        .select(
+            "vec_id",
+            "m",
+            *[F.col(f"b.{f}").alias(f) for f in fields[1:]],
+        )
     )
-    cbsub = _pq_subvectors(emb.filter(F.col("vec_id") < PQ_K)).select(
-        "m", F.col("vec_id").alias("cid"), _qdec(F.col("sv")).alias("cvq")
-    )
-    dtab = qsub.join(cbsub, "m").select(
-        "qid", "m", "cid", _sqdist_q(F.col("qvq"), F.col("cvq")).alias("qd2")
-    )
+
+
+def _adc_topk(
+    codes: DataFrame, dtab: DataFrame, keys: tuple[str, ...] = ("m", "cid")
+) -> DataFrame:
+    """ADC top-k: stored codes x BROADCAST query distance table (map-side
+    join), one (qid, vec_id) partial agg, rank (ad2, vec_id). Base
+    vectors are never touched — the PQ search contract."""
     adc = (
-        codes.join(F.broadcast(dtab), ["m", "cid"])
+        codes.join(F.broadcast(dtab), list(keys))
         .filter(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", "vec_id")
         .agg(F.sum("qd2").alias("ad2"))
     )
-    wa = Window.partitionBy("qid").orderBy("ad2", "vec_id")
-    adc5 = (
-        adc.withColumn("rk", F.row_number().over(wa))
+    w = Window.partitionBy("qid").orderBy("ad2", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= ADC_TOPK)
         .select("qid", "vec_id")
     )
-    # trained path: re-assign the corpus against the trained codebook
-    # (map-only: broadcast M x K codewords), then ADC over trained codes
-    subint = _pq_subvectors(emb).select(
-        "vec_id", "m", _sv_int(_qdec(F.col("sv"))).alias("xint")
-    )
-    tcand = subint.join(F.broadcast(tcb), "m").select(
+
+
+@query(
+    "llm_ann_pq_adc_recall",
+    oracle=_adc_recall_oracle(),
+    tags=("llm-ann", "compression", "iterative"),
+)
+def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric distance) top-k search over PQ codes — the Lloyd
+    training recall CURVE (seed, 1 step, 2 steps) side-by-side with the
+    composed IVF-PQ index, recall@{k} measured against the exact L2
+    top-k. r11 evolution of the r10 seed-vs-trained query (verdict items
+    2+3): multi-step training via the checkpointed-broadcast iteration
+    pattern (llm_bpe_train_merges), and the production IVFADC layout
+    (Jegou et al. 2011): coarse quantizer -> per-cell RESIDUALS encoded
+    with PQ -> search probes nprobe cells and scores codes only.
+
+    Arithmetic contract: everything runs in the offset-int space
+    (xi = x*1e7 + 1e9 > 0); residuals re-offset by +2e9 so they stay
+    positive and the trained-mean division (Spark `div` vs DuckDB `//`)
+    and every square stay sign-safe and exact (squares lift to
+    decimal/HUGEINT where 4e9-wide diffs would overflow BIGINT).
+    Codebook training is one map-combined (m, cid, pos) hash agg per
+    Lloyd step; each trained codebook (M x K rows) is checkpointed and
+    broadcast — iteration state never touches the driver (no collect).
+
+    Scale shape: ONE quantize pass over the corpus (fullint, checkpointed);
+    coarse assignment is map-only (16 centroids folded in via a broadcast
+    struct array, the llm_ann_ivf _topcells pattern); the residual build
+    is the only corpus shuffle (assignment join-back, shuffle_hash-pinned
+    per the r7 fact-fact rule); assignments are partial-agg argmins (the
+    r10 row_number windows shuffled K candidates per vector — min-struct
+    combines map-side). All distance tables (NQ x M x K) and codebooks
+    broadcast; ADC scoring reads codes + tables only — base vectors are
+    never read at query time (the point of PQ at 100 TB: M bytes/vector;
+    guard: test_adc_search_never_scans_base_vectors_at_query_time).
+    Exact rerank confined to the NQ ground-truth queries.
+
+    Measured (sf0.01): seed recall@5 mean ~15%, 1 Lloyd step ~2x seed
+    (the r10 reading), step 2 adds a little more on this isotropic
+    testdata; IVF-PQ trades a nprobe/C coverage ceiling for much smaller
+    within-cell quantization error — the honest operating point the
+    side-by-side columns expose (residual distortion << whole-vector
+    distortion, but a true neighbor outside the probed cells is
+    unreachable)."""
+    emb = T.load(spark, sf_dir, "embeddings")
+    # ONE quantize pass over the corpus; every downstream frame (subspace
+    # long form, coarse cells, residuals, query slices) derives from this
+    # checkpoint — no repeated parquet scans, no repeated decimal casts
+    fullint = emb.select(
+        "vec_id", _sv_int(_qdec(F.col("embedding"))).alias("full")
+    ).localCheckpoint(eager=True)
+    ms = F.array([F.lit(m) for m in range(PQ_M)])
+    subint = fullint.select(
+        "vec_id", F.explode(ms).alias("m"), "full"
+    ).select(
         "vec_id",
         "m",
-        "cid",
-        _sqdist_int(F.col("xint"), F.col("qarr")).alias("d2t"),
+        F.expr(f"slice(full, m * {PQ_D} + 1, {PQ_D})").alias("xint"),
     )
-    wt = Window.partitionBy("vec_id", "m").orderBy("d2t", "cid")
-    tcodes = (
-        tcand.withColumn("rn", F.row_number().over(wt))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "cid")
+    # -- flat PQ: seed codebook + 2 Lloyd steps (recall curve) ----------
+    cb0 = subint.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("xint").alias("qarr")
     )
-    tdtab = (
-        subint.filter(F.col("vec_id") < ADC_NQ)
-        .select(F.col("vec_id").alias("qid"), "m", "xint")
-        .join(F.broadcast(tcb), "m")
-        .select(
+    assign0 = _argmin_codes(subint, cb0)
+    cb1 = _pq_trained_codebook_int(assign0).localCheckpoint(eager=True)
+    assign1 = _argmin_codes(subint, cb1)
+    cb2 = _pq_trained_codebook_int(assign1).localCheckpoint(eager=True)
+    assign2 = _argmin_codes(subint, cb2)
+    qsub = subint.filter(F.col("vec_id") < ADC_NQ).select(
+        F.col("vec_id").alias("qid"), "m", "xint"
+    )
+
+    def _dtab(cb: DataFrame) -> DataFrame:
+        return qsub.join(F.broadcast(cb), "m").select(
             "qid",
             "m",
             "cid",
-            _sqdist_int(F.col("xint"), F.col("qarr")).alias("qd2t"),
+            _sqdist_int(F.col("xint"), F.col("qarr")).alias("qd2"),
+        )
+
+    top0 = _adc_topk(assign0.select("vec_id", "m", "cid"), _dtab(cb0))
+    top1 = _adc_topk(assign1.select("vec_id", "m", "cid"), _dtab(cb1))
+    top2 = _adc_topk(assign2.select("vec_id", "m", "cid"), _dtab(cb2))
+    # -- IVF-PQ: coarse cells -> residual PQ -> cell-probed ADC ---------
+    # coarse top-nprobe is MAP-ONLY: the 16 cell centroids fold in as a
+    # broadcast struct array (llm_ann_ivf's _topcells shape for L2)
+    cells_arr = fullint.filter(F.col("vec_id") < IVFPQ_C).agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("cell"), F.col("full").alias("carr"))
+        ).alias("_cells")
+    )
+    ctop = (
+        fullint.crossJoin(F.broadcast(cells_arr))
+        .select(
+            "vec_id",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        "_cells",
+                        lambda c: F.struct(
+                            _sqdist_int(F.col("full"), c["carr"]).alias("d2"),
+                            c["cell"].alias("cell"),
+                        ),
+                    )
+                ),
+                1,
+                IVFPQ_NPROBE,
+            ).alias("top"),
+        )
+        .select(
+            "vec_id", F.transform("top", lambda s: s["cell"]).alias("cells")
+        )
+        .localCheckpoint(eager=True)
+    )
+    cassign = ctop.select("vec_id", F.element_at("cells", 1).alias("cell"))
+    probes = ctop.filter(F.col("vec_id") < ADC_NQ).select(
+        F.col("vec_id").alias("qid"), F.explode("cells").alias("cell")
+    )
+    ccb = subint.filter(F.col("vec_id") < IVFPQ_C).select(
+        F.col("vec_id").alias("cell"), "m", F.col("xint").alias("cint")
+    )
+    # the one corpus shuffle: assignment join-back (fact-fact on vec_id,
+    # shuffle_hash-pinned — AQE would broadcast-promote the corpus-sized
+    # skinny side at small SF, the r10 runtime-census hazard)
+    resid = (
+        subint.join(cassign.hint("shuffle_hash"), "vec_id")
+        .join(F.broadcast(ccb), ["cell", "m"])
+        .select(
+            "vec_id",
+            "cell",
+            "m",
+            F.zip_with(
+                "xint", "cint", lambda x, c: x - c + F.lit(PQ_RES_OFF)
+            ).alias("xint"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # residual codebook seeded from vec ids [C, C+K): ids < C are the
+    # coarse centroids themselves, whose residuals are all-zero (every
+    # seed codeword identical — Lloyd could never split the single cell)
+    rcb0 = resid.filter(
+        (F.col("vec_id") >= IVFPQ_C) & (F.col("vec_id") < IVFPQ_C + PQ_K)
+    ).select(
+        "m", (F.col("vec_id") - IVFPQ_C).alias("cid"), F.col("xint").alias("qarr")
+    )
+    rassign0 = _argmin_codes(resid, rcb0, keep=("cell",))
+    rcb1 = _pq_trained_codebook_int(rassign0).localCheckpoint(eager=True)
+    rassign1 = _argmin_codes(resid, rcb1, keep=("cell",))
+    rcb2 = _pq_trained_codebook_int(rassign1).localCheckpoint(eager=True)
+    rcodes = _argmin_codes(resid, rcb2, keep=("cell",)).select(
+        "vec_id", "cell", "m", "cid"
+    )
+    # query residual vs EACH probed cell, then the (qid, cell, m, cid)
+    # distance table — NQ x nprobe x M x K rows, broadcast
+    qres = (
+        subint.filter(F.col("vec_id") < ADC_NQ)
+        .select(F.col("vec_id").alias("qid"), "m", "xint")
+        .join(F.broadcast(probes), "qid")
+        .join(F.broadcast(ccb), ["cell", "m"])
+        .select(
+            "qid",
+            "cell",
+            "m",
+            F.zip_with(
+                "xint", "cint", lambda x, c: x - c + F.lit(PQ_RES_OFF)
+            ).alias("xint"),
         )
     )
-    tadc = (
-        tcodes.join(F.broadcast(tdtab), ["m", "cid"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("qd2t").alias("ad2t"))
+    idtab = qres.join(F.broadcast(rcb2), "m").select(
+        "qid",
+        "cell",
+        "m",
+        "cid",
+        _sqdist_int(F.col("xint"), F.col("qarr")).alias("qd2"),
     )
-    wta = Window.partitionBy("qid").orderBy("ad2t", "vec_id")
-    tadc5 = (
-        tadc.withColumn("rk", F.row_number().over(wta))
-        .filter(F.col("rk") <= ADC_TOPK)
-        .select("qid", "vec_id")
-    )
+    # joining on cell confines candidates to the probed cells — the IVF
+    # contract; codes in unprobed cells never leave the map side
+    itop = _adc_topk(rcodes, idtab, keys=("cell", "m", "cid"))
+    # -- exact ground truth + assembly ----------------------------------
     q = emb.filter(F.col("vec_id") < ADC_NQ).select(
         F.col("vec_id").alias("qid"), _qdec(F.col("embedding")).alias("qeq")
     )
@@ -982,34 +1185,35 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= ADC_TOPK)
         .select("qid", "vec_id")
     )
-    # all three top-k frames are NQ x TOPK rows; windows hide that from
-    # the size estimator, so hint the broadcasts explicitly. ex5 keeps
-    # every qid (exactly TOPK rows each), so grouping it preserves the
-    # full query set without a keeper join.
+    # all top-k frames are NQ x TOPK rows; windows hide that from the
+    # size estimator, so hint the broadcasts explicitly. ex5 keeps every
+    # qid (exactly TOPK rows each), so grouping it preserves the full
+    # query set without a keeper join.
+    out = ex5
+    for flag, t in (("h0", top0), ("h1", top1), ("h2", top2), ("hi", itop)):
+        out = out.join(
+            F.broadcast(t.withColumn(flag, F.lit(1))), ["qid", "vec_id"], "left"
+        )
     return (
-        ex5.join(
-            F.broadcast(adc5.withColumn("hs", F.lit(1))),
-            ["qid", "vec_id"],
-            "left",
-        )
-        .join(
-            F.broadcast(tadc5.withColumn("ht", F.lit(1))),
-            ["qid", "vec_id"],
-            "left",
-        )
-        .groupBy("qid")
+        out.groupBy("qid")
         .agg(
             F.count(F.lit(1)).alias("k"),
-            F.count("hs").alias("hits_seed"),
-            F.count("ht").alias("hits_trained"),
+            F.count("h0").alias("hits_seed"),
+            F.count("h1").alias("hits_t1"),
+            F.count("h2").alias("hits_t2"),
+            F.count("hi").alias("hits_ivfpq"),
         )
         .select(
             "qid",
             "k",
             "hits_seed",
-            "hits_trained",
+            "hits_t1",
+            "hits_t2",
+            "hits_ivfpq",
             F.expr("(1000 * hits_seed) div k").alias("recall_seed_pm"),
-            F.expr("(1000 * hits_trained) div k").alias("recall_trained_pm"),
+            F.expr("(1000 * hits_t1) div k").alias("recall_t1_pm"),
+            F.expr("(1000 * hits_t2) div k").alias("recall_t2_pm"),
+            F.expr("(1000 * hits_ivfpq) div k").alias("recall_ivfpq_pm"),
         )
     )
 

@@ -312,17 +312,21 @@ def test_pq_codebook_broadcast_assignment_map_only(spark):
 
 def test_adc_search_never_scans_base_vectors_at_query_time(spark):
     """ADC candidate scoring must be codes x broadcast distance-table —
-    map-side join + one sum — for BOTH the seed and the trained codebook
-    paths; the r10 training step (one Lloyd refinement) must likewise be
-    broadcast/map-only: codebook training is a map-combined hash agg over
-    (m, cid, pos), re-assignment joins the broadcast trained codebook.
-    No sort-merge join and no cartesian anywhere in the whole plan."""
+    map-side join + one sum — for ALL FOUR paths (seed, Lloyd step 1,
+    Lloyd step 2, IVF-PQ); every Lloyd step must be broadcast/map-only
+    (map-combined (m, cid, pos) hash agg + broadcast-codebook
+    re-assignment). The r11 IVF-PQ residual build is the ONLY corpus
+    shuffle join and must stay shuffle_hash-pinned (AQE would
+    broadcast-promote the corpus-sized assignment at small SF). No
+    sort-merge join and no cartesian anywhere in the whole plan."""
     plan = _plan(spark, "llm_ann_pq_adc_recall")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
-    # the trained-codebook checkpoint feeds two broadcast consumers; the
-    # seed-assignment checkpoint feeds codes + training (ExistingRDD x2)
+    # the pinned residual join-back (subint x coarse assignment)
+    assert "ShuffledHashJoin" in plan
+    # trained codebooks (x4), distance tables (x4+), probes, top-k frames
+    # all broadcast; checkpoints feed consumers as ExistingRDD scans
     assert plan.count("BroadcastExchange") >= 3
 
 

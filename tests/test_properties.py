@@ -1332,12 +1332,12 @@ def test_pq_encode_matches_python_model_exactly(spark):
 
 
 def test_pq_trained_adc_recall_matches_python_model_exactly(spark):
-    """From-scratch reproduction of the FULL seed-vs-trained ADC recall
-    query: seed assignment, the one-Lloyd-step trained codebook (floored
-    integer mean at the offset 1e-7 scale — python's non-negative //
-    equals Spark's div and DuckDB's //), trained re-assignment, both ADC
-    distance tables, both top-5 rankings, the exact top-5, and the
-    per-mille recalls. Every arithmetic step is exact integers, so the
+    """From-scratch reproduction of the FULL r11 ADC recall query: the
+    seed / 1-Lloyd / 2-Lloyd flat-PQ recall curve AND the composed
+    IVF-PQ path (coarse cell assignment, re-offset residuals, residual
+    codebook seeded from vec ids [C, C+K) with 2 Lloyd steps, cell-probed
+    ADC). Every arithmetic step is exact integers in the offset space
+    (python's non-negative // equals Spark's div and DuckDB's //), so the
     assert is equality, not tolerance."""
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -1345,10 +1345,13 @@ def test_pq_trained_adc_recall_matches_python_model_exactly(spark):
     from gmall_flink_realtime4_spark.plans.llm_pipeline_queries import (
         ADC_NQ,
         ADC_TOPK,
+        IVFPQ_C,
+        IVFPQ_NPROBE,
         PQ_D,
         PQ_K,
         PQ_M,
         PQ_OFF_INT,
+        PQ_RES_OFF,
     )
 
     sf = "/root/testdata/sf0.001"
@@ -1361,95 +1364,138 @@ def test_pq_trained_adc_recall_matches_python_model_exactly(spark):
             (Decimal(float(x)) * (10**7)).quantize(Decimal(1), ROUND_HALF_UP)
         )
 
-    vecs = {r.vec_id: [q7(x) for x in r.embedding] for r in rows}
+    # offset-int space throughout: xi = q7(x) + 1e9 > 0
+    ov = {
+        r.vec_id: [q7(x) + PQ_OFF_INT for x in r.embedding] for r in rows
+    }
 
     def sub(v, m):
         return v[m * PQ_D : (m + 1) * PQ_D]
 
-    seed_cb = {
-        m: {cid: sub(vecs[cid], m) for cid in vecs if cid < PQ_K}
-        for m in range(PQ_M)
-    }
-    # seed assignment (d2 in e14 integer units, tie on cid)
-    codes = {
-        (vid, m): min(
-            (sum((a - c) ** 2 for a, c in zip(sub(v, m), cv)), cid)
-            for cid, cv in seed_cb[m].items()
-        )[1]
-        for vid, v in vecs.items()
-        for m in range(PQ_M)
-    }
-    # one Lloyd step: floored integer mean of offset-scaled members
-    members = {}
-    for (vid, m), cid in codes.items():
-        members.setdefault((m, cid), []).append(
-            [x + PQ_OFF_INT for x in sub(vecs[vid], m)]
-        )
-    tcb = {
-        m: {
-            cid: [
-                sum(mem[j] for mem in mm) // len(mm) for j in range(PQ_D)
+    def sqd(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def assign(frames, cb):
+        """frames: vid -> full vector; cb: m -> cid -> subvector."""
+        return {
+            (vid, m): min(
+                (sqd(sub(v, m), cv), cid) for cid, cv in cb[m].items()
+            )[1]
+            for vid, v in frames.items()
+            for m in range(PQ_M)
+        }
+
+    def train(frames, codes):
+        members = {}
+        for (vid, m), cid in codes.items():
+            members.setdefault((m, cid), []).append(sub(frames[vid], m))
+        cb = {m: {} for m in range(PQ_M)}
+        for (m, cid), mm in members.items():
+            cb[m][cid] = [
+                sum(v[j] for v in mm) // len(mm) for j in range(PQ_D)
             ]
-            for (m2, cid), mm in members.items()
-            if m2 == m
+        return cb
+
+    def adc_top(codes, cb, qv, qid, cand):
+        dtab = {
+            (m, cid): sqd(sub(qv, m), cv)
+            for m in range(PQ_M)
+            for cid, cv in cb[m].items()
+        }
+        scored = (
+            (sum(dtab[(m, codes[(vid, m)])] for m in range(PQ_M)), vid)
+            for vid in cand
+            if vid != qid
+        )
+        return {v for _, v in sorted(scored)[:ADC_TOPK]}
+
+    # flat-PQ recall curve: seed, 1 Lloyd step, 2 Lloyd steps
+    cb0 = {
+        m: {cid: sub(ov[cid], m) for cid in ov if cid < PQ_K}
+        for m in range(PQ_M)
+    }
+    a0 = assign(ov, cb0)
+    cb1 = train(ov, a0)
+    a1 = assign(ov, cb1)
+    cb2 = train(ov, a1)
+    a2 = assign(ov, cb2)
+
+    # IVF-PQ: coarse cells, residuals, residual codebook, probed ADC
+    cells = {c: ov[c] for c in ov if c < IVFPQ_C}
+    crank = {
+        vid: [c for _, c in sorted((sqd(v, cv), c) for c, cv in cells.items())]
+        for vid, v in ov.items()
+    }
+    cell_of = {vid: r[0] for vid, r in crank.items()}
+    res = {
+        vid: [
+            x - c + PQ_RES_OFF for x, c in zip(v, cells[cell_of[vid]])
+        ]
+        for vid, v in ov.items()
+    }
+    rcb0 = {
+        m: {
+            vid - IVFPQ_C: sub(res[vid], m)
+            for vid in res
+            if IVFPQ_C <= vid < IVFPQ_C + PQ_K
         }
         for m in range(PQ_M)
     }
-    tcodes = {
-        (vid, m): min(
-            (
-                sum(
-                    (a + PQ_OFF_INT - c) ** 2
-                    for a, c in zip(sub(v, m), cv)
-                ),
-                cid,
-            )
-            for cid, cv in tcb[m].items()
-        )[1]
-        for vid, v in vecs.items()
-        for m in range(PQ_M)
-    }
-
-    def topk(dists):
-        return {v for _, v in sorted(dists)[:ADC_TOPK]}
+    ra0 = assign(res, rcb0)
+    rcb1 = train(res, ra0)
+    ra1 = assign(res, rcb1)
+    rcb2 = train(res, ra1)
+    ra2 = assign(res, rcb2)
 
     expected = {}
     for qid in range(ADC_NQ):
-        qv = vecs[qid]
-        exact = topk(
-            (sum((a - b) ** 2 for a, b in zip(qv, v)), vid)
-            for vid, v in vecs.items()
-            if vid != qid
-        )
-        sdtab = {
-            (m, cid): sum((a - c) ** 2 for a, c in zip(sub(qv, m), cv))
-            for m in range(PQ_M)
-            for cid, cv in seed_cb[m].items()
+        qv = ov[qid]
+        exact = {
+            v
+            for _, v in sorted(
+                (sqd(qv, v), vid) for vid, v in ov.items() if vid != qid
+            )[:ADC_TOPK]
         }
-        adc_seed = topk(
-            (sum(sdtab[(m, codes[(vid, m)])] for m in range(PQ_M)), vid)
-            for vid in vecs
-            if vid != qid
-        )
-        tdtab = {
-            (m, cid): sum(
-                (a + PQ_OFF_INT - c) ** 2 for a, c in zip(sub(qv, m), cv)
+        t0 = adc_top(a0, cb0, qv, qid, ov)
+        t1 = adc_top(a1, cb1, qv, qid, ov)
+        t2 = adc_top(a2, cb2, qv, qid, ov)
+        # IVF-PQ: candidates confined to the probed cells; the distance
+        # table is per probed cell (query residual differs per cell)
+        probed = crank[qid][:IVFPQ_NPROBE]
+        dt = {}
+        for cell in probed:
+            rq = [x - c + PQ_RES_OFF for x, c in zip(qv, cells[cell])]
+            for m in range(PQ_M):
+                for cid, cv in rcb2[m].items():
+                    dt[(cell, m, cid)] = sqd(sub(rq, m), cv)
+        iscored = (
+            (
+                sum(
+                    dt[(cell_of[vid], m, ra2[(vid, m)])]
+                    for m in range(PQ_M)
+                ),
+                vid,
             )
-            for m in range(PQ_M)
-            for cid, cv in tcb[m].items()
-        }
-        adc_tr = topk(
-            (sum(tdtab[(m, tcodes[(vid, m)])] for m in range(PQ_M)), vid)
-            for vid in vecs
-            if vid != qid
+            for vid in ov
+            if vid != qid and cell_of[vid] in probed
         )
-        hs, ht = len(exact & adc_seed), len(exact & adc_tr)
+        ti = {v for _, v in sorted(iscored)[:ADC_TOPK]}
+        h0, h1, h2, hi = (
+            len(exact & t0),
+            len(exact & t1),
+            len(exact & t2),
+            len(exact & ti),
+        )
         expected[qid] = (
             ADC_TOPK,
-            hs,
-            ht,
-            (1000 * hs) // ADC_TOPK,
-            (1000 * ht) // ADC_TOPK,
+            h0,
+            h1,
+            h2,
+            hi,
+            (1000 * h0) // ADC_TOPK,
+            (1000 * h1) // ADC_TOPK,
+            (1000 * h2) // ADC_TOPK,
+            (1000 * hi) // ADC_TOPK,
         )
 
     out = queries()["llm_ann_pq_adc_recall"](spark, sf).collect()
@@ -1457,9 +1503,13 @@ def test_pq_trained_adc_recall_matches_python_model_exactly(spark):
         r.qid: (
             r.k,
             r.hits_seed,
-            r.hits_trained,
+            r.hits_t1,
+            r.hits_t2,
+            r.hits_ivfpq,
             r.recall_seed_pm,
-            r.recall_trained_pm,
+            r.recall_t1_pm,
+            r.recall_t2_pm,
+            r.recall_ivfpq_pm,
         )
         for r in out
     }
