@@ -62,114 +62,90 @@ REGISTRY: dict[str, QuerySpec] = {}
 # prefix with those 13 (oldest rows), add any queries new in round 6, and
 # bump test-covered r04-fresh names to round 7 to stay at exactly 50.
 GATE_PRIORITY: list[str] = [
-    # ROUND-10 ROTATION (the r9 verdict's recipe, executed): prefix =
-    # CHANGED-PLAN re-entries (the PQ-codebook training fold rewrote
-    # llm_ann_pq_adc_recall into a seed-vs-trained recall comparison —
-    # the r5 IVF-training pattern) + ALL 38 names whose freshest driver
-    # row is r07 (the round-9 tail comment, re-derived programmatically:
-    # registry keys in CORRECTNESS_r07 absent from r08/r09, in r07 key
-    # order) + the 11 oldest r08-fresh names (round-8 gate head order)
-    # to fill 50 with the chunk-dedup re-entry. The PQ names were
-    # already in the 38, so the 50-name SET is 38 r07-fresh + 11
-    # r08-fresh + llm_chunk_dedup (r09-fresh, changed plan).
+    # ROUND-11 ROTATION (the r10 verdict's recipe, executed): prefix =
+    # CHANGED-PLAN re-entries + ALL 37 names whose freshest driver row is
+    # r08 (re-derived programmatically: registry keys in CORRECTNESS_r08
+    # absent from r09/r10, in r08 key order — the r10 tail comment's 35
+    # names PLUS dws_traffic_home_detail_page_view_window, which yielded
+    # its r10 slot to the chunk-dedup re-entry; the r08 rows also name
+    # llm_sketch_kmv_union, but that surface was FOLDED into
+    # llm_sketch_kmv_distinct in r09 and is no longer a registry key)
+    # + the 12 oldest r09-fresh names (round-9 gate head order) to
+    # fill 50.
     #
-    # CADENCE MATH: registry stays 135 (freeze ceiling; the PQ training
-    # folds INTO the existing adc_recall query, kmv-union style). After
-    # this round: 50 r10-fresh, 49 r09-fresh, 36 r08-fresh; no query's
-    # freshest row older than r08 — the steady-state 3-round cycle
-    # (ceil(135/50) = 3) holds for a third consecutive turn.
+    # CADENCE MATH: registry stays 135 (freeze ceiling; IVF-PQ folded
+    # INTO llm_ann_pq_adc_recall, kmv-union style). After this round:
+    # 50 r11-fresh, 49 r10-fresh, 36 r09-fresh; no query's freshest row
+    # older than r09 — the steady-state 3-round cycle (ceil(135/50) = 3)
+    # holds for a fourth consecutive turn.
     #
-    # ROUND-11 ROTATION RECIPE: prefix = any queries new in round 11 +
-    # any changed-plan re-entries + the 36 remaining r08-fresh names
-    # (tail comment below, PLUS dws_traffic_home_detail_page_view_window
-    # which yielded its slot to the chunk-dedup re-entry) + the oldest
-    # r09-fresh names (round-9 gate head order: llm_quality_train_step,
-    # llm_quality_classifier, llm_sketch_kmv_distinct,
-    # llm_dedup_ngram_jaccard, ...) to fill 50.
+    # ROUND-12 ROTATION RECIPE: prefix = any queries new in round 12 +
+    # any changed-plan re-entries + the 36 remaining r09-fresh names
+    # (programmatically: registry keys in CORRECTNESS_r09 absent from
+    # r10/r11, in r09 key order — dq_benford_first_digit,
+    # llm_sample_pps, llm_multimodal_audio_resample, ...) + the oldest
+    # r10-fresh names (round-10 gate head order: llm_split_train_val_test,
+    # llm_type_token_ratio, f_top_users_per_event_type, ...) to fill 50.
     #
-    # CHANGED-PLAN re-entries (the r4/r5/r7/r8/r9 convention): the
-    # round-10 PQ-codebook training (one exact-decimal Lloyd step per
-    # subspace, seed-vs-trained ADC recall side-by-side) rewrote
-    # llm_ann_pq_adc_recall's plan; llm_ann_pq_encode shares the seed
-    # codebook helper and re-enters with it. Both were r07-fresh and
-    # already rotate in this round — moved to the head slot.
-    # llm_chunk_dedup (r09-fresh) re-enters because the r10 runtime-census
-    # closure pinned its join-back shuffle_hash (the x10 census showed the
-    # raw chunk frame still AQE-broadcast — results identical, plan
-    # changed); dws_traffic_home_detail_page_view_window rotates to r11
-    # to hold the gate at 50.
+    # CHANGED-PLAN re-entries (the r4/r5/r7-r10 convention):
+    # llm_ann_pq_adc_recall was rewritten this round (2-step Lloyd recall
+    # curve + composed IVF-PQ — residual codes, cell-probed ADC; verdict
+    # items 2+3); llm_lsh_tuning_curve's exact ground truth now runs on a
+    # bounded md5-rank doc sample (verdict item 4). Both re-enter at the
+    # head. llm_lsh_tuning_curve was r09-fresh, so the r09 fill below
+    # starts one name deeper than the r10 tail comment predicted.
     "llm_ann_pq_adc_recall",
-    "llm_ann_pq_encode",
-    "llm_chunk_dedup",
-    # freshest row is r07 — the remaining 36 of the 38-name tail from
-    # round 9, r07 key order
-    "llm_split_train_val_test",
-    "llm_type_token_ratio",
-    "f_top_users_per_event_type",
-    "dq_outlier_mad_events",
-    "llm_length_decile_curriculum",
-    "llm_dup_span_coverage",
-    "llm_embedding_covariance",
-    "llm_decontaminate",
-    "f_range_band_join",
-    "llm_text_repetition",
-    "llm_corpus_final",
-    "llm_dedup_edit_distance_verify",
-    "dwd_base_log_page",
-    "dwd_base_log_start",
-    "dwd_base_log_err",
-    "dwd_base_log_display",
-    "dwd_base_log_action",
-    "dim_app_router",
-    "dim_app_materialize",
-    "dws_sliding_window_events",
-    "llm_corpus_rollup",
-    "dws_user_event_funnel",
-    "dws_session_window_events",
-    "dws_time_hierarchy_rollup",
-    "dws_user_retention_cohort",
-    "dws_gap_fill_locf_daily_orders",
-    "dim_scd2_user_event_intervals",
-    "dwd_trade_order_detail",
-    "dwd_trade_order_cancel_detail",
-    "dwd_trade_order_pay_suc_detail",
-    "dws_trade_trademark_category_user_refund_window",
-    "dq_audit_warehouse",
-    "llm_mix_domains",
-    "llm_text_rare_token_ratio",
-    "dq_checksum_partition",
-    "llm_dedup_embedding_cosine",
-    # oldest r08-fresh: round-8 gate head order, 12 names to fill 50.
-    # The remaining 35 r08-fresh names rotate to round 11 (r08 key
-    # order): dws_user_user_login_window, dws_user_user_register_window,
-    # dws_trade_cart_add_uu_window, dws_trade_payment_suc_window,
-    # dws_trade_order_window, dws_trade_sku_order_window,
-    # dws_trade_province_order_window, p1_json_parse_validity_filter,
-    # f_date_formats, f_conditional_cast_math, f_asof_join_latest_order,
-    # f_json_props_extract, llm_multimodal_decode,
-    # llm_multimodal_frame_sample, llm_multimodal_pixel_stats,
-    # llm_sample_stratified, llm_pack_sequences, llm_dedup_simhash,
-    # llm_dedup_simhash_pairs, llm_sketch_histogram_quantiles,
-    # llm_ann_cosine_topk, llm_ann_ivf, llm_dedup_embedding_cells,
-    # llm_embedding_kmeans_step, llm_ann_ivf_trained_recall,
-    # llm_neardup_recall, llm_multimodal_image_dedup,
-    # llm_multimodal_image_neardup_pairs, llm_sample_domain_cap,
-    # llm_embedding_quantize_int8, f_zorder_layout_audit,
-    # dq_table_stats_profile, dq_sketch_join_cardinality,
-    # llm_bpe_train_merges, llm_bpe_encode_corpus
-    # — every one r08-green, unchanged since that row, exercised by
-    # dedicated tests plus the in-suite tests/test_oracle_parity.py sweep
-    "dws_event_anomaly_zscore",
-    "f_unpivot_event_day",
-    "dq_referential_integrity",
-    "dws_user_path_transitions",
-    "dq_null_profile",
-    "dwd_trade_cart_add",
-    "dwd_interaction_comment_info",
-    "dwd_trade_order_refund",
-    "dwd_base_db_router",
-    "dws_traffic_source_keyword_page_view_window",
-    "dws_traffic_vc_ch_ar_is_new_page_view_window",
+    "llm_lsh_tuning_curve",
+    # freshest row is r08 — all 36 registry names, r08 key order
+    "dws_traffic_home_detail_page_view_window",
+    "dws_user_user_login_window",
+    "dws_user_user_register_window",
+    "dws_trade_cart_add_uu_window",
+    "dws_trade_payment_suc_window",
+    "dws_trade_order_window",
+    "dws_trade_sku_order_window",
+    "dws_trade_province_order_window",
+    "p1_json_parse_validity_filter",
+    "f_date_formats",
+    "f_conditional_cast_math",
+    "f_asof_join_latest_order",
+    "f_json_props_extract",
+    "llm_multimodal_decode",
+    "llm_multimodal_frame_sample",
+    "llm_multimodal_pixel_stats",
+    "llm_sample_stratified",
+    "llm_pack_sequences",
+    "llm_dedup_simhash",
+    "llm_dedup_simhash_pairs",
+    "llm_sketch_histogram_quantiles",
+    "llm_ann_cosine_topk",
+    "llm_ann_ivf",
+    "llm_dedup_embedding_cells",
+    "llm_embedding_kmeans_step",
+    "llm_ann_ivf_trained_recall",
+    "llm_neardup_recall",
+    "llm_multimodal_image_dedup",
+    "llm_multimodal_image_neardup_pairs",
+    "llm_sample_domain_cap",
+    "llm_embedding_quantize_int8",
+    "f_zorder_layout_audit",
+    "dq_table_stats_profile",
+    "dq_sketch_join_cardinality",
+    "llm_bpe_train_merges",
+    "llm_bpe_encode_corpus",
+    # oldest r09-fresh: round-9 gate head order, 12 names to fill 50
+    "llm_quality_train_step",
+    "llm_quality_classifier",
+    "llm_sketch_kmv_distinct",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_containment",
+    "dws_event_type_pagerank",
+    "llm_sketch_hll_distinct",
+    "llm_bm25_topk",
+    "llm_winnow_fingerprints",
+    "dq_distribution_drift_ks",
+    "dq_vocab_drift",
+    "dq_langid_eval",
 ]
 
 
