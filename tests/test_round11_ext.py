@@ -1,0 +1,164 @@
+"""Round-11 soak tests (r10 verdict item 6): the mid-stream
+checkpoint-restart protocol proven on llm_corpus_final in r10, extended
+to the two incremental twins with MULTI-FRAME state tables — the
+incremental MinHash-LSH index (bands + docs state) and the BM25 index
+(tf + corpus-stats state). A restart mid-append is the riskiest moment
+for multi-frame state: a crash between the two state writes must heal on
+replay (batch_id-keyed overwrite), and the union of emissions / the
+finalize over accumulated state must equal the one-shot batch query
+exactly after the restart."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmall_flink_realtime4_spark import tables as T
+from gmall_flink_realtime4_spark.plans.catalog import queries
+from gmall_flink_realtime4_spark.streaming.runner import (
+    empty_stream_dir,
+    stream_parquet_source,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _soak_with_restart(spark, tmp_path, docs, accumulate):
+    """Drive ``accumulate(bdf, bid)`` through a REAL Structured Streaming
+    source: 12 single-file micro-batches with a stop after the first 6
+    and a checkpoint-recovery restart for the rest. Returns
+    (pre_stop_batch, post_restart_batch)."""
+    src = empty_stream_dir(str(tmp_path))
+    ckpt = str(tmp_path / "ckpt")  # SHARED across restarts — the recovery
+
+    def start():
+        s = stream_parquet_source(spark, src, docs.schema)  # 1 file/trigger
+        return (
+            s.writeStream.foreachBatch(accumulate)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    half1.repartition(6).write.mode("append").parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress is not None, "stream recorded no progress"
+        pre_stop_batch = q.lastProgress["batchId"]
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert pre_stop_batch >= 5  # 6 files at maxFilesPerTrigger=1
+
+    half2.repartition(6).write.mode("append").parquet(src)  # while down
+    q = start()
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress is not None, "restarted stream: no progress"
+        post_restart_batch = q.lastProgress["batchId"]
+    finally:
+        q.stop()
+        q.awaitTermination()
+    # Resumed from the checkpoint: batch ids CONTINUE past the pre-stop
+    # run — a fresh (non-recovered) query would re-number from 0.
+    assert post_restart_batch > pre_stop_batch
+    return pre_stop_batch, post_restart_batch
+
+
+def test_incremental_minhash_soak_restart(spark, tmp_path):
+    """12-batch soak of the incremental MinHash-LSH index with a
+    mid-stream restart. The twin keeps TWO state tables (band keys +
+    retained docs) written per batch — the multi-frame shape where a
+    replay straddling the writes is most dangerous. After the restart:
+    both state tables hold exactly one partition per doc-bearing batch
+    and one row per doc (no replay double-append), and the union of all
+    emitted pairs equals the one-shot batch query EXACTLY (every pair
+    once, in its later doc's batch, with identical measures)."""
+    from gmall_flink_realtime4_spark.streaming.incremental import (
+        incremental_minhash_pairs,
+    )
+
+    cols = ["doc_a", "doc_b", "shared_bands", "inter_ct", "jaccard_permille"]
+    expected = _rows(queries()["llm_dedup_minhash_lsh"](spark, SF), cols)
+
+    docs = T.load(spark, SF, "documents")
+    state = str(tmp_path / "mh_state")
+    sink = str(tmp_path / "mh_pairs")
+
+    def accumulate(bdf, bid):
+        # pair sink mirrors the state discipline: batchId-keyed overwrite,
+        # so a crash-replayed batch rewrites its own emissions
+        incremental_minhash_pairs(spark, bdf, state, bid).write.mode(
+            "overwrite"
+        ).parquet(f"{sink}/batch_id={bid}")
+
+    _soak_with_restart(spark, tmp_path, docs, accumulate)
+
+    # multi-frame state integrity: one doc row per corpus doc, and the
+    # band state carries the same doc set (4 band rows per doc)
+    docs_state = spark.read.parquet(f"{state}/docs").drop("batch_id")
+    bands_state = spark.read.parquet(f"{state}/bands").drop("batch_id")
+    n_docs = docs.count()
+    assert docs_state.count() == n_docs
+    assert docs_state.select("doc_id").distinct().count() == n_docs
+    assert bands_state.select("doc_id").distinct().count() == n_docs
+    assert bands_state.count() % n_docs == 0  # uniform bands/doc
+
+    got = _rows(
+        spark.read.parquet(sink).drop("batch_id").select(*cols), cols
+    )
+    # equality with the unique-pair batch set also proves each pair was
+    # emitted exactly once across the 12 batches and the restart seam
+    assert got == expected and expected
+
+
+def test_incremental_bm25_soak_restart(spark, tmp_path):
+    """12-batch soak of the BM25 index twin with a mid-stream restart.
+    State is TWO frames per batch — inverted-index tf rows and the 1-row
+    corpus-stats partial (n, a) — and finalize derives df from the tf
+    rows, so a replay that double-appended EITHER frame would corrupt
+    every score (df, idf, and the length norm all shift). After the
+    restart, finalize over the accumulated state must equal the one-shot
+    llm_bm25_topk exactly."""
+    from gmall_flink_realtime4_spark.streaming.incremental import (
+        bm25_finalize,
+        bm25_index_partials,
+    )
+
+    batch_q = queries()["llm_bm25_topk"](spark, SF)
+    cols = batch_q.columns
+    expected = _rows(batch_q, cols)
+
+    docs = T.load(spark, SF, "documents")
+    tf_dir = str(tmp_path / "bm25_tf")
+    st_dir = str(tmp_path / "bm25_stats")
+
+    def accumulate(bdf, bid):
+        tf, stats = bm25_index_partials(bdf)
+        tf.write.mode("overwrite").parquet(f"{tf_dir}/batch_id={bid}")
+        stats.write.mode("overwrite").parquet(f"{st_dir}/batch_id={bid}")
+
+    _soak_with_restart(spark, tmp_path, docs, accumulate)
+
+    tf_all = spark.read.parquet(tf_dir).drop("batch_id")
+    stats_all = spark.read.parquet(st_dir).drop("batch_id")
+    # stats partials: one 1-row partial per micro-batch, summing to the
+    # corpus totals (a replay double-append would overshoot both)
+    tot = stats_all.agg(
+        F.sum("n").alias("n"), F.sum("a").alias("a")
+    ).collect()[0]
+    assert tot["n"] == docs.count()
+    assert (
+        tot["a"]
+        == docs.select(
+            F.sum(F.size(F.split("text", " "))).alias("a")
+        ).collect()[0]["a"]
+    )
+    got = _rows(bm25_finalize(spark, tf_all, stats_all), cols)
+    assert got == expected and expected
