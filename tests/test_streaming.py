@@ -693,10 +693,19 @@ def test_incremental_corpus_dedup_foreach_batch(spark, tmp_path):
 
 
 def _tws_available() -> bool:
-    """transformWithStateInPandas needs the protobuf wheel for its state
-    protocol; this sandbox ships pyspark 4.1.2 without it, so the port is
-    code-complete but its e2e tests skip here (they run wherever protobuf
-    is installed)."""
+    """transformWithStateInPandas needs the google.protobuf RUNTIME for
+    its state protocol; this sandbox ships pyspark 4.1.2 without it, so
+    the port is code-complete but its e2e tests skip here (they run
+    wherever protobuf is installed).
+
+    Unblock attempted and recorded r11 (ROUND11_NOTES 'protobuf
+    impossibility'): no protobuf wheel, conda pkg, or vendored runtime
+    exists anywhere on this image (only typeshed .pyi stubs), installs
+    are prohibited, and pyspark's generated StateMessage_pb2 gencode is
+    pinned to Protobuf Python 6.33.0 with ValidateProtobufRuntimeVersion
+    — so even a smuggled older runtime would be version-rejected. The
+    applyInPandasWithState twin covers the same semantics and IS tested
+    (test_first_today_stream_parity et al.)."""
     try:
         import google.protobuf  # noqa: F401
 
