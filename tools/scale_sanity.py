@@ -199,10 +199,11 @@ QUERIES = [
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 # --tier x100 default run list (time-budgeted): the bench.py headline
-# flagships + this round's changed-plan queries. llm_lsh_tuning_curve is
-# deliberately ABSENT: its exact ground-truth join is the documented
-# super-linear honesty row (150.8 s at x100, r9) — run it explicitly
-# when its plan changes, not every round.
+# flagships + this round's changed-plan queries. llm_lsh_tuning_curve
+# re-ENTERS in r11: its exact ground-truth join — the documented
+# super-linear honesty row (150.8 s at x100 r9, 99.9 s r10) — is now
+# bounded by the md5-rank truth sample, and the x100 row is the evidence
+# that the fix landed.
 X100_DEFAULT = [
     "dws_trade_sku_order_window",
     "dwd_trade_order_detail",
@@ -225,9 +226,8 @@ X100_DEFAULT = [
     "dws_session_window_events",
     "dws_user_event_funnel",
     # changed-plan this round (keep current per round)
-    "llm_dedup_containment",
-    "llm_ann_pq_encode",
     "llm_ann_pq_adc_recall",
+    "llm_lsh_tuning_curve",
 ]
 
 
