@@ -967,6 +967,101 @@ def _argmin_codes(
     )
 
 
+def _pq_fullint(emb: DataFrame) -> DataFrame:
+    """(vec_id, full): the ONE quantize pass — offset-int whole vectors."""
+    return emb.select(
+        "vec_id", _sv_int(_qdec(F.col("embedding"))).alias("full")
+    )
+
+
+def _pq_subint(fullint: DataFrame) -> DataFrame:
+    """(vec_id, m, xint): subspace long form, derived (cheap column ops,
+    no shuffle) from the checkpointed fullint per consumer."""
+    ms = F.array([F.lit(m) for m in range(PQ_M)])
+    return fullint.select("vec_id", F.explode(ms).alias("m"), "full").select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(full, m * {PQ_D} + 1, {PQ_D})").alias("xint"),
+    )
+
+
+def _ivfpq_ctop(fullint: DataFrame) -> DataFrame:
+    """(vec_id, cells): top-nprobe coarse cells per vector, MAP-ONLY —
+    the 16 cell centroids fold in as a broadcast struct array
+    (llm_ann_ivf's _topcells shape, for L2)."""
+    cells_arr = fullint.filter(F.col("vec_id") < IVFPQ_C).agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("cell"), F.col("full").alias("carr"))
+        ).alias("_cells")
+    )
+    return (
+        fullint.crossJoin(F.broadcast(cells_arr))
+        .select(
+            "vec_id",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        "_cells",
+                        lambda c: F.struct(
+                            _sqdist_int(F.col("full"), c["carr"]).alias("d2"),
+                            c["cell"].alias("cell"),
+                        ),
+                    )
+                ),
+                1,
+                IVFPQ_NPROBE,
+            ).alias("top"),
+        )
+        .select(
+            "vec_id", F.transform("top", lambda s: s["cell"]).alias("cells")
+        )
+    )
+
+
+def _ivfpq_ccb(subint: DataFrame) -> DataFrame:
+    """(cell, m, cint): the coarse centroids in subspace form (16 x M
+    rows — broadcast wherever joined)."""
+    return subint.filter(F.col("vec_id") < IVFPQ_C).select(
+        F.col("vec_id").alias("cell"), "m", F.col("xint").alias("cint")
+    )
+
+
+def _ivfpq_residuals(
+    subint: DataFrame, cassign: DataFrame, ccb: DataFrame
+) -> DataFrame:
+    """(vec_id, cell, m, xint): re-offset per-cell residuals. The ONE
+    corpus shuffle of the IVF-PQ build: the assignment join-back is
+    fact-fact on vec_id and shuffle_hash-pinned — AQE would
+    broadcast-promote the corpus-sized skinny side at small SF (the r10
+    runtime-census hazard; runtime guard
+    test_ivfpq_residual_join_back_runtime_honest, which sees this frame
+    BEFORE the query's checkpoint launders it to ExistingRDD)."""
+    return (
+        subint.join(cassign.hint("shuffle_hash"), "vec_id")
+        .join(F.broadcast(ccb), ["cell", "m"])
+        .select(
+            "vec_id",
+            "cell",
+            "m",
+            F.zip_with(
+                "xint", "cint", lambda x, c: x - c + F.lit(PQ_RES_OFF)
+            ).alias("xint"),
+        )
+    )
+
+
+def ivfpq_residual_frame(emb: DataFrame) -> DataFrame:
+    """The UN-checkpointed residual frame with the query's exact lineage
+    — the runtime guard's entry point (inside llm_ann_pq_adc_recall the
+    frame is eagerly checkpointed, so its shuffle_hash join is invisible
+    in the query's own final plan)."""
+    fullint = _pq_fullint(emb).localCheckpoint(eager=True)
+    subint = _pq_subint(fullint)
+    ctop = _ivfpq_ctop(fullint).localCheckpoint(eager=True)
+    cassign = ctop.select("vec_id", F.element_at("cells", 1).alias("cell"))
+    return _ivfpq_residuals(subint, cassign, _ivfpq_ccb(subint))
+
+
 def _adc_topk(
     codes: DataFrame, dtab: DataFrame, keys: tuple[str, ...] = ("m", "cid")
 ) -> DataFrame:
@@ -1034,17 +1129,8 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE quantize pass over the corpus; every downstream frame (subspace
     # long form, coarse cells, residuals, query slices) derives from this
     # checkpoint — no repeated parquet scans, no repeated decimal casts
-    fullint = emb.select(
-        "vec_id", _sv_int(_qdec(F.col("embedding"))).alias("full")
-    ).localCheckpoint(eager=True)
-    ms = F.array([F.lit(m) for m in range(PQ_M)])
-    subint = fullint.select(
-        "vec_id", F.explode(ms).alias("m"), "full"
-    ).select(
-        "vec_id",
-        "m",
-        F.expr(f"slice(full, m * {PQ_D} + 1, {PQ_D})").alias("xint"),
-    )
+    fullint = _pq_fullint(emb).localCheckpoint(eager=True)
+    subint = _pq_subint(fullint)
     # -- flat PQ: seed codebook + 2 Lloyd steps (recall curve) ----------
     cb0 = subint.filter(F.col("vec_id") < PQ_K).select(
         "m", F.col("vec_id").alias("cid"), F.col("xint").alias("qarr")
@@ -1070,58 +1156,14 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     top1 = _adc_topk(assign1.select("vec_id", "m", "cid"), _dtab(cb1))
     top2 = _adc_topk(assign2.select("vec_id", "m", "cid"), _dtab(cb2))
     # -- IVF-PQ: coarse cells -> residual PQ -> cell-probed ADC ---------
-    # coarse top-nprobe is MAP-ONLY: the 16 cell centroids fold in as a
-    # broadcast struct array (llm_ann_ivf's _topcells shape for L2)
-    cells_arr = fullint.filter(F.col("vec_id") < IVFPQ_C).agg(
-        F.collect_list(
-            F.struct(F.col("vec_id").alias("cell"), F.col("full").alias("carr"))
-        ).alias("_cells")
-    )
-    ctop = (
-        fullint.crossJoin(F.broadcast(cells_arr))
-        .select(
-            "vec_id",
-            F.slice(
-                F.array_sort(
-                    F.transform(
-                        "_cells",
-                        lambda c: F.struct(
-                            _sqdist_int(F.col("full"), c["carr"]).alias("d2"),
-                            c["cell"].alias("cell"),
-                        ),
-                    )
-                ),
-                1,
-                IVFPQ_NPROBE,
-            ).alias("top"),
-        )
-        .select(
-            "vec_id", F.transform("top", lambda s: s["cell"]).alias("cells")
-        )
-        .localCheckpoint(eager=True)
-    )
+    ctop = _ivfpq_ctop(fullint).localCheckpoint(eager=True)
     cassign = ctop.select("vec_id", F.element_at("cells", 1).alias("cell"))
     probes = ctop.filter(F.col("vec_id") < ADC_NQ).select(
         F.col("vec_id").alias("qid"), F.explode("cells").alias("cell")
     )
-    ccb = subint.filter(F.col("vec_id") < IVFPQ_C).select(
-        F.col("vec_id").alias("cell"), "m", F.col("xint").alias("cint")
-    )
-    # the one corpus shuffle: assignment join-back (fact-fact on vec_id,
-    # shuffle_hash-pinned — AQE would broadcast-promote the corpus-sized
-    # skinny side at small SF, the r10 runtime-census hazard)
-    resid = (
-        subint.join(cassign.hint("shuffle_hash"), "vec_id")
-        .join(F.broadcast(ccb), ["cell", "m"])
-        .select(
-            "vec_id",
-            "cell",
-            "m",
-            F.zip_with(
-                "xint", "cint", lambda x, c: x - c + F.lit(PQ_RES_OFF)
-            ).alias("xint"),
-        )
-        .localCheckpoint(eager=True)
+    ccb = _ivfpq_ccb(subint)
+    resid = _ivfpq_residuals(subint, cassign, ccb).localCheckpoint(
+        eager=True
     )
     # residual codebook seeded from vec ids [C, C+K): ids < C are the
     # coarse centroids themselves, whose residuals are all-zero (every

@@ -315,19 +315,50 @@ def test_adc_search_never_scans_base_vectors_at_query_time(spark):
     map-side join + one sum — for ALL FOUR paths (seed, Lloyd step 1,
     Lloyd step 2, IVF-PQ); every Lloyd step must be broadcast/map-only
     (map-combined (m, cid, pos) hash agg + broadcast-codebook
-    re-assignment). The r11 IVF-PQ residual build is the ONLY corpus
-    shuffle join and must stay shuffle_hash-pinned (AQE would
-    broadcast-promote the corpus-sized assignment at small SF). No
-    sort-merge join and no cartesian anywhere in the whole plan."""
+    re-assignment). No sort-merge join and no cartesian anywhere in the
+    whole plan. The residual join-back's shuffle_hash pin is NOT
+    assertable here — the frame is eagerly checkpointed, so its join is
+    laundered to ExistingRDD in this plan (the r9 census blind spot);
+    test_ivfpq_residual_join_back_runtime_honest guards it on the
+    un-checkpointed frame instead."""
     plan = _plan(spark, "llm_ann_pq_adc_recall")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
-    # the pinned residual join-back (subint x coarse assignment)
-    assert "ShuffledHashJoin" in plan
     # trained codebooks (x4), distance tables (x4+), probes, top-k frames
     # all broadcast; checkpoints feed consumers as ExistingRDD scans
     assert plan.count("BroadcastExchange") >= 3
+
+
+def test_ivfpq_residual_join_back_runtime_honest(spark):
+    """The IVF-PQ residual build (subspace frame x coarse assignment) is
+    fact-fact on vec_id and shuffle_hash-pinned; inside the registered
+    query the frame is eagerly checkpointed, so neither the static census
+    nor the query's own FINAL adaptive plan can see the join (the r9
+    ExistingRDD laundering blind spot — confirmed live in r11: the naive
+    'ShuffledHashJoin in _plan(query)' assert fails). Guard the
+    UN-checKPOINTED frame the query checkpoints: its final adaptive plan
+    must keep the ShuffledHashJoin (no AQE broadcast promotion of the
+    corpus-sized assignment) and carry no raw fact file on any broadcast
+    side."""
+    from gmall_flink_realtime4_spark import tables as T
+    from gmall_flink_realtime4_spark.plans.llm_pipeline_queries import (
+        ivfpq_residual_frame,
+    )
+    from tools.plan_audit import _final_plan, runtime_broadcast_findings
+
+    emb = T.load(spark, SF, "embeddings")
+    final = _final_plan(ivfpq_residual_frame(emb))
+    assert "isFinalPlan=true" in final
+    assert "ShuffledHashJoin" in final
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    # the ONLY broadcast is the 16 x M coarse-centroid frame (ccb),
+    # derived from the fullint checkpoint — no raw fact file on any
+    # broadcast side (the coarse ASSIGNMENT, which is corpus-sized,
+    # must be the probe side of the SHJ, never broadcast)
+    findings = runtime_broadcast_findings(final)
+    assert all(not f["facts"] for f in findings), findings
 
 
 def test_containment_lsh_candidates_materialized_once(spark):

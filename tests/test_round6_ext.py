@@ -1165,13 +1165,18 @@ def test_langid_eval_python_model(spark):
 
 def test_lsh_tuning_curve_python_model(spark):
     """From-scratch python: K=12 minhash signatures, band each config,
-    candidate pairs per config, exact-jaccard >= 0.5 ground truth,
-    per-mille precision/recall — bit-identical, and the curve must be
-    monotone: finer bands (smaller r) never lose candidates."""
+    candidate pairs per config, exact-jaccard >= 0.5 ground truth on the
+    r11 md5-rank doc sample (top LSH_CURVE_TRUTH_DOCS shingled docs by
+    48-bit md5 value, tie doc_id), per-mille precision (on candidates
+    with BOTH endpoints sampled) and recall — bit-identical, and the
+    curve must be monotone: finer bands (smaller r) never lose
+    candidates. At this SF the cap may exceed the corpus, in which case
+    the sample IS the corpus — the model computes it either way."""
     import pyarrow.parquet as pq
 
     from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
         LSH_CURVE_CONFIGS,
+        LSH_CURVE_TRUTH_DOCS,
         LSH_CURVE_TRUTH_PM,
     )
 
@@ -1197,14 +1202,26 @@ def test_lsh_tuning_curve_python_model(spark):
         if ss
     }
     docs = sorted(sig)
+    # md5-rank truth sample over the SHINGLED docs (engine: mh frame)
+    sample = set(
+        sorted(
+            docs,
+            key=lambda d: (
+                int(hashlib.md5(str(d).encode()).hexdigest()[:12], 16),
+                d,
+            ),
+        )[:LSH_CURVE_TRUTH_DOCS]
+    )
+    sdocs = sorted(sample)
     truth = set()
-    for i, a in enumerate(docs):
-        for b in docs[i + 1:]:
+    for i, a in enumerate(sdocs):
+        for b in sdocs[i + 1:]:
             ic = len(shs[a] & shs[b])
             if ic and 1000 * ic // (len(shs[a]) + len(shs[b]) - ic) >= (
                 LSH_CURVE_TRUTH_PM
             ):
                 truth.add((a, b))
+    sample_pm = 1000 * len(sample) // max(len(docs), 1)
     model = {}
     for bb, r in LSH_CURVE_CONFIGS:
         cand = set()
@@ -1219,17 +1236,20 @@ def test_lsh_tuning_curve_python_model(spark):
             for i, a in enumerate(members):
                 for b2 in members[i + 1:]:
                     cand.add((min(a, b2), max(a, b2)))
-        tp = len(cand & truth)
+        scand = {p for p in cand if p[0] in sample and p[1] in sample}
+        tp = len(scand & truth)
         model[f"{bb:02d}x{r:02d}"] = (
-            bb, r, len(cand), len(truth), tp,
-            1000 * tp // max(len(cand), 1),
+            bb, r, len(cand), len(scand), len(truth), tp,
+            1000 * tp // max(len(scand), 1),
             1000 * tp // max(len(truth), 1),
+            len(sample), sample_pm,
         )
     got = {
         r["cfg"]: (
             r["bands"], r["rows_per_band"], r["n_candidates"],
-            r["n_true_pairs"], r["true_positives"],
+            r["n_cand_sampled"], r["n_true_pairs"], r["true_positives"],
             r["precision_pm"], r["recall_pm"],
+            r["truth_sample_docs"], r["truth_sample_pm"],
         )
         for r in queries()["llm_lsh_tuning_curve"](spark, SF).collect()
     }
