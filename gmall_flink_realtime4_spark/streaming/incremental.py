@@ -329,3 +329,61 @@ def bm25_finalize(
     return bm25_score_topk(
         tf_all.localCheckpoint(), g, bm25_query_frame(spark)
     )
+
+
+def pq_train_partials(emb_batch: DataFrame, codebook: DataFrame) -> DataFrame:
+    """One micro-batch's PQ-training contribution: the (m, cid, pos, s, n)
+    sufficient statistics of a Lloyd step — component SUMS and member
+    COUNTS of the batch's vectors under their nearest-codeword assignment
+    against the GIVEN (broadcast) codebook. The streaming accumulate side
+    of `plans.llm_pipeline_queries._pq_trained_codebook_int`.
+
+    The codebook is an INPUT, like bm25's query frame: a Lloyd step's
+    assignment depends only on (vector, current codebook), so per-batch
+    partials are independent and merge by per-(m, cid, pos) ADDITION —
+    the centroid mean's numerator and denominator are both sum-algebras.
+    One streaming pass accumulates one step's statistics; the NEXT step
+    re-broadcasts the finalized codebook (multi-step training is
+    multi-pass, honestly — the batch query does the same, one
+    checkpointed broadcast per iteration). s as decimal(28,0): the same
+    overflow headroom as the batch trainer (~4e21 at 1e12 members)."""
+    from ..plans.llm_pipeline_queries import (
+        _argmin_codes,
+        _pq_fullint,
+        _pq_subint,
+    )
+
+    assign = _argmin_codes(_pq_subint(_pq_fullint(emb_batch)), codebook)
+    return (
+        assign.select(
+            "m", "cid", F.posexplode(F.col("xint")).alias("pos", "xi")
+        )
+        .groupBy("m", "cid", "pos")
+        .agg(
+            F.sum(F.col("xi").cast("decimal(28,0)")).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+def pq_train_finalize(parts: DataFrame) -> DataFrame:
+    """Merge accumulated training partials into the trained codebook
+    (m, cid, qarr): fold s and n by SUM per (m, cid, pos) — exactly the
+    one map-combined hash agg the batch trainer runs — then the floored
+    integer mean and the position-sorted array assembly. Equal to
+    `_pq_trained_codebook_int` over the concatenated corpus
+    (tests/test_round11_ext.py::test_incremental_pq_training_soak_restart).
+    """
+    comp = parts.groupBy("m", "cid", "pos").agg(
+        F.sum("s").alias("s"), F.sum("n").alias("n")
+    )
+    return (
+        comp.select("m", "cid", "pos", F.expr("s div n").alias("q"))
+        .groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "q"))),
+                lambda sq: sq.q,
+            ).alias("qarr")
+        )
+    )

@@ -1,8 +1,10 @@
 """Round-11 soak tests (r10 verdict item 6): the mid-stream
 checkpoint-restart protocol proven on llm_corpus_final in r10, extended
-to the two incremental twins with MULTI-FRAME state tables — the
-incremental MinHash-LSH index (bands + docs state) and the BM25 index
-(tf + corpus-stats state). A restart mid-append is the riskiest moment
+to the incremental twins with MULTI-FRAME or SUM-ALGEBRA state — the
+incremental MinHash-LSH index (bands + docs state), the BM25 index
+(tf + corpus-stats state), and the r11-new incremental PQ-codebook
+trainer (Lloyd sufficient statistics). A restart mid-append is the
+riskiest moment
 for multi-frame state: a crash between the two state writes must heal on
 replay (batch_id-keyed overwrite), and the union of emissions / the
 finalize over accumulated state must equal the one-shot batch query
@@ -26,7 +28,7 @@ def _rows(df, cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
-def _soak_with_restart(spark, tmp_path, docs, accumulate):
+def _soak_with_restart(spark, tmp_path, docs, accumulate, key="doc_id"):
     """Drive ``accumulate(bdf, bid)`` through a REAL Structured Streaming
     source: 12 single-file micro-batches with a stop after the first 6
     and a checkpoint-recovery restart for the rest. Returns
@@ -43,8 +45,8 @@ def _soak_with_restart(spark, tmp_path, docs, accumulate):
             .start()
         )
 
-    half1 = docs.filter(F.col("doc_id") % 2 == 0)
-    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    half1 = docs.filter(F.col(key) % 2 == 0)
+    half2 = docs.filter(F.col(key) % 2 == 1)
     half1.repartition(6).write.mode("append").parquet(src)
     q = start()
     try:
@@ -162,3 +164,64 @@ def test_incremental_bm25_soak_restart(spark, tmp_path):
     )
     got = _rows(bm25_finalize(spark, tf_all, stats_all), cols)
     assert got == expected and expected
+
+
+def test_incremental_pq_training_soak_restart(spark, tmp_path):
+    """12-batch soak of the incremental PQ-codebook trainer with a
+    mid-stream restart. State is the (m, cid, pos, s, n) sufficient-
+    statistics table — a SUM-algebra, so a replay double-append would
+    shift every centroid mean silently (no row-count smell like the pair
+    twins have); the batchId-keyed overwrite is what makes the counts
+    below exact. After the restart, finalize over the accumulated
+    partials must equal the one-shot trained codebook
+    (_pq_trained_codebook_int over the full corpus) EXACTLY, and the
+    merged member counts must sum to corpus_vectors x PQ_M x PQ_D."""
+    from pyspark.sql import functions as FF
+
+    from gmall_flink_realtime4_spark.plans.llm_pipeline_queries import (
+        PQ_D,
+        PQ_K,
+        PQ_M,
+        _argmin_codes,
+        _pq_fullint,
+        _pq_subint,
+        _pq_trained_codebook_int,
+    )
+    from gmall_flink_realtime4_spark.streaming.incremental import (
+        pq_train_finalize,
+        pq_train_partials,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # the Lloyd step's input codebook is CONFIG (known upfront, broadcast
+    # to every batch) — here the seed scheme over the static corpus
+    subint = _pq_subint(_pq_fullint(emb))
+    cb0 = subint.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("xint").alias("qarr")
+    ).localCheckpoint(eager=True)
+    expected = sorted(
+        (r["m"], r["cid"], tuple(r["qarr"]))
+        for r in _pq_trained_codebook_int(
+            _argmin_codes(subint, cb0)
+        ).collect()
+    )
+
+    st_dir = str(tmp_path / "pq_stats")
+
+    def accumulate(bdf, bid):
+        pq_train_partials(bdf, cb0).write.mode("overwrite").parquet(
+            f"{st_dir}/batch_id={bid}"
+        )
+
+    _soak_with_restart(spark, tmp_path, emb, accumulate, key="vec_id")
+
+    parts = spark.read.parquet(st_dir).drop("batch_id")
+    # sum-algebra integrity: every (vector, subspace, position) counted
+    # exactly once across the 12 batches and the restart seam
+    tot = parts.agg(FF.sum("n").alias("n")).collect()[0]["n"]
+    assert tot == emb.count() * PQ_M * PQ_D
+    got = sorted(
+        (r["m"], r["cid"], tuple(r["qarr"]))
+        for r in pq_train_finalize(parts).collect()
+    )
+    assert got == expected and len(got) > 0
