@@ -225,3 +225,75 @@ def test_incremental_pq_training_soak_restart(spark, tmp_path):
         for r in pq_train_finalize(parts).collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_pq_argmin_and_train_property_random_frames(spark):
+    """Hypothesis property over the r11 int-space PQ core: the min-struct
+    argmin (`_argmin_codes`) and the floored-integer-mean trainer
+    (`_pq_trained_codebook_int`) must equal a brute-force python model on
+    RANDOM subvector frames — including adversarial shapes the corpus
+    never produces: exact-duplicate codewords (tie must break on cid),
+    duplicate distances, single-member cells, and codewords that lose
+    every vector (cell death). This pins the struct-ordering semantics
+    the r11 rewrite leans on (d2 decimal first, cid tiebreak; the array
+    payload after them must never decide the min)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from gmall_flink_realtime4_spark.plans.llm_pipeline_queries import (
+        _argmin_codes,
+        _pq_trained_codebook_int,
+    )
+
+    D, K = 3, 4  # tiny subspaces/codebook: tie collisions become likely
+
+    comp = st.integers(min_value=0, max_value=9)  # tiny domain -> ties
+    vec = st.lists(comp, min_size=D, max_size=D)
+    frames = st.lists(vec, min_size=K, max_size=12)
+
+    @given(vecs=frames, m_count=st.integers(min_value=1, max_value=2))
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def run(vecs, m_count):
+        rows = [
+            (vid, m, v)
+            for vid, v in enumerate(vecs)
+            for m in range(m_count)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, m int, xint array<bigint>"
+        )
+        cb = df.filter(F.col("vec_id") < K).select(
+            "m", F.col("vec_id").alias("cid"), F.col("xint").alias("qarr")
+        )
+        got_assign = {
+            (r["vec_id"], r["m"]): r["cid"]
+            for r in _argmin_codes(df, cb).collect()
+        }
+        exp_assign = {
+            (vid, m): min(
+                (sum((a - c) ** 2 for a, c in zip(v, vecs[cid])), cid)
+                for cid in range(K)
+            )[1]
+            for vid, v in enumerate(vecs)
+            for m in range(m_count)
+        }
+        assert got_assign == exp_assign
+        got_cb = {
+            (r["m"], r["cid"]): tuple(r["qarr"])
+            for r in _pq_trained_codebook_int(
+                _argmin_codes(df, cb)
+            ).collect()
+        }
+        members: dict = {}
+        for (vid, m), cid in exp_assign.items():
+            members.setdefault((m, cid), []).append(vecs[vid])
+        exp_cb = {
+            (m, cid): tuple(
+                sum(v[j] for v in mm) // len(mm) for j in range(D)
+            )
+            for (m, cid), mm in members.items()
+        }
+        assert got_cb == exp_cb
+
+    run()
