@@ -297,3 +297,81 @@ def test_pq_argmin_and_train_property_random_frames(spark):
         assert got_cb == exp_cb
 
     run()
+
+
+def test_incremental_ahash_soak_restart(spark, tmp_path):
+    """12-batch soak of the incremental image-aHash index with a
+    mid-stream restart. State is fingerprints only (no payload
+    retention); after the restart the state holds exactly one row per
+    image and the union of emitted pairs equals the one-shot
+    llm_multimodal_image_neardup_pairs exactly across the restart seam
+    (the codec runs once per image, in its arrival batch — a replay that
+    re-decoded and double-appended would duplicate band keys and emitted
+    pairs)."""
+    from gmall_flink_realtime4_spark.plans.llm_multimodal import (
+        _fixed_ppm_frame,
+    )
+    from gmall_flink_realtime4_spark.streaming.incremental import (
+        incremental_ahash_pairs,
+    )
+
+    cols = ["doc_a", "doc_b", "hamming", "is_exact"]
+    expected = _rows(
+        queries()["llm_multimodal_image_neardup_pairs"](spark, SF), cols
+    )
+    imgs = _fixed_ppm_frame(spark, SF)
+    state = str(tmp_path / "ah_state")
+    sink = str(tmp_path / "ah_pairs")
+
+    def accumulate(bdf, bid):
+        incremental_ahash_pairs(spark, bdf, state, bid).write.mode(
+            "overwrite"
+        ).parquet(f"{sink}/batch_id={bid}")
+
+    _soak_with_restart(spark, tmp_path, imgs, accumulate)
+
+    st = spark.read.parquet(f"{state}/fps").drop("batch_id")
+    n_imgs = imgs.count()
+    assert st.count() == n_imgs
+    assert st.select("doc_id").distinct().count() == n_imgs
+    got = _rows(
+        spark.read.parquet(sink).drop("batch_id").select(*cols), cols
+    )
+    assert got == expected and expected
+
+
+def test_incremental_winnow_soak_restart(spark, tmp_path):
+    """12-batch soak of the incremental winnowing index with a
+    mid-stream restart. State is (doc_id, f) fingerprint rows — the
+    capless emission contract (the MOSS df cap is retroactive, so it is
+    deliberately batch-side only); after the restart the union of
+    emissions equals the one-shot CAPLESS run, which on this corpus also
+    equals the registered capped query (max fingerprint df 9 << 64)."""
+    from gmall_flink_realtime4_spark.plans.round6_ext_queries import (
+        winnow_fingerprint_rows,
+        winnow_pairs,
+    )
+    from gmall_flink_realtime4_spark.streaming.incremental import (
+        incremental_winnow_pairs,
+    )
+
+    cols = ["doc_a", "doc_b", "shared_fp", "n_fp_a", "n_fp_b", "overlap_pm"]
+    d = T.load(spark, SF, "documents")
+    expected = _rows(winnow_pairs(winnow_fingerprint_rows(d), max_df=None), cols)
+
+    state = str(tmp_path / "wn_state")
+    sink = str(tmp_path / "wn_pairs")
+
+    def accumulate(bdf, bid):
+        incremental_winnow_pairs(spark, bdf, state, bid).write.mode(
+            "overwrite"
+        ).parquet(f"{sink}/batch_id={bid}")
+
+    _soak_with_restart(spark, tmp_path, d, accumulate)
+
+    got = _rows(
+        spark.read.parquet(sink).drop("batch_id").select(*cols), cols
+    )
+    assert got == expected and expected
+    capped = _rows(queries()["llm_winnow_fingerprints"](spark, SF), cols)
+    assert got == capped  # cap never binds on this corpus
