@@ -1118,13 +1118,16 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard: test_adc_search_never_scans_base_vectors_at_query_time).
     Exact rerank confined to the NQ ground-truth queries.
 
-    Measured (sf0.01): seed recall@5 mean ~15%, 1 Lloyd step ~2x seed
-    (the r10 reading), step 2 adds a little more on this isotropic
-    testdata; IVF-PQ trades a nprobe/C coverage ceiling for much smaller
-    within-cell quantization error — the honest operating point the
-    side-by-side columns expose (residual distortion << whole-vector
-    distortion, but a true neighbor outside the probed cells is
-    unreachable)."""
+    Measured (sf0.01, mean recall@5): seed 150 pm, 1 Lloyd step 325 pm
+    (the r10 reading, reproduced exactly), 2 steps 300 pm — the second
+    step DIPS on this isotropic testdata (no cluster structure to learn;
+    Lloyd reshapes cells without reducing distortion), which is exactly
+    what the per-iteration curve exists to expose. IVF-PQ reads 300 pm
+    while probing only 2/16 cells: it trades a nprobe/C coverage ceiling
+    (a true neighbor outside the probed cells is unreachable) for much
+    smaller within-cell quantization error (residual distortion <<
+    whole-vector distortion) — the honest operating point the
+    side-by-side columns show."""
     emb = T.load(spark, sf_dir, "embeddings")
     # ONE quantize pass over the corpus; every downstream frame (subspace
     # long form, coarse cells, residuals, query slices) derives from this
