@@ -2657,7 +2657,7 @@ agg AS (
                           AND sb.doc_id IS NOT NULL
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_cand_sampled,
            CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS true_positives
+                AS BIGINT) AS true_positives_sampled
     FROM cand c
     LEFT JOIN tsmp sa ON c.doc_a = sa.doc_id
     LEFT JOIN tsmp sb ON c.doc_b = sb.doc_id
@@ -2666,10 +2666,10 @@ agg AS (
 )
 SELECT a.cfg, a.bands, a.rows_per_band, a.n_candidates, a.n_cand_sampled,
        nt.n_true AS n_true_pairs,
-       a.true_positives,
-       (1000 * a.true_positives) // greatest(a.n_cand_sampled, 1)
+       a.true_positives_sampled,
+       (1000 * a.true_positives_sampled) // greatest(a.n_cand_sampled, 1)
            AS precision_pm,
-       (1000 * a.true_positives) // greatest(nt.n_true, 1) AS recall_pm,
+       (1000 * a.true_positives_sampled) // greatest(nt.n_true, 1) AS recall_pm,
        s.truth_sample_docs,
        (1000 * s.truth_sample_docs) // greatest(s.n_docs, 1)
            AS truth_sample_pm
@@ -2879,7 +2879,7 @@ def _lsh_curve_from_shingles(sh: DataFrame) -> DataFrame:
                 F.coalesce("ins_a", F.lit(0)) * F.coalesce("ins_b", F.lit(0))
             ).cast("bigint").alias("n_cand_sampled"),
             F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias(
-                "true_positives"
+                "true_positives_sampled"
             ),
         )
     )
@@ -2893,11 +2893,11 @@ def _lsh_curve_from_shingles(sh: DataFrame) -> DataFrame:
             "n_candidates",
             "n_cand_sampled",
             F.col("n_true").alias("n_true_pairs"),
-            "true_positives",
+            "true_positives_sampled",
             F.expr(
-                "(1000 * true_positives) div greatest(n_cand_sampled, 1)"
+                "(1000 * true_positives_sampled) div greatest(n_cand_sampled, 1)"
             ).alias("precision_pm"),
-            F.expr("(1000 * true_positives) div greatest(n_true, 1)").alias(
+            F.expr("(1000 * true_positives_sampled) div greatest(n_true, 1)").alias(
                 "recall_pm"
             ),
             "truth_sample_docs",

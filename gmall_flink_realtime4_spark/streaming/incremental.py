@@ -38,6 +38,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.errors import AnalysisException
 
+from ..operators.pq import argmin_codes, pq_fullint, pq_subint
 from ..plans.llm_scale_queries import _shingles, minhash_bands, minhash_verify
 
 
@@ -336,7 +337,7 @@ def pq_train_partials(emb_batch: DataFrame, codebook: DataFrame) -> DataFrame:
     sufficient statistics of a Lloyd step — component SUMS and member
     COUNTS of the batch's vectors under their nearest-codeword assignment
     against the GIVEN (broadcast) codebook. The streaming accumulate side
-    of `plans.llm_pipeline_queries._pq_trained_codebook_int`.
+    of `operators.pq.pq_trained_codebook_int`.
 
     The codebook is an INPUT, like bm25's query frame: a Lloyd step's
     assignment depends only on (vector, current codebook), so per-batch
@@ -347,13 +348,7 @@ def pq_train_partials(emb_batch: DataFrame, codebook: DataFrame) -> DataFrame:
     multi-pass, honestly — the batch query does the same, one
     checkpointed broadcast per iteration). s as decimal(28,0): the same
     overflow headroom as the batch trainer (~4e21 at 1e12 members)."""
-    from ..plans.llm_pipeline_queries import (
-        _argmin_codes,
-        _pq_fullint,
-        _pq_subint,
-    )
-
-    assign = _argmin_codes(_pq_subint(_pq_fullint(emb_batch)), codebook)
+    assign = argmin_codes(pq_subint(pq_fullint(emb_batch)), codebook)
     return (
         assign.select(
             "m", "cid", F.posexplode(F.col("xint")).alias("pos", "xi")
@@ -371,7 +366,7 @@ def pq_train_finalize(parts: DataFrame) -> DataFrame:
     (m, cid, qarr): fold s and n by SUM per (m, cid, pos) — exactly the
     one map-combined hash agg the batch trainer runs — then the floored
     integer mean and the position-sorted array assembly. Equal to
-    `_pq_trained_codebook_int` over the concatenated corpus
+    `pq_trained_codebook_int` over the concatenated corpus
     (tests/test_round11_ext.py::test_incremental_pq_training_soak_restart).
     """
     comp = parts.groupBy("m", "cid", "pos").agg(

@@ -337,7 +337,7 @@ def test_ivfpq_residual_join_back_runtime_honest(spark):
     nor the query's own FINAL adaptive plan can see the join (the r9
     ExistingRDD laundering blind spot — confirmed live in r11: the naive
     'ShuffledHashJoin in _plan(query)' assert fails). Guard the
-    UN-checKPOINTED frame the query checkpoints: its final adaptive plan
+    UN-CHECKPOINTED frame the query checkpoints: its final adaptive plan
     must keep the ShuffledHashJoin (no AQE broadcast promotion of the
     corpus-sized assignment) and carry no raw fact file on any broadcast
     side."""

@@ -174,18 +174,18 @@ def test_incremental_pq_training_soak_restart(spark, tmp_path):
     twins have); the batchId-keyed overwrite is what makes the counts
     below exact. After the restart, finalize over the accumulated
     partials must equal the one-shot trained codebook
-    (_pq_trained_codebook_int over the full corpus) EXACTLY, and the
+    (operators.pq.pq_trained_codebook_int over the full corpus) EXACTLY, and the
     merged member counts must sum to corpus_vectors x PQ_M x PQ_D."""
     from pyspark.sql import functions as FF
 
-    from gmall_flink_realtime4_spark.plans.llm_pipeline_queries import (
+    from gmall_flink_realtime4_spark.operators.pq import (
         PQ_D,
         PQ_K,
         PQ_M,
-        _argmin_codes,
-        _pq_fullint,
-        _pq_subint,
-        _pq_trained_codebook_int,
+        argmin_codes as _argmin_codes,
+        pq_fullint as _pq_fullint,
+        pq_subint as _pq_subint,
+        pq_trained_codebook_int as _pq_trained_codebook_int,
     )
     from gmall_flink_realtime4_spark.streaming.incremental import (
         pq_train_finalize,
@@ -229,8 +229,8 @@ def test_incremental_pq_training_soak_restart(spark, tmp_path):
 
 def test_pq_argmin_and_train_property_random_frames(spark):
     """Hypothesis property over the r11 int-space PQ core: the min-struct
-    argmin (`_argmin_codes`) and the floored-integer-mean trainer
-    (`_pq_trained_codebook_int`) must equal a brute-force python model on
+    argmin (`operators.pq.argmin_codes`) and the floored-integer-mean
+    trainer (`pq_trained_codebook_int`) must equal a brute-force python model on
     RANDOM subvector frames — including adversarial shapes the corpus
     never produces: exact-duplicate codewords (tie must break on cid),
     duplicate distances, single-member cells, and codewords that lose
@@ -240,9 +240,9 @@ def test_pq_argmin_and_train_property_random_frames(spark):
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
-    from gmall_flink_realtime4_spark.plans.llm_pipeline_queries import (
-        _argmin_codes,
-        _pq_trained_codebook_int,
+    from gmall_flink_realtime4_spark.operators.pq import (
+        argmin_codes as _argmin_codes,
+        pq_trained_codebook_int as _pq_trained_codebook_int,
     )
 
     D, K = 3, 4  # tiny subspaces/codebook: tie collisions become likely

@@ -1247,7 +1247,7 @@ def test_lsh_tuning_curve_python_model(spark):
     got = {
         r["cfg"]: (
             r["bands"], r["rows_per_band"], r["n_candidates"],
-            r["n_cand_sampled"], r["n_true_pairs"], r["true_positives"],
+            r["n_cand_sampled"], r["n_true_pairs"], r["true_positives_sampled"],
             r["precision_pm"], r["recall_pm"],
             r["truth_sample_docs"], r["truth_sample_pm"],
         )
@@ -1631,7 +1631,7 @@ def test_incremental_lsh_curve_partials_merge(spark):
         parts = b if parts is None else parts.unionByName(b)
     cols = [
         "bands", "rows_per_band", "n_candidates", "n_true_pairs",
-        "true_positives", "precision_pm", "recall_pm",
+        "true_positives_sampled", "precision_pm", "recall_pm",
     ]
     got = {
         r["cfg"]: tuple(r[c] for c in cols)
