@@ -62,90 +62,82 @@ REGISTRY: dict[str, QuerySpec] = {}
 # prefix with those 13 (oldest rows), add any queries new in round 6, and
 # bump test-covered r04-fresh names to round 7 to stay at exactly 50.
 GATE_PRIORITY: list[str] = [
-    # ROUND-11 ROTATION (the r10 verdict's recipe, executed): prefix =
-    # CHANGED-PLAN re-entries + ALL 37 names whose freshest driver row is
-    # r08 (re-derived programmatically: registry keys in CORRECTNESS_r08
-    # absent from r09/r10, in r08 key order — the r10 tail comment's 35
-    # names PLUS dws_traffic_home_detail_page_view_window, which yielded
-    # its r10 slot to the chunk-dedup re-entry; the r08 rows also name
-    # llm_sketch_kmv_union, but that surface was FOLDED into
-    # llm_sketch_kmv_distinct in r09 and is no longer a registry key)
-    # + the 12 oldest r09-fresh names (round-9 gate head order) to
-    # fill 50.
+    # ROUND-12 ROTATION (the r11 verdict's recipe, executed): prefix =
+    # the 2 changed-plan re-entries + ALL 36 names whose freshest driver
+    # row is r09 (programmatically: registry keys in CORRECTNESS_r09
+    # absent from r10/r11, in r09 key order) + the 12 oldest r10-fresh
+    # names (round-10 gate head order, skipping the two r10 changed-plan
+    # re-entries llm_ann_pq_encode / llm_chunk_dedup) to fill 50.
     #
-    # CADENCE MATH: registry stays 135 (freeze ceiling; IVF-PQ folded
-    # INTO llm_ann_pq_adc_recall, kmv-union style). After this round:
-    # 50 r11-fresh, 49 r10-fresh, 36 r09-fresh; no query's freshest row
-    # older than r09 — the steady-state 3-round cycle (ceil(135/50) = 3)
-    # holds for a fourth consecutive turn.
+    # CADENCE MATH: registry stays 135 (freeze ceiling; the r12 nprobe
+    # curve FOLDED into llm_ann_pq_adc_recall). After this round:
+    # 50 r12-fresh, 48 r11-fresh, 37 r10-fresh; no query's freshest row
+    # older than r10 — the steady-state 3-round cycle (ceil(135/50) = 3)
+    # holds for a fifth consecutive turn.
     #
-    # ROUND-12 ROTATION RECIPE: prefix = any queries new in round 12 +
-    # any changed-plan re-entries + the 36 remaining r09-fresh names
-    # (programmatically: registry keys in CORRECTNESS_r09 absent from
-    # r10/r11, in r09 key order — dq_benford_first_digit,
-    # llm_sample_pps, llm_multimodal_audio_resample, ...) + the oldest
-    # r10-fresh names (round-10 gate head order: llm_split_train_val_test,
-    # llm_type_token_ratio, f_top_users_per_event_type, ...) to fill 50.
+    # ROUND-13 ROTATION RECIPE: prefix = any queries new in round 13 +
+    # any changed-plan re-entries + the 37 remaining r10-fresh names
+    # (programmatically: registry keys in CORRECTNESS_r10 absent from
+    # r11/r12, in r10 key order — llm_ann_pq_encode, llm_chunk_dedup,
+    # dwd_base_log_page, ...) + the oldest r11-fresh names (round-11
+    # gate head order) to fill 50.
     #
-    # CHANGED-PLAN re-entries (the r4/r5/r7-r10 convention):
-    # llm_ann_pq_adc_recall was rewritten this round (2-step Lloyd recall
-    # curve + composed IVF-PQ — residual codes, cell-probed ADC; verdict
-    # items 2+3); llm_lsh_tuning_curve's exact ground truth now runs on a
-    # bounded md5-rank doc sample (verdict item 4). Both re-enter at the
-    # head. llm_lsh_tuning_curve was r09-fresh, so the r09 fill below
-    # starts one name deeper than the r10 tail comment predicted.
+    # CHANGED-PLAN re-entries (the r4/r5/r7-r12 convention):
+    # llm_ann_pq_adc_recall gained the measured nprobe=1/2/4 operating
+    # curve columns this round (r11 verdict item 3);
+    # llm_lsh_tuning_curve's true_positives column was renamed
+    # true_positives_sampled (ADVICE: self-describing sampled scope).
+    # Both were r11-fresh and re-enter at the head.
     "llm_ann_pq_adc_recall",
     "llm_lsh_tuning_curve",
-    # freshest row is r08 — all 36 registry names, r08 key order
-    "dws_traffic_home_detail_page_view_window",
-    "dws_user_user_login_window",
-    "dws_user_user_register_window",
-    "dws_trade_cart_add_uu_window",
-    "dws_trade_payment_suc_window",
-    "dws_trade_order_window",
-    "dws_trade_sku_order_window",
-    "dws_trade_province_order_window",
-    "p1_json_parse_validity_filter",
-    "f_date_formats",
-    "f_conditional_cast_math",
-    "f_asof_join_latest_order",
-    "f_json_props_extract",
-    "llm_multimodal_decode",
-    "llm_multimodal_frame_sample",
-    "llm_multimodal_pixel_stats",
-    "llm_sample_stratified",
-    "llm_pack_sequences",
-    "llm_dedup_simhash",
-    "llm_dedup_simhash_pairs",
-    "llm_sketch_histogram_quantiles",
-    "llm_ann_cosine_topk",
-    "llm_ann_ivf",
-    "llm_dedup_embedding_cells",
-    "llm_embedding_kmeans_step",
-    "llm_ann_ivf_trained_recall",
-    "llm_neardup_recall",
-    "llm_multimodal_image_dedup",
-    "llm_multimodal_image_neardup_pairs",
-    "llm_sample_domain_cap",
-    "llm_embedding_quantize_int8",
-    "f_zorder_layout_audit",
-    "dq_table_stats_profile",
-    "dq_sketch_join_cardinality",
-    "llm_bpe_train_merges",
-    "llm_bpe_encode_corpus",
-    # oldest r09-fresh: round-9 gate head order, 12 names to fill 50
-    "llm_quality_train_step",
-    "llm_quality_classifier",
-    "llm_sketch_kmv_distinct",
-    "llm_dedup_ngram_jaccard",
-    "llm_dedup_containment",
-    "dws_event_type_pagerank",
-    "llm_sketch_hll_distinct",
-    "llm_bm25_topk",
-    "llm_winnow_fingerprints",
-    "dq_distribution_drift_ks",
-    "dq_vocab_drift",
-    "dq_langid_eval",
+    "dq_benford_first_digit",
+    "llm_sample_pps",
+    "llm_multimodal_audio_resample",
+    "dws_dau_wau_stickiness",
+    "llm_dedup_containment_lsh",
+    "f_set_ops_source_overlap",
+    "dq_reconcile_orders_lineitem",
+    "f_bloom_prefilter_semi_join",
+    "llm_multimodal_resize",
+    "llm_multimodal_audio_stats",
+    "llm_pii_redact",
+    "llm_text_unigram_surprisal",
+    "llm_text_bigram_surprisal",
+    "llm_bpe_pair_counts",
+    "f_entity_resolution_customers",
+    "llm_sketch_countmin",
+    "llm_dedup_url_normalize",
+    "llm_dedup_clusters",
+    "llm_dedup_exact",
+    "llm_text_token_count",
+    "llm_text_quality_score",
+    "llm_text_langid",
+    "llm_text_length_quantiles",
+    "llm_corpus_prepare",
+    "llm_text_fingerprint",
+    "llm_dedup_minhash_lsh",
+    "llm_ngram_heavy_hitters",
+    "f_skyline_pareto_suppliers",
+    "dws_event_cooccurrence_lift",
+    "llm_text_readability",
+    "llm_sample_reservoir",
+    "llm_embedding_pca_power_step",
+    "llm_tfidf_top_terms",
+    "f_pivot_event_day",
+    "f_window_suite_orders",
+    "dws_cube_event_stats",
+    "llm_split_train_val_test",
+    "llm_type_token_ratio",
+    "f_top_users_per_event_type",
+    "dq_outlier_mad_events",
+    "llm_length_decile_curriculum",
+    "llm_dup_span_coverage",
+    "llm_embedding_covariance",
+    "llm_decontaminate",
+    "f_range_band_join",
+    "llm_text_repetition",
+    "llm_corpus_final",
+    "llm_dedup_edit_distance_verify",
 ]
 
 
