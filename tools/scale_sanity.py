@@ -300,7 +300,15 @@ def replicate_skew(spark, n: int, out: str) -> None:
       of the candidate space linear.
     - events: every 15th event reassigned to ONE hot user — x10: ~66k
       events vs a ~660 median (x100).
-    - lineitem/orders/embeddings/dims: exactly as ``replicate``.
+    - embeddings (r12): every 64th vector's embedding replaced with
+      vec_id 0's array — ONE byte-equal duplicate group holding ~1.6%
+      of the corpus (x30: ~47k members vs the replication-induced median
+      group of 30, ~x1500). This is the hot key the embedding family's
+      SemDeDup step-0 exact-dup compression exists for: mining must stay
+      rep-level (one representative for the whole hot group), so the
+      within-cell pair space never goes quadratic in the group size.
+      vec_id stays unique; only the vector bytes duplicate.
+    - lineitem/orders/dims: exactly as ``replicate``.
     """
     replicate(spark, n, out)
     docs = spark.read.parquet(f"{out}/documents.parquet")
@@ -343,6 +351,24 @@ def replicate_skew(spark, n: int, out: str) -> None:
     )
     shutil.rmtree(f"{out}/events.parquet")
     os.rename(f"{out}/events_skew.parquet", f"{out}/events.parquet")
+    emb = spark.read.parquet(f"{out}/embeddings.parquet")
+    hot = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("hot_emb")
+    )
+    (
+        emb.crossJoin(F.broadcast(hot))
+        .withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 64 == 0, F.col("hot_emb")).otherwise(
+                F.col("embedding")
+            ),
+        )
+        .drop("hot_emb")
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings_skew.parquet")
+    )
+    shutil.rmtree(f"{out}/embeddings.parquet")
+    os.rename(f"{out}/embeddings_skew.parquet", f"{out}/embeddings.parquet")
 
 
 # --skew default run list: the queries whose 100 TB hazard IS the hot key
@@ -357,6 +383,11 @@ SKEW_DEFAULT = [
     "llm_mix_domains",
     "f_top_users_per_event_type",
     "dws_user_path_transitions",
+    # r12: the embedding family under the planted hot DUPLICATE VECTOR
+    # (exact-dup compression is the skew defense under test)
+    "llm_dedup_embedding_cells",
+    "llm_dedup_embedding_cosine",
+    "llm_neardup_recall",
 ]
 
 
