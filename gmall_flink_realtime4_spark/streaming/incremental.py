@@ -38,8 +38,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.errors import AnalysisException
 
+from ..operators.graph import connected_components
 from ..operators.pq import argmin_codes, pq_fullint, pq_subint
-from ..plans.llm_scale_queries import _shingles, minhash_bands, minhash_verify
+from ..plans.llm_scale_queries import (
+    DUP_CLUSTER_THRESHOLD_PM,
+    _shingles,
+    minhash_bands,
+    minhash_verify,
+)
 
 
 def _read_state(
@@ -122,6 +128,36 @@ def incremental_minhash_pairs(
     )
     batch.write.mode("overwrite").parquet(f"{docs_path}/batch_id={batch_id}")
     return out
+
+
+def clusters_finalize(pairs_all: DataFrame) -> DataFrame:
+    """Near-dup CLUSTERS from the accumulated pair state — the streaming
+    finalize of `plans.llm_scale_queries.llm_dedup_clusters` (r12: the
+    one dedup-family member that lacked an incremental twin).
+
+    `incremental_minhash_pairs` already emits every verified pair exactly
+    once (in its later doc's arrival batch), and pairs are EDGES — a
+    union-mergeable sum-algebra: connected components is a function of
+    the edge SET alone, so finalize = threshold-filter the merged
+    emissions and run the identical CC operator the batch query runs.
+    Cross-batch components come for free: a component whose edges arrived
+    in different micro-batches (even straddling a restart) is connected
+    in the merged edge set iff it is connected in the one-shot batch
+    graph, because the edge sets are equal — equality pinned by
+    tests/test_round12_ext.py::test_incremental_clusters_soak_restart
+    through the 12-batch mid-stream-restart protocol.
+
+    Accepts the pair emissions AS WRITTEN by the batch sink (duplicate
+    edges from a crash-replayed batch are harmless: the operator
+    symmetrizes + distincts internally, so CC is idempotent in replays
+    — same reason the K3 MERGE sink tolerates re-emission)."""
+    edges = pairs_all.filter(
+        F.col("jaccard_permille") >= DUP_CLUSTER_THRESHOLD_PM
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(edges)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )
 
 
 def incremental_ahash_pairs(
