@@ -1118,8 +1118,14 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rcb1 = _pq_trained_codebook_int(rassign0).localCheckpoint(eager=True)
     rassign1 = _argmin_codes(resid, rcb1, keep=("cell",))
     rcb2 = _pq_trained_codebook_int(rassign1).localCheckpoint(eager=True)
-    rcodes = _argmin_codes(resid, rcb2, keep=("cell",)).select(
-        "vec_id", "cell", "m", "cid"
+    # 4 ints/row, consumed by one ADC top-k PER nprobe operating point
+    # (r12): checkpoint so the K-wide argmin over the corpus residuals
+    # runs once, not once per curve column (CLAUDE.md checkpoint rule —
+    # >= 2 consumers, far smaller than its derivation)
+    rcodes = (
+        _argmin_codes(resid, rcb2, keep=("cell",))
+        .select("vec_id", "cell", "m", "cid")
+        .localCheckpoint(eager=True)
     )
     # query residual vs EACH probed cell, then the (qid, cell, m, cid)
     # distance table — NQ x nprobe x M x K rows, broadcast
