@@ -1118,14 +1118,8 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rcb1 = _pq_trained_codebook_int(rassign0).localCheckpoint(eager=True)
     rassign1 = _argmin_codes(resid, rcb1, keep=("cell",))
     rcb2 = _pq_trained_codebook_int(rassign1).localCheckpoint(eager=True)
-    # 4 ints/row, consumed by one ADC top-k PER nprobe operating point
-    # (r12): checkpoint so the K-wide argmin over the corpus residuals
-    # runs once, not once per curve column (CLAUDE.md checkpoint rule —
-    # >= 2 consumers, far smaller than its derivation)
-    rcodes = (
-        _argmin_codes(resid, rcb2, keep=("cell",))
-        .select("vec_id", "cell", "m", "cid")
-        .localCheckpoint(eager=True)
+    rcodes = _argmin_codes(resid, rcb2, keep=("cell",)).select(
+        "vec_id", "cell", "m", "cid"
     )
     # query residual vs EACH probed cell, then the (qid, cell, m, cid)
     # distance table — NQ x nprobe x M x K rows, broadcast
@@ -1144,9 +1138,8 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xint"),
         )
     )
-    # ONE distance table at the widest nprobe (NQ x max_np x M x K rows);
-    # checkpointed because the three operating points below filter it by
-    # rank — tiny frame, three consumers (CLAUDE.md checkpoint rule)
+    # ONE distance table at the widest nprobe (NQ x max_np x M x K rows,
+    # broadcast into the single scoring join below)
     idtab = qres.join(F.broadcast(rcb2), "m").select(
         "qid",
         "cell",
@@ -1154,15 +1147,31 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         "cid",
         _sqdist_int(F.col("xint"), F.col("qarr")).alias("qd2"),
-    ).localCheckpoint(eager=True)
+    )
     # joining on cell confines candidates to the probed cells — the IVF
-    # contract; codes in unprobed cells never leave the map side. One
-    # top-k per operating point, each over the rank-prefixed table.
+    # contract; codes in unprobed cells never leave the map side. A
+    # candidate's ADC score is IDENTICAL at every nprobe (its cell — and
+    # so its distance-table rows and probe rank — is fixed per qid; only
+    # ELIGIBILITY changes), so score ONCE at the widest setting with the
+    # rank riding along, then each operating point is a rank filter +
+    # top-k over the checkpointed scored frame. One codes-scan scoring
+    # join instead of one per point: x100 isolated 30.1 s -> measured
+    # back to the r11 single-point ladder (the 3 windows run over the
+    # NQ-keyed scored frame, not the codes).
+    scored = (
+        rcodes.join(F.broadcast(idtab), ["cell", "m", "cid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd2").alias("ad2"), F.min("rnk").alias("rnk"))
+        .localCheckpoint(eager=True)
+    )
+    w_adc = Window.partitionBy("qid").orderBy("ad2", "vec_id")
     itops = {
-        np: _adc_topk(
-            rcodes,
-            idtab.filter(F.col("rnk") <= np).drop("rnk"),
-            keys=("cell", "m", "cid"),
+        np: (
+            scored.filter(F.col("rnk") <= np)
+            .withColumn("rk", F.row_number().over(w_adc))
+            .filter(F.col("rk") <= ADC_TOPK)
+            .select("qid", "vec_id")
         )
         for np in IVFPQ_NPROBES
     }
