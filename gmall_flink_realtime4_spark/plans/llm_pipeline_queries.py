@@ -1155,9 +1155,11 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ELIGIBILITY changes), so score ONCE at the widest setting with the
     # rank riding along, then each operating point is a rank filter +
     # top-k over the checkpointed scored frame. One codes-scan scoring
-    # join instead of one per point: x100 isolated 30.1 s -> measured
-    # back to the r11 single-point ladder (the 3 windows run over the
-    # NQ-keyed scored frame, not the codes).
+    # join instead of one per point (x100 isolated 29.0 s vs 30.1; the
+    # remaining +37% over the r11 single-point plan is the DOUBLED probe
+    # width itself — np=4 doubles the eligible candidate volume — the
+    # honest price of measuring the curve; production search pays only
+    # its chosen operating point).
     scored = (
         rcodes.join(F.broadcast(idtab), ["cell", "m", "cid"])
         .filter(F.col("vec_id") != F.col("qid"))
