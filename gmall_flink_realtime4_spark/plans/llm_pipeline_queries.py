@@ -987,24 +987,46 @@ def ivfpq_residual_frame(emb: DataFrame) -> DataFrame:
     return _ivfpq_residuals(subint, cassign, _ivfpq_ccb(subint))
 
 
+TOPK_SALT = 32  # phase-1 slices per qid (two-phase exact top-k)
+
+
+def _topk_per_qid(scored: DataFrame, ordcol: str) -> DataFrame:
+    """Exact (ordcol, vec_id)-ordered top-ADC_TOPK per qid, TWO-PHASE
+    (the llm_sample_reservoir pattern, r12): a single
+    Window.partitionBy(qid) caps the ranking stage at NQ(=8)-way
+    parallelism — at x100 that is one task sorting ~1.5-6M scored rows
+    per query id, and on a 1000-executor cluster the stage would idle
+    all but NQ cores. Phase 1 ranks within (qid, vec_id % SALT) slices
+    (NQ x SALT-way parallel, each slice's top-k is a superset filter of
+    the global top-k restricted to it); phase 2 ranks the <= SALT*k
+    survivors. Both phases use the SAME total order, so the result is
+    identical to the single window (oracle unchanged)."""
+    w1 = Window.partitionBy("qid", F.expr(f"vec_id % {TOPK_SALT}")).orderBy(
+        ordcol, "vec_id"
+    )
+    w2 = Window.partitionBy("qid").orderBy(ordcol, "vec_id")
+    return (
+        scored.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= ADC_TOPK)
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= ADC_TOPK)
+        .select("qid", "vec_id")
+    )
+
+
 def _adc_topk(
     codes: DataFrame, dtab: DataFrame, keys: tuple[str, ...] = ("m", "cid")
 ) -> DataFrame:
     """ADC top-k: stored codes x BROADCAST query distance table (map-side
-    join), one (qid, vec_id) partial agg, rank (ad2, vec_id). Base
-    vectors are never touched — the PQ search contract."""
+    join), one (qid, vec_id) partial agg, two-phase rank (ad2, vec_id).
+    Base vectors are never touched — the PQ search contract."""
     adc = (
         codes.join(F.broadcast(dtab), list(keys))
         .filter(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", "vec_id")
         .agg(F.sum("qd2").alias("ad2"))
     )
-    w = Window.partitionBy("qid").orderBy("ad2", "vec_id")
-    return (
-        adc.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= ADC_TOPK)
-        .select("qid", "vec_id")
-    )
+    return _topk_per_qid(adc, "ad2")
 
 
 @query(
@@ -1167,14 +1189,8 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("qd2").alias("ad2"), F.min("rnk").alias("rnk"))
         .localCheckpoint(eager=True)
     )
-    w_adc = Window.partitionBy("qid").orderBy("ad2", "vec_id")
     itops = {
-        np: (
-            scored.filter(F.col("rnk") <= np)
-            .withColumn("rk", F.row_number().over(w_adc))
-            .filter(F.col("rk") <= ADC_TOPK)
-            .select("qid", "vec_id")
-        )
+        np: _topk_per_qid(scored.filter(F.col("rnk") <= np), "ad2")
         for np in IVFPQ_NPROBES
     }
     # -- exact ground truth + assembly ----------------------------------
@@ -1192,12 +1208,7 @@ def llm_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sqdist_q(F.col("eq"), F.col("qeq")).alias("xd2"),
         )
     )
-    wx = Window.partitionBy("qid").orderBy("xd2", "vec_id")
-    ex5 = (
-        ex.withColumn("rk", F.row_number().over(wx))
-        .filter(F.col("rk") <= ADC_TOPK)
-        .select("qid", "vec_id")
-    )
+    ex5 = _topk_per_qid(ex, "xd2")
     # all top-k frames are NQ x TOPK rows; windows hide that from the
     # size estimator, so hint the broadcasts explicitly. ex5 keeps every
     # qid (exactly TOPK rows each), so grouping it preserves the full
