@@ -328,13 +328,39 @@ def llm_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim_e9"),
         )
     )
-    wr = Window.partitionBy("query_vec_id").orderBy(
-        F.col("cos_sim_e9").desc(), F.col("neighbor_vec_id")
+    return _ranked_topk_per_query(scored, 5).select(
+        "query_vec_id", "neighbor_vec_id", "rank", "cos_sim_e9"
     )
+
+
+ANN_TOPK_SALT = 32  # phase-1 slices per query (two-phase exact top-k)
+
+
+def _ranked_topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase EXACT ranked top-k per query over a
+    (query_vec_id, neighbor_vec_id, cos_sim_e9) frame — r12, shared by
+    the cosine baseline and both IVF rerank stages.
+
+    A single Window.partitionBy(query_vec_id) caps the ranking stage at
+    N_QUERIES(=8)-way parallelism regardless of cluster size — one task
+    sorts the whole candidate set of a query (the full corpus for the
+    brute-force baseline). Phase 1 ranks within
+    (query, neighbor % SALT) slices — 8 x SALT-way parallel; every
+    global top-k row is in its slice's top-k by the same total order —
+    phase 2 assigns the FINAL rank over the <= SALT*k survivors.
+    Identical (rank, score) output to the single window (ties broken by
+    neighbor id in both phases), so the oracles are unchanged."""
+    order = [F.col("cos_sim_e9").desc(), F.col("neighbor_vec_id")]
+    w1 = Window.partitionBy(
+        "query_vec_id", F.expr(f"neighbor_vec_id % {ANN_TOPK_SALT}")
+    ).orderBy(*order)
+    w2 = Window.partitionBy("query_vec_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
-        .filter(F.col("rank") <= 5)
-        .select("query_vec_id", "neighbor_vec_id", "rank", "cos_sim_e9")
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1")
+        .withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= k)
     )
 
 

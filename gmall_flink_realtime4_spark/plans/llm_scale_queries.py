@@ -33,6 +33,7 @@ from .llm_queries import (
     _dot_dbl,
     _dot_q,
     _qdec,
+    _ranked_topk_per_query,
     llm_ann_cosine_topk,
 )
 
@@ -1012,13 +1013,11 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim_e9"),
         )
     )
-    wr = Window.partitionBy("query_vec_id").orderBy(
-        F.col("cos_sim_e9").desc(), F.col("neighbor_vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
-        .filter(F.col("rank") <= IVF_TOPK)
-        .select("query_vec_id", "neighbor_vec_id", "rank", "cos_sim_e9")
+    # two-phase exact ranked top-k (r12): the IVF candidate set is
+    # ~nprobe/k_cells of the corpus per query — a single qid window
+    # would rank it 8-way-parallel at any cluster size
+    return _ranked_topk_per_query(scored, IVF_TOPK).select(
+        "query_vec_id", "neighbor_vec_id", "rank", "cos_sim_e9"
     )
 
 
@@ -2016,10 +2015,7 @@ def llm_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _qdec(F.col("embedding")).alias("neq"),
         F.col("n2").alias("nn2"),
     )
-    wr = Window.partitionBy("query_vec_id").orderBy(
-        F.col("cos_sim_e9").desc(), F.col("neighbor_vec_id")
-    )
-    ttopk = (
+    tscored = (
         tcand.join(F.broadcast(qe), "query_vec_id")
         .join(ne, "neighbor_vec_id")
         .select(
@@ -2029,9 +2025,10 @@ def llm_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _dot_q(F.col("qeq"), F.col("neq")), F.col("qn2"), F.col("nn2")
             ).alias("cos_sim_e9"),
         )
-        .withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= IVF_TOPK)
-        .select("query_vec_id", F.col("neighbor_vec_id").alias("tn"))
+    )
+    # two-phase exact ranked top-k (r12) — see _ranked_topk_per_query
+    ttopk = _ranked_topk_per_query(tscored, IVF_TOPK).select(
+        "query_vec_id", F.col("neighbor_vec_id").alias("tn")
     )
     brute = llm_ann_cosine_topk(spark, sf_dir).select(
         "query_vec_id", "neighbor_vec_id"

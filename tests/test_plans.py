@@ -109,8 +109,11 @@ def test_ivf_assignment_is_map_only(spark):
     Since round 8 the skinny (vec_id, _top) assignment is CHECKPOINTED
     (two consumers, much smaller than its derivation), so the final plan
     must read it as ExistingRDD — computed once, never re-derived per
-    consumer — and the only real Window left is the final per-query
-    top-k rank. The assignment sub-plan itself is guarded map-only: one
+    consumer — and the only real Windows left are the TWO phases of the
+    final per-query top-k rank (r12: the salted phase-1 slice rank plus
+    the phase-2 rank over <= SALT*k survivors — a single qid window
+    capped the ranking stage at 8-way parallelism at any cluster size).
+    The assignment sub-plan itself is guarded map-only: one
     BroadcastNestedLoopJoin, no Window, no shuffle Exchange."""
     import contextlib
     import io
@@ -129,7 +132,7 @@ def test_ivf_assignment_is_map_only(spark):
     plan = _plan(spark, "llm_ann_ivf")
     tree = plan.split("\n\n")[0]
     real_windows = re.findall(r"\bWindow \(", tree)
-    assert len(real_windows) == 1, tree
+    assert len(real_windows) == 2, tree
     assert tree.count("Scan ExistingRDD") >= 1  # checkpointed assignment
     assert "SortMergeJoin" not in tree
     assert "CartesianProduct" not in plan
