@@ -70,17 +70,20 @@ GATE_PRIORITY: list[str] = [
     # re-entries llm_ann_pq_encode / llm_chunk_dedup) to fill 50.
     #
     # CADENCE MATH: registry stays 135 (freeze ceiling; the r12 nprobe
-    # curve FOLDED into llm_ann_pq_adc_recall). After this round:
-    # 50 r12-fresh, 48 r11-fresh, 37 r10-fresh; no query's freshest row
-    # older than r10 — the steady-state 3-round cycle (ceil(135/50) = 3)
-    # holds for a fifth consecutive turn.
+    # curve FOLDED into llm_ann_pq_adc_recall). The late-r12 two-phase
+    # top-k re-entries take 3 head slots (all three were r11-fresh, so
+    # no freshness debt), displacing 3 r10-fresh fill names. After this
+    # round: 50 r12-fresh, 45 r11-fresh, 40 r10-fresh; no query's
+    # freshest row older than r10 — the steady-state 3-round cycle
+    # (ceil(135/50) = 3) holds for a fifth consecutive turn.
     #
     # ROUND-13 ROTATION RECIPE: prefix = any queries new in round 13 +
-    # any changed-plan re-entries + the 37 remaining r10-fresh names
+    # any changed-plan re-entries + the 40 remaining r10-fresh names
     # (programmatically: registry keys in CORRECTNESS_r10 absent from
     # r11/r12, in r10 key order — llm_ann_pq_encode, llm_chunk_dedup,
-    # dwd_base_log_page, ...) + the oldest r11-fresh names (round-11
-    # gate head order) to fill 50.
+    # llm_text_repetition, llm_corpus_final,
+    # llm_dedup_edit_distance_verify, dwd_base_log_page, ...) + the
+    # oldest r11-fresh names (round-11 gate head order) to fill 50.
     #
     # CHANGED-PLAN re-entries (the r4/r5/r7-r12 convention):
     # llm_ann_pq_adc_recall gained the measured nprobe=1/2/4 operating
@@ -90,6 +93,14 @@ GATE_PRIORITY: list[str] = [
     # Both were r11-fresh and re-enter at the head.
     "llm_ann_pq_adc_recall",
     "llm_lsh_tuning_curve",
+    # late-r12 changed plans (two-phase exact top-k ranking): the whole
+    # ANN rerank family re-enters; the 3 tail fill names they displace
+    # (llm_text_repetition, llm_corpus_final,
+    # llm_dedup_edit_distance_verify) stay r10-fresh and lead the r13
+    # fill instead.
+    "llm_ann_cosine_topk",
+    "llm_ann_ivf",
+    "llm_ann_ivf_trained_recall",
     "dq_benford_first_digit",
     "llm_sample_pps",
     "llm_multimodal_audio_resample",
@@ -135,9 +146,6 @@ GATE_PRIORITY: list[str] = [
     "llm_embedding_covariance",
     "llm_decontaminate",
     "f_range_band_join",
-    "llm_text_repetition",
-    "llm_corpus_final",
-    "llm_dedup_edit_distance_verify",
 ]
 
 
