@@ -60,3 +60,76 @@ def test_incremental_clusters_soak_restart(spark, tmp_path):
         clusters_finalize(replayed), ["doc_id", "cluster_id"]
     )
     assert got_replay == expected
+
+
+def test_two_phase_topk_property_random_frames(spark):
+    """Hypothesis property over the r12 two-phase exact top-k helpers:
+    on RANDOM scored frames — duplicate scores (ties must break on the
+    candidate id), candidates colliding into the same phase-1 slice,
+    fewer candidates than k, empty queries — both `_topk_per_qid`
+    (ascending distance order) and `_ranked_topk_per_query` (descending
+    score order, rank emitted) must equal the brute-force python sort.
+    This pins the claim the plan rewrite leans on: phase-1 slicing can
+    never evict a global top-k row, for ANY slice assignment."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from gmall_flink_realtime4_spark.plans.llm_pipeline_queries import (
+        ADC_TOPK,
+        _topk_per_qid,
+    )
+    from gmall_flink_realtime4_spark.plans.llm_queries import (
+        _ranked_topk_per_query,
+    )
+
+    row = st.tuples(
+        st.integers(min_value=0, max_value=2),      # qid
+        st.integers(min_value=0, max_value=99),     # candidate id
+        st.integers(min_value=0, max_value=5),      # score (tiny -> ties)
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(row, min_size=0, max_size=60))
+    def check(rows):
+        # one row per (qid, candidate): the engines' scored frames are
+        # post-aggregation, so the pair key is unique by construction
+        seen, uniq = set(), []
+        for q, v, s in rows:
+            if (q, v) not in seen:
+                seen.add((q, v))
+                uniq.append((q, v, s))
+        if not uniq:
+            return
+        asc = spark.createDataFrame(
+            [(q, v, s) for q, v, s in uniq], "qid long, vec_id long, ad2 long"
+        )
+        got_asc = sorted(
+            (r["qid"], r["vec_id"]) for r in _topk_per_qid(asc, "ad2").collect()
+        )
+        exp_asc = []
+        for q in {q for q, _, _ in uniq}:
+            cand = sorted((s, v) for qq, v, s in uniq if qq == q)
+            exp_asc += [(q, v) for _, v in cand[:ADC_TOPK]]
+        assert got_asc == sorted(exp_asc)
+
+        desc = spark.createDataFrame(
+            [(q, v, s) for q, v, s in uniq],
+            "query_vec_id long, neighbor_vec_id long, cos_sim_e9 long",
+        )
+        got_desc = sorted(
+            (r["query_vec_id"], r["neighbor_vec_id"], r["rank"])
+            for r in _ranked_topk_per_query(desc, 5).collect()
+        )
+        exp_desc = []
+        for q in {q for q, _, _ in uniq}:
+            cand = sorted(((-s, v) for qq, v, s in uniq if qq == q))
+            exp_desc += [
+                (q, v, i + 1) for i, (_, v) in enumerate(cand[:5])
+            ]
+        assert got_desc == sorted(exp_desc)
+
+    check()
