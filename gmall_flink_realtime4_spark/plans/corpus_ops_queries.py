@@ -878,7 +878,7 @@ def containment_lsh(
     fan-out re-derivation with localCheckpoint; ``persist=False`` keeps the
     full lineage visible so plan tests can assert the semi-join prune that
     checkpointing hides from explain()."""
-    from .llm_scale_queries import llm_dedup_minhash_lsh
+    from .llm_scale_queries import _shingles, minhash_candidates
 
     def _persist(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True) if persist else df
@@ -888,17 +888,23 @@ def containment_lsh(
     # consumer re-derives the whole 16-Exchange minhash pipeline — at
     # 100 TB that is several full corpus re-scans (r03 plan census showed
     # 92 Exchanges / 44 scans for this one query). The frame is tiny
-    # (candidate pairs only), so localCheckpoint it once: lineage is cut,
-    # every consumer reads the materialized blocks.
-    cand = _persist(llm_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"))
+    # (candidate pairs only) and ``minhash_candidates`` already
+    # checkpoints it: lineage is cut, every consumer reads the
+    # materialized blocks. r12 optimization: stop at the BAND SELF-JOIN —
+    # the full minhash query's exact-Jaccard verify (intersection join,
+    # two size joins, a second shingle derivation) never filters a pair,
+    # so its doc_a/doc_b set is bit-identical to the candidate set and
+    # computing the scores only to drop them here was pure waste
+    # (measured sf0.1: the verify phase was ~40% of this query's wall).
+    cand = minhash_candidates(
+        _shingles(T.load(spark, sf_dir, "documents"))
+    ).select("doc_a", "doc_b")
     cd = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     d = T.load(spark, sf_dir, "documents").join(F.broadcast(cd), "doc_id", "left_semi")
-    from .llm_scale_queries import _shingles
-
     sh = _shingles(d)
     # the shingle frame also fans out (sizes + both sides of the
     # intersection join); it is candidate-pruned — proportional to the

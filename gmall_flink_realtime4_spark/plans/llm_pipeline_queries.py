@@ -1310,9 +1310,15 @@ def llm_dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFram
     — the distance is the byte-level edit distance everywhere, identical
     on ASCII and well-defined on any text.
     """
-    from .llm_scale_queries import llm_dedup_minhash_lsh
+    from .llm_scale_queries import _shingles, minhash_candidates
 
-    cand = llm_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # r12 optimization: only the candidate PAIR SET feeds the edit-distance
+    # scorer, and the minhash verify never filters a pair — stop at the
+    # band self-join (see minhash_candidates) instead of computing exact
+    # Jaccard scores that are immediately dropped.
+    cand = minhash_candidates(
+        _shingles(T.load(spark, sf_dir, "documents"))
+    ).select("doc_a", "doc_b")
     d = T.load(spark, sf_dir, "documents").select(
         "doc_id",
         F.decode(F.encode(F.translate("text", "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), "utf-8"), "ISO-8859-1").alias("lt"),

@@ -192,9 +192,27 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = T.load(spark, sf_dir, "documents")
     sh = _shingles(d)
+    cand = minhash_candidates(sh)
+    return minhash_verify(cand, sh)
+
+
+def minhash_candidates(sh: DataFrame) -> DataFrame:
+    """Checkpointed LSH band-collision candidate pairs
+    (doc_a, doc_b, shared_bands) from a shingle frame.
+
+    Factored out of ``llm_dedup_minhash_lsh`` (r12 optimization) so
+    downstream scorers that only need the CANDIDATE PAIR SET —
+    ``llm_dedup_containment_lsh`` scores containment over exactly these
+    pairs — can stop at the band self-join instead of paying the full
+    minhash query's exact-Jaccard verify (intersection join + two size
+    joins + a second shingle derivation) just to throw the scores away.
+    The verify never filters a pair (its inter join is LEFT and the size
+    joins hit every candidate doc, which by construction has shingles),
+    so the pair set out of the full query is bit-identical to this one.
+    """
     bands = minhash_bands(sh)
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -207,7 +225,6 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # final score join — materialize so the band self-join runs once.
         .localCheckpoint()
     )
-    return minhash_verify(cand, sh)
 
 
 def minhash_bands(sh: DataFrame) -> DataFrame:
@@ -341,38 +358,70 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands (hamming<=k within band collisions) — the fingerprint is the
     shuffle-compressed representation of the whole document.
     """
+    # r12 optimization (guide §2.3/§2.4): the original shape exploded every
+    # token x16 positions x4 bits (64 rows/token through a Generate chain)
+    # and then needed THREE keyed shuffles — (doc,p,b) vote sums, (doc,p)
+    # digit assembly, (doc) pivot — to fold the votes back into one
+    # fingerprint. The votes are a fixed 64-wide reduction, so fold them in
+    # ONE groupBy(doc_id): per hex position p, pack the four bit-COUNTS
+    # c_{p,b} (= tokens with bit b of digit p set) two to a long in 32-bit
+    # fields (overflow-safe to 2^32 tokens per doc), 32 packed SUMs + one
+    # COUNT — no row explosion, map-side partial aggregation, a single
+    # shuffle carrying 33 longs per doc per map partition instead of 64
+    # (doc,p,b,s) rows through three exchanges. The +1/-1 vote sum is
+    # s = 2*c - n, so the sign rule s > 0 becomes 2*c > n — identical
+    # fingerprints (A/B'd bit-identical on the full corpus; a 64-column
+    # unpacked SUM(CASE +1/-1) variant measured SLOWER than the old shape,
+    # the packed form is the one that wins). Oracle and both pair
+    # consumers unchanged.
     d = T.load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     h = toks.select("doc_id", F.substring(F.md5("tok"), 1, 16).alias("h"))
-    pos = h.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p")
-    )
-    dig = pos.select(
+    # per hex position p: the digit value 0..15 of this token's hash
+    hv = h.select(
         "doc_id",
-        "p",
-        (F.expr(f"instr('{_HEX}', substring(h, p + 1, 1))") - 1).alias("v"),
+        *[
+            (F.expr(f"instr('{_HEX}', substring(h, {p + 1}, 1))") - 1).alias(f"v{p}")
+            for p in range(16)
+        ],
     )
-    bits = dig.select(
-        "doc_id", "p", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"), "v"
-    )
-    sums = bits.groupBy("doc_id", "p", "b").agg(
-        F.sum(
-            F.when(F.expr("(v >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias("s")
-    )
-    digit = sums.groupBy("doc_id", "p").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(F.lit(0))
-        ).alias("dv")
-    )
-    chars = digit.select(
-        "doc_id", "p", F.expr(f"substring('{_HEX}', cast(dv as int) + 1, 1)").alias("c")
-    )
-    return chars.groupBy("doc_id").agg(
-        F.concat(
-            *[F.max(F.when(F.col("p") == i, F.col("c"))) for i in range(16)]
-        ).alias("simhash64")
-    )
+    packs = []
+    for p in range(16):
+        packs.append(
+            F.sum(
+                F.expr(
+                    f"(CAST((v{p} & 1) AS BIGINT))"
+                    f" + (CAST(((v{p} >> 1) & 1) AS BIGINT) << 32)"
+                )
+            ).alias(f"c{p}lo")
+        )
+        packs.append(
+            F.sum(
+                F.expr(
+                    f"(CAST(((v{p} >> 2) & 1) AS BIGINT))"
+                    f" + (CAST(((v{p} >> 3) & 1) AS BIGINT) << 32)"
+                )
+            ).alias(f"c{p}hi")
+        )
+    sums = hv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *packs)
+
+    def _dv(p: int) -> str:
+        return " + ".join(
+            [
+                f"(CASE WHEN 2 * (c{p}lo & 4294967295) > n THEN 1 ELSE 0 END)",
+                f"(CASE WHEN 2 * ((c{p}lo >> 32) & 4294967295) > n"
+                " THEN 2 ELSE 0 END)",
+                f"(CASE WHEN 2 * (c{p}hi & 4294967295) > n THEN 4 ELSE 0 END)",
+                f"(CASE WHEN 2 * ((c{p}hi >> 32) & 4294967295) > n"
+                " THEN 8 ELSE 0 END)",
+            ]
+        )
+
+    chars = [
+        F.expr(f"substring('{_HEX}', cast({_dv(p)} as int) + 1, 1)")
+        for p in range(16)
+    ]
+    return sums.select("doc_id", F.concat(*chars).alias("simhash64"))
 
 
 # Pigeonhole with 4 disjoint 16-bit blocks GUARANTEES a shared block only
