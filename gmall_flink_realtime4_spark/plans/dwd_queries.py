@@ -60,10 +60,10 @@ def dwd_trade_order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     range (single-threaded hash-relation build, measured 1.8x slower at
     x30 and strictly worse with growth); dims stay broadcast.
     """
-    l = T.load(spark, sf_dir, "lineitem")
-    o = T.load(spark, sf_dir, "orders")
-    p = T.load(spark, sf_dir, "part")
-    s = T.load(spark, sf_dir, "supplier")
+    l = T.load(spark, sf_dir, "lineitem", spread=False)
+    o = T.load(spark, sf_dir, "orders", spread=False)
+    p = T.load(spark, sf_dir, "part", spread=False)
+    s = T.load(spark, sf_dir, "supplier", spread=False)
     return (
         l.join(o.hint("shuffle_hash"), l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), l.l_partkey == p.p_partkey, "left")
@@ -117,8 +117,12 @@ def dwd_trade_order_cancel_detail(spark: SparkSession, sf_dir: str) -> DataFrame
     change predicate maps to o_orderstatus='F' plus l_returnflag='R'
     (cancelled/returned analog); pushdown-friendly conjunctive filters.
     """
-    o = T.load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    l = T.load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = T.load(spark, sf_dir, "orders", spread=False).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    l = T.load(spark, sf_dir, "lineitem", spread=False).filter(
+        F.col("l_returnflag") == "R"
+    )
     # both sides are status-filtered FACTS (each a constant fraction of the
     # corpus): pin shuffle_hash so the filtered orders stream is never
     # broadcast-built (the dwd_trade_order_detail scale note)
@@ -166,8 +170,8 @@ def dwd_trade_order_pay_suc_detail(spark: SparkSession, sf_dir: str) -> DataFram
     ``withWatermark`` on both sides; the time-range condition bounds join
     state exactly like Flink's interval join.
     """
-    l = T.load(spark, sf_dir, "lineitem")
-    o = T.load(spark, sf_dir, "orders")
+    l = T.load(spark, sf_dir, "lineitem", spread=False)
+    o = T.load(spark, sf_dir, "orders", spread=False)
     # orders is a fact: shuffle_hash on the equi key (the interval
     # predicates ride as join-condition filters), matching Flink's keyed
     # two-sided interval-join state — never a broadcast of a growing side
@@ -219,7 +223,7 @@ def dwd_trade_cart_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive quantity, closed/returned lines negative; the CASE mirrors the
     Flink ``if()`` and the filter mirrors the insert-or-increase predicate.
     """
-    l = T.load(spark, sf_dir, "lineitem")
+    l = T.load(spark, sf_dir, "lineitem", spread=False)
     money = T.MONEY
     qty = F.col("l_quantity").cast(money)
     return (
@@ -274,7 +278,7 @@ def dwd_interaction_comment_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast stream-static join — replaces lookup cache and async I/O
     wholesale. Here o_orderpriority plays the dic code.
     """
-    o = T.load(spark, sf_dir, "orders")
+    o = T.load(spark, sf_dir, "orders", spread=False)
     dic = spark.createDataFrame(DIC_ROWS, "dic_code string, dic_name string")
     return o.join(F.broadcast(dic), o.o_orderpriority == dic.dic_code).select(
         F.col("o_orderkey").alias("id"),
@@ -317,7 +321,9 @@ def dwd_trade_order_refund(spark: SparkSession, sf_dir: str) -> DataFrame:
     status 'P' plays the refund-requested state; two broadcast joins against
     two small dics.
     """
-    o = T.load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    o = T.load(spark, sf_dir, "orders", spread=False).filter(
+        F.col("o_orderstatus") == "P"
+    )
     dic1 = spark.createDataFrame(DIC_ROWS, "dic_code string, dic_name string")
     dic2 = spark.createDataFrame(
         [("O", "open"), ("F", "finished"), ("P", "pending")],
@@ -374,7 +380,7 @@ def dwd_base_db_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch for dynamism); per-row topic routing uses the kafka sink's
     ``topic`` column. This batch twin counts routed records per sink table.
     """
-    e = T.load(spark, sf_dir, "events")
+    e = T.load(spark, sf_dir, "events", spread=False)
     cfg = spark.createDataFrame(
         [(s, t) for s, t, _ in ROUTER_CONFIG],
         "source_type string, sink_table string",

@@ -162,7 +162,7 @@ def dws_traffic_home_detail_page_view_window(
     10 s windowAll sums (A5). Batch twin: conditional distinct counts per
     day — identical result, no per-record state needed.
     """
-    e = T.load(spark, sf_dir, "events").filter(
+    e = T.load(spark, sf_dir, "events", spread=False).filter(
         F.col("event_type").isin("view", "click")
     )
     return (
@@ -213,7 +213,7 @@ def dws_user_user_login_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Batch twin: first event per (user, day) + LAG over login days — the same
     state machine expressed relationally.
     """
-    e = T.load(spark, sf_dir, "events")
+    e = T.load(spark, sf_dir, "events", spread=False)
     firsts = e.groupBy(
         F.col("user_id"), F.to_date("ts").alias("d")
     ).agg(F.min("ts").alias("first_ts"))
@@ -265,7 +265,9 @@ def dws_user_user_register_window(spark: SparkSession, sf_dir: str) -> DataFrame
     for un-keyed windows: partial aggregation distributes, the final merge is
     per-window. Streaming twin adds withWatermark("ts", "5 seconds").
     """
-    e = T.load(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    e = T.load(spark, sf_dir, "events", spread=False).filter(
+        F.col("event_type") == "signup"
+    )
     return (
         e.groupBy(F.window("ts", "5 seconds").alias("w"))
         .agg(F.count(F.lit(1)).alias("register_ct"))
@@ -297,7 +299,9 @@ def dws_trade_cart_add_uu_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (A8), 10 s windowAll sum. Batch twin: distinct users per day. Streaming
     twin: dropDuplicates(["user_id","cur_date"]) under watermark.
     """
-    e = T.load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    e = T.load(spark, sf_dir, "events", spread=False).filter(
+        F.col("event_type") == "purchase"
+    )
     return e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("cur_date")).agg(
         F.countDistinct("user_id").alias("cart_add_uu_ct")
     )
@@ -335,7 +339,7 @@ def dws_trade_payment_suc_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus min-day-per-user join — same state machine relationally.
     """
     pay = (
-        T.load(spark, sf_dir, "events")
+        T.load(spark, sf_dir, "events", spread=False)
         .filter(F.col("event_type") == "purchase")
         .select("user_id", F.to_date("ts").alias("d"))
     )
@@ -377,7 +381,7 @@ def dws_trade_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     datetime — intent [date compare] implemented, bug not replicated),
     10 s windowAll sums (A5). Batch twin over the orders fact.
     """
-    o = T.load(spark, sf_dir, "orders")
+    o = T.load(spark, sf_dir, "orders", spread=False)
     return (
         o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("cur_date"))
         .agg(
@@ -454,13 +458,13 @@ def dws_trade_sku_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on already-distributed data — upsert re-emissions are rare, so a
     # map-side partial pass over mostly-unique ids is wasted work.
     od = (
-        T.order_detail(spark, sf_dir)
+        T.order_detail(spark, sf_dir, spread=False)
         .repartition(F.col("id"))
         .groupBy("id")
         .agg(F.min(F.struct(*payload)).alias("s"))
         .select("id", "s.*")
     )
-    p = T.load(spark, sf_dir, "part")
+    p = T.load(spark, sf_dir, "part", spread=False)
     return (
         od.join(F.broadcast(p), od.sku_id == p.p_partkey)
         .groupBy(
@@ -523,10 +527,10 @@ def dws_trade_province_order_window(spark: SparkSession, sf_dir: str) -> DataFra
     customer->nation->region is the dim chain (broadcast joins), monthly
     buckets, COUNT(DISTINCT) replaces the hand-built set union.
     """
-    o = T.load(spark, sf_dir, "orders")
-    c = T.load(spark, sf_dir, "customer")
-    n = T.load(spark, sf_dir, "nation")
-    r = T.load(spark, sf_dir, "region")
+    o = T.load(spark, sf_dir, "orders", spread=False)
+    c = T.load(spark, sf_dir, "customer", spread=False)
+    n = T.load(spark, sf_dir, "nation", spread=False)
+    r = T.load(spark, sf_dir, "region", spread=False)
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)

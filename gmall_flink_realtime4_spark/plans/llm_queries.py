@@ -47,7 +47,7 @@ GROUP BY 1
 )
 def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup via hash-groupBy; keeper = min doc_id."""
-    d = T.load(spark, sf_dir, "documents")
+    d = T.load(spark, sf_dir, "documents", spread=False)
     return d.groupBy(F.md5(F.translate("text", "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")).alias("content_hash")).agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count(F.lit(1)).alias("dup_count"),
@@ -305,7 +305,13 @@ def llm_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_neardup_recall / embedding_cells (llm_scale_queries).
     """
     emb = T.load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 8).select(
+    # query slice: 8 rows straight into the BroadcastExchange — the spread
+    # Exchange between the pushed vec_id filter and the broadcast build is
+    # pure overhead (guide §2.4); the corpus side keeps the spread for the
+    # parallel quantize+norm map pass.
+    q = T.load(spark, sf_dir, "embeddings", spread=False).filter(
+        F.col("vec_id") < 8
+    ).select(
         F.col("vec_id").alias("query_vec_id"),
         _qdec(F.col("embedding")).alias("qeq"),
         _dot(F.col("embedding"), F.col("embedding")).alias("qn2"),

@@ -57,7 +57,7 @@ def dws_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic starts at 0 (and `//` truncation differs from floor on
     negatives) — the shared clip makes near/pre-epoch data well-defined.
     """
-    e = T.load(spark, sf_dir, "events")
+    e = T.load(spark, sf_dir, "events", spread=False)
     w = F.window(
         "ts", f"{SLIDE_SIZE_MIN} minutes", f"{SLIDE_STEP_MIN} minutes"
     ).alias("w")
@@ -150,7 +150,7 @@ def dws_user_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage timestamps chain: first view, first click strictly after it,
     first purchase strictly after that — each a conditional MIN, so the
     whole funnel is two keyed aggregations (no per-user sort-explode)."""
-    e = T.load(spark, sf_dir, "events")
+    e = T.load(spark, sf_dir, "events", spread=False)
     seq = e.select(
         "user_id",
         "event_type",
@@ -226,7 +226,7 @@ def dws_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gaps-and-islands rewrite, which also documents the exact
     session-end semantics (last event + gap).
     """
-    e = T.load(spark, sf_dir, "events")
+    e = T.load(spark, sf_dir, "events", spread=False)
     sw = F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw")
     return (
         e.groupBy(sw, "user_id")

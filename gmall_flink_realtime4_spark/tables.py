@@ -104,7 +104,9 @@ def _path_stamp(path: str) -> tuple | None:
         return None
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
     """Read one driver table; normalizes events.ts nanos -> TIMESTAMP_NTZ.
 
     Parallelism guard: the testdata parquet is one row group per table, so
@@ -116,6 +118,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     multi-file/multi-row-group tables at scale (their scans already
     split). Decided from file size (free) rather than df.rdd partition
     count (which forces a plan->RDD conversion, ~0.5 s per call).
+
+    ``spread=False`` skips the guard for consumers whose FIRST downstream
+    operator is itself an Exchange or BroadcastExchange (an explicit
+    repartition, a shuffle agg/join key, a broadcast build side): the
+    spread's map side is the same single scan task either way, so the
+    extra round-robin Exchange only adds a full serialize/deserialize of
+    the table (guide §2.4 — remove shuffles outright). Keep the default
+    wherever non-trivial per-row compute (shingling, explode, decode,
+    dot products) runs between the scan and the first exchange.
     """
     apply_runtime_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
@@ -129,7 +140,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             _SCHEMA_CACHE[key] = df.schema
     else:
         df = spark.read.schema(schema).parquet(path)
-    if nbytes < _max_partition_bytes(spark):
+    if spread and nbytes < _max_partition_bytes(spark):
         df = df.repartition(spark.sparkContext.defaultParallelism)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (see session.RUNTIME_CONFS); truncate
@@ -150,11 +161,13 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # ---------------------------------------------------------------------------
 
 
-def order_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+def order_info(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
     """orders -> order_info. Status mapping documents the TPC-H role of the
     reference lifecycle codes (1001 created / 1002 paid / 1003 cancelled,
     FIXTURES.md §1): O->1001, P->1002, F->1003."""
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders", spread=spread)
     return o.select(
         F.col("o_orderkey").alias("id"),
         F.col("o_custkey").alias("user_id"),
@@ -168,11 +181,13 @@ def order_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+def order_detail(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
     """lineitem -> order_detail (dwd_trade_order_detail shape,
     DwdTradeOrderDetail.java:96-113). id is synthesized unique:
     l_orderkey*8 + l_linenumber (linenumber <= 7 in TPC-H)."""
-    l = load(spark, sf_dir, "lineitem")
+    l = load(spark, sf_dir, "lineitem", spread=spread)
     return l.select(
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
         F.col("l_orderkey").alias("order_id"),
@@ -188,10 +203,12 @@ def order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def events_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_log(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
     """events -> behavior-log role (topic_log, DwdBaseLog.java:39-154):
     mid=user_id, page_id=event_type, during_time=value."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events", spread=spread)
     return e.select(
         F.col("event_id"),
         F.col("ts"),
