@@ -92,7 +92,7 @@ def llm_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint'ed so the tiny rate table doesn't re-derive the count
     scan per consumer.
     """
-    d = T.load(spark, sf_dir, "documents")
+    d = T.load(spark, sf_dir, "documents", spread=False)
     counts = (
         d.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -284,7 +284,7 @@ GROUP BY 1
 )
 def dq_checksum_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source order-independent content checksum (migration audit)."""
-    d = T.load(spark, sf_dir, "documents")
+    d = T.load(spark, sf_dir, "documents", spread=False)
     return checksum_finalize(checksum_partials(d))
 
 
@@ -334,7 +334,7 @@ FROM daily d JOIN stats s ON d.event_type = s.event_type
 )
 def dws_event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily event-count anomaly detection via per-type z-scores."""
-    e = T.load(spark, sf_dir, "events")
+    e = T.load(spark, sf_dir, "events", spread=False)
     return anomaly_finalize(anomaly_daily_partials(e))
 
 
@@ -478,8 +478,8 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse-wide FK orphan audit: one row per declared FK edge."""
     parts = []
     for name, child, fk, parent, pk in _FK_EDGES:
-        c = T.load(spark, sf_dir, child).select(F.col(fk).alias("fk"))
-        p = T.load(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
+        c = T.load(spark, sf_dir, child, spread=False).select(F.col(fk).alias("fk"))
+        p = T.load(spark, sf_dir, parent, spread=False).select(F.col(pk).alias("pk")).distinct()
         j = c.join(p, c["fk"] == p["pk"], "left")
         parts.append(
             j.agg(
@@ -531,7 +531,7 @@ FROM seq GROUP BY 1, 2
 )
 def dws_user_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov-style (prev_event -> event) transition counts per user journey."""
-    e = T.load(spark, sf_dir, "events")
+    e = T.load(spark, sf_dir, "events", spread=False)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select("user_id", "event_type", "ts", "event_id").withColumn(
         "prev_et", F.lag("event_type").over(w)

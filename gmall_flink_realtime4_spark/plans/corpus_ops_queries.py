@@ -453,7 +453,7 @@ def f_bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The summary agg is a single global reduce of four counters.
     """
     cust = (
-        T.load(spark, sf_dir, "customer")
+        T.load(spark, sf_dir, "customer", spread=False)
         .filter(F.col("c_mktsegment") == _BLOOM_SEG)
         .select("c_custkey")
     )
@@ -467,7 +467,7 @@ def f_bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
     )
     keyset = cust.distinct().withColumn("is_true_m", F.lit(1))
-    o = T.load(spark, sf_dir, "orders").select(
+    o = T.load(spark, sf_dir, "orders", spread=False).select(
         "o_orderkey",
         "o_custkey",
         *[
@@ -558,7 +558,7 @@ def f_pivot_event_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent (day, type) cells are coalesced to 0 to match the oracle's
     conditional-aggregation semantics.
     """
-    e = T.load(spark, sf_dir, "events")
+    e = T.load(spark, sf_dir, "events", spread=False)
     p = (
         e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .pivot("event_type", list(_EVENT_TYPES))
@@ -617,7 +617,7 @@ def f_window_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     so every function is deterministic; the running sum is DECIMAL inside,
     DOUBLE at the boundary.
     """
-    o = T.load(spark, sf_dir, "orders")
+    o = T.load(spark, sf_dir, "orders", spread=False)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wp = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -675,7 +675,7 @@ def dws_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over the fact, not four queries. GROUPING() disambiguates
     cube-NULL from data-NULL (coalesced to '<all>' for hash stability).
     """
-    e = T.load(spark, sf_dir, "events").select(
+    e = T.load(spark, sf_dir, "events", spread=False).select(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
     )
     cubed = e.cube("event_type", "day").agg(
@@ -734,7 +734,7 @@ def llm_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash used by ``llm_sample_stratified`` (different salt => independent
     uniforms). Map-only assignment + one small agg shuffle.
     """
-    d = T.load(spark, sf_dir, "documents")
+    d = T.load(spark, sf_dir, "documents", spread=False)
     h = d.select(
         "lang",
         "text",
@@ -990,7 +990,7 @@ def f_top_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partitions on event_type, so no single-partition global sort
     ever happens; ties break on user_id for cross-engine determinism.
     """
-    e = T.load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    e = T.load(spark, sf_dir, "events", spread=False).filter(F.col("user_id").isNotNull())
     a = e.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("val_sum"),
@@ -1067,7 +1067,7 @@ def dq_outlier_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile sorts swap for approx_percentile with a documented bound,
     same topology.
     """
-    e = T.load(spark, sf_dir, "events")
+    e = T.load(spark, sf_dir, "events", spread=False)
     med = (
         e.groupBy("event_type")
         .agg(
@@ -1168,7 +1168,7 @@ def llm_length_decile_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_disc data values and ties break by `>` on both engines, so
     membership is deterministic. Same topology at any corpus size.
     """
-    d = T.load(spark, sf_dir, "documents")
+    d = T.load(spark, sf_dir, "documents", spread=False)
     f = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
     b = f.agg(
         *[
@@ -1231,8 +1231,8 @@ def dq_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (full outer can never broadcast), then a 3-group rollup. Amounts
     are DECIMAL inside every sum, DOUBLE at the boundary.
     """
-    li = T.load(spark, sf_dir, "lineitem")
-    o = T.load(spark, sf_dir, "orders")
+    li = T.load(spark, sf_dir, "lineitem", spread=False)
+    o = T.load(spark, sf_dir, "orders", spread=False)
     lo = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("li_amount"),
         F.count(F.lit(1)).alias("n_lines"),
@@ -1314,7 +1314,7 @@ def f_set_ops_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     that the source filter + distinct re-derives per consumer (8 documents
     scans / 20 Exchanges in the r4 census; now 2 scans).
     """
-    d = T.load(spark, sf_dir, "documents")
+    d = T.load(spark, sf_dir, "documents", spread=False)
     a = (
         d.filter(F.col("source") == _SETOP_SRC_A)
         .select(F.md5("text").alias("fp"))
@@ -1560,7 +1560,7 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``llm_sketch_kmv_distinct``) — same plan shape, bounded state. The
     long-form stack happens AFTER aggregation (6 rows), costing nothing.
     """
-    o = T.load(spark, sf_dir, "orders")
+    o = T.load(spark, sf_dir, "orders", spread=False)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in _PROFILE_COLS:
         aggs.append(

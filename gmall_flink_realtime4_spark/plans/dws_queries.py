@@ -582,9 +582,9 @@ def dws_trade_trademark_category_user_refund_window(
     (J5 chain). Here: returned lineitems (l_returnflag='R'), part broadcast
     join for the trademark dim, daily windows.
     """
-    l = T.load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    o = T.load(spark, sf_dir, "orders")
-    p = T.load(spark, sf_dir, "part")
+    l = T.load(spark, sf_dir, "lineitem", spread=False).filter(F.col("l_returnflag") == "R")
+    o = T.load(spark, sf_dir, "orders", spread=False)
+    p = T.load(spark, sf_dir, "part", spread=False)
     # orders is a fact: shuffle_hash (see dwd_trade_order_detail's scale
     # note); only the part dim stays broadcast
     return (

@@ -74,7 +74,7 @@ def f_date_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DwsTradeSkuOrderWindow.java:54) — mirrored by ts_millis. All built-in
     JVM-side functions; session tz pinned UTC for oracle parity.
     """
-    o = T.load(spark, sf_dir, "orders")
+    o = T.load(spark, sf_dir, "orders", spread=False)
     ts_sec = F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).cast("bigint")
     return o.select(
         F.col("o_orderkey").alias("id"),
@@ -106,7 +106,7 @@ def f_conditional_cast_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply/subtract (DwsTradeSkuOrderWindow.java:99-132). Decimal-exact
     row-wise math, whole-stage-codegen friendly.
     """
-    l = T.load(spark, sf_dir, "lineitem")
+    l = T.load(spark, sf_dir, "lineitem", spread=False)
     price = F.col("l_extendedprice")
     return l.select(
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
@@ -149,11 +149,11 @@ def f_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/joins.py::asof_join) is the log-merge formulation: one
     shuffle on the key, linear window pass, no range-join pair blowup.
     """
-    e = T.load(spark, sf_dir, "events").select(
+    e = T.load(spark, sf_dir, "events", spread=False).select(
         "event_id", "user_id", "event_type", "ts"
     )
     r = (
-        T.load(spark, sf_dir, "orders")
+        T.load(spark, sf_dir, "orders", spread=False)
         .groupBy("o_custkey", "o_orderdate")
         .agg(
             F.max("o_orderkey").alias("asof_orderkey"),
@@ -231,12 +231,12 @@ def dq_audit_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate lineitem ids (l_orderkey*8 + l_linenumber collides by
     construction) — a real finding, not a tautology.
     """
-    li = T.load(spark, sf_dir, "lineitem")
-    o = T.load(spark, sf_dir, "orders")
-    ev = T.load(spark, sf_dir, "events")
-    p = T.load(spark, sf_dir, "part")
-    c = T.load(spark, sf_dir, "customer")
-    n = T.load(spark, sf_dir, "nation")
+    li = T.load(spark, sf_dir, "lineitem", spread=False)
+    o = T.load(spark, sf_dir, "orders", spread=False)
+    ev = T.load(spark, sf_dir, "events", spread=False)
+    p = T.load(spark, sf_dir, "part", spread=False)
+    c = T.load(spark, sf_dir, "customer", spread=False)
+    n = T.load(spark, sf_dir, "nation", spread=False)
 
     def row(tbl, check, viol, total):
         return (

@@ -66,7 +66,7 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg shuffle; at 100 TB the rate table would arrive as a broadcast
     config instead of a literal CASE.
     """
-    d = T.load(spark, sf_dir, "documents")
+    d = T.load(spark, sf_dir, "documents", spread=False)
     h = d.select(
         "source",
         "lang",
@@ -134,7 +134,7 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (parallel across buckets). Identical output to the oracle's plain
     window, but stage 3's parallelism is #buckets, not 1.
     """
-    t = T.load(spark, sf_dir, "documents").select(
+    t = T.load(spark, sf_dir, "documents", spread=False).select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tok")
     )
     b = t.withColumn("bkt", F.expr(f"doc_id div {PACK_BUCKET}"))
@@ -303,7 +303,7 @@ def f_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    p = T.load(spark, sf_dir, "part").withColumn(
+    p = T.load(spark, sf_dir, "part", spread=False).withColumn(
         "bucket", F.floor(F.col("p_retailprice") / BAND_G)
     )
     cents = F.expr("cast(round(p_retailprice * 100) as bigint)")

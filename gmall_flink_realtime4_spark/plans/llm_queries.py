@@ -422,7 +422,7 @@ def llm_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ratios are exact integer per-mille (floor division) so they hash-match;
     no floating point anywhere. All expressions stay in whole-stage codegen.
     """
-    d = T.load(spark, sf_dir, "documents")
+    d = T.load(spark, sf_dir, "documents", spread=False)
     return d.select(
         "doc_id",
         F.expr("size(split(text, ' '))").alias("n_tokens"),
@@ -543,7 +543,7 @@ def llm_text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile (t-digest, mergeable map-side) and accept the
     documented error bound.
     """
-    d = T.load(spark, sf_dir, "documents")
+    d = T.load(spark, sf_dir, "documents", spread=False)
     n_tok = "size(split(text, ' '))"
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

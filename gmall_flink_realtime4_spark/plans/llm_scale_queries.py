@@ -1767,7 +1767,7 @@ def llm_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms, is G x k values vs an events scan + two shuffles to derive —
     the CLAUDE.md localCheckpoint class — so it is checkpointed once.
     """
-    e = T.load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    e = T.load(spark, sf_dir, "events", spread=False).filter(F.col("user_id").isNotNull())
     sketch = _kmv_group_sketch(e).localCheckpoint()
     kth = sketch.select(
         "event_type",
@@ -2173,7 +2173,7 @@ def llm_sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     percentile_disc twin (llm_text_length_quantiles) is the small-data
     path; this is what it swaps to at scale.
     """
-    t = T.load(spark, sf_dir, "documents").select(
+    t = T.load(spark, sf_dir, "documents", spread=False).select(
         "source", F.size(F.split("text", " ")).alias("n_tok")
     )
     b = t.groupBy(

@@ -430,7 +430,7 @@ def dim_app_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows as dim updates keyed by part, seq = synthetic change id, delete on
     returnflag='R'.
     """
-    l = T.load(spark, sf_dir, "lineitem")
+    l = T.load(spark, sf_dir, "lineitem", spread=False)
     routed = l.select(
         F.lit("dim_sku").alias("sink_table"),
         F.col("l_partkey").cast("string").alias("row_key"),

@@ -169,7 +169,7 @@ def llm_sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted top-K that survives a billion-page domain. Phase-1 output is
     bounded (NSALT*CAP rows per domain) so the final window's partitions
     are constant-size no matter how skewed the input."""
-    d = T.load(spark, sf_dir, "documents").select(
+    d = T.load(spark, sf_dir, "documents", spread=False).select(
         "source",
         "doc_id",
         F.md5(F.col("doc_id").cast("string")).alias("hx"),
@@ -267,7 +267,7 @@ def f_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     small (point predicates on EITHER dimension skip most files); linear
     keeps only b1 small while every file spans all of b2."""
     z = _interleave_sql("b1", "b2", "div")
-    b = T.load(spark, sf_dir, "orders").select(
+    b = T.load(spark, sf_dir, "orders", spread=False).select(
         # clamp into [0, ZB): an out-of-constant-range key must saturate at
         # the edge cell, not alias into low cells through the 8-bit
         # interleave (b1=256 would z-collide with b1=0), and a pre-epoch
@@ -663,7 +663,7 @@ def dq_table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured per-mille error — exact-vs-sketch honesty in one row per
     column, the statistics a cost-based optimizer and a partition-pruning
     planner both feed on."""
-    o = T.load(spark, sf_dir, "orders")
+    o = T.load(spark, sf_dir, "orders", spread=False)
     stacked = o.select(
         F.expr(
             "stack("
@@ -864,8 +864,8 @@ def dq_sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     |orders.o_custkey ∩ events.user_id| estimated without ever joining
     the key sets. Sketches fold map-side; the combine is two 64-element
     arrays meeting on one row."""
-    o = T.load(spark, sf_dir, "orders")
-    e = T.load(spark, sf_dir, "events")
+    o = T.load(spark, sf_dir, "orders", spread=False)
+    e = T.load(spark, sf_dir, "events", spread=False)
     ska = _kmv_set_sketch(o, "o_custkey").select(
         F.col("n").alias("n_a"), F.col("kmin").alias("ka")
     )
@@ -1351,7 +1351,7 @@ def dws_event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — the graph-centrality sibling of connected components. The
     corpus collapses to a |V|^2 edge frame in one Window+agg pass;
     iterations run on that tiny checkpointed frame."""
-    e_raw = T.load(spark, sf_dir, "events")
+    e_raw = T.load(spark, sf_dir, "events", spread=False)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = e_raw.select(
         "event_type", F.lag("event_type").over(w).alias("prev")
@@ -2987,7 +2987,7 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold are all constant-size broadcast work. Expected probabilities
     are pinned integer constants, so both engines compute the identical
     report with zero transcendental calls."""
-    o = T.load(spark, sf_dir, "orders")
+    o = T.load(spark, sf_dir, "orders", spread=False)
     # 9 rows; grid join + total both read it. Per-batch partials of this
     # frame merge by plain SUM (test_incremental_benford_partials_merge).
     c = benford_digit_partials(o).localCheckpoint()
@@ -3101,7 +3101,7 @@ def llm_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived stride/offset are one broadcast row. Selection is then pure
     map-side interval arithmetic — no join against the point set, which
     never materializes at all."""
-    t = T.load(spark, sf_dir, "documents").select(
+    t = T.load(spark, sf_dir, "documents", spread=False).select(
         "doc_id", F.col("n_chars").cast("bigint").alias("w")
     )
     b = t.withColumn("bkt", F.expr(f"doc_id div {PPS_BUCKET}"))
@@ -3209,7 +3209,7 @@ def dws_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     are dropped by the inner join against the day grid, so partial
     trailing windows at the start of history are reported as-is
     (documented: day 1's WAU == its DAU)."""
-    e = T.load(spark, sf_dir, "events")
+    e = T.load(spark, sf_dir, "events", spread=False)
     ud = (
         e.filter(F.col("user_id").isNotNull())
         .select(

@@ -111,8 +111,8 @@ def f_skyline_pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse is exactly equivalent in 2-D (test_skyline_matches_quadratic
     pins it on random frontiers).
     """
-    li = T.load(spark, sf_dir, "lineitem")
-    sup = T.load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = T.load(spark, sf_dir, "lineitem", spread=False)
+    sup = T.load(spark, sf_dir, "supplier", spread=False).select("s_suppkey", "s_name")
     agg = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
         F.sum(
             F.col("l_extendedprice").cast(MONEY)
@@ -208,7 +208,7 @@ def dws_event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle ever carries more than the collapsed frame. Marginals and the
     basket count broadcast back onto the tiny pair-count frame.
     """
-    e = T.load(spark, sf_dir, "events")
+    e = T.load(spark, sf_dir, "events", spread=False)
     ut = (
         e.filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
         .select(
@@ -407,7 +407,7 @@ def llm_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     necessarily in its own salt's top-K
     (test_reservoir_two_phase_equals_global pins it).
     """
-    return reservoir_sample(T.load(spark, sf_dir, "documents"))
+    return reservoir_sample(T.load(spark, sf_dir, "documents", spread=False))
 
 
 def reservoir_sample(

@@ -98,7 +98,7 @@ def llm_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows in one pass (beyond-reference: the warehouse has no grouping
     sets). GROUPING() disambiguates rollup-NULL from data-NULL; Spark
     computes rollup via Expand before the single aggregation shuffle."""
-    d = T.load(spark, sf_dir, "documents")
+    d = T.load(spark, sf_dir, "documents", spread=False)
     rolled = d.rollup("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
@@ -267,7 +267,7 @@ def dws_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets emitted as strings (determinism contract: no DateType at the
     boundary).
     """
-    d = T.load(spark, sf_dir, "events").select(
+    d = T.load(spark, sf_dir, "events", spread=False).select(
         F.date_format("ts", "yyyy-MM").alias("month"),
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
@@ -320,7 +320,7 @@ def dws_user_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     final small (cohort, offset) agg. Dates leave as 'yyyy-MM-dd' strings
     (no DateType at the boundary, per the catalog contract).
     """
-    e = T.load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    e = T.load(spark, sf_dir, "events", spread=False).filter(F.col("user_id").isNotNull())
     ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
     c = ud.groupBy("user_id").agg(F.min("day").alias("cohort"))
     return (
@@ -375,7 +375,7 @@ def dws_gap_fill_locf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFram
     strings per the catalog contract.
     """
     src = (
-        T.load(spark, sf_dir, "orders")
+        T.load(spark, sf_dir, "orders", spread=False)
         .filter(F.col("o_orderkey") % 61 == 0)
         .groupBy(
             F.col("o_orderpriority").alias("prio"),
@@ -440,7 +440,7 @@ def dim_scd2_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame
     activity (bounded here; salting applies if a key's history explodes).
     Timestamps leave as strings per the catalog contract.
     """
-    src = T.load(spark, sf_dir, "events").filter(
+    src = T.load(spark, sf_dir, "events", spread=False).filter(
         F.col("user_id").isNotNull() & (F.col("user_id") % 997 == 0)
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -67,6 +67,8 @@ def main() -> None:
     names = sys.argv[3:] or HEADLINE
     spark = get_spark(app_name="exp_spread_ab")
     reg = queries()
+    if names == ["REST"]:  # every registered query not in the headline set
+        names = [n for n in reg if n not in HEADLINE]
     out = {}
     for name in names:
         spark.sparkContext.setJobDescription(f"spread_ab:{name}")
