@@ -62,90 +62,76 @@ REGISTRY: dict[str, QuerySpec] = {}
 # prefix with those 13 (oldest rows), add any queries new in round 6, and
 # bump test-covered r04-fresh names to round 7 to stay at exactly 50.
 GATE_PRIORITY: list[str] = [
-    # ROUND-12 ROTATION (the r11 verdict's recipe, executed): prefix =
-    # the 2 changed-plan re-entries + ALL 36 names whose freshest driver
-    # row is r09 (programmatically: registry keys in CORRECTNESS_r09
-    # absent from r10/r11, in r09 key order) + the 12 oldest r10-fresh
-    # names (round-10 gate head order, skipping the two r10 changed-plan
-    # re-entries llm_ann_pq_encode / llm_chunk_dedup) to fill 50.
+    # ROUND-13 ROTATION (the r12 verdict's recipe, executed): prefix =
+    # changed-plan re-entries + the 40 r10-fresh names (registry keys in
+    # CORRECTNESS_r10 absent from r11/r12, in r10 key order) + oldest
+    # r11-fresh names to fill 50.
     #
-    # CADENCE MATH: registry stays 135 (freeze ceiling; the r12 nprobe
-    # curve FOLDED into llm_ann_pq_adc_recall). The late-r12 two-phase
-    # top-k re-entries take 3 head slots (all three were r11-fresh, so
-    # no freshness debt), displacing 3 r10-fresh fill names. After this
-    # round: 50 r12-fresh, 45 r11-fresh, 40 r10-fresh; no query's
-    # freshest row older than r10 — the steady-state 3-round cycle
-    # (ceil(135/50) = 3) holds for a fifth consecutive turn.
-    #
-    # ROUND-13 ROTATION RECIPE: prefix = any queries new in round 13 +
-    # any changed-plan re-entries + the 40 remaining r10-fresh names
-    # (programmatically: registry keys in CORRECTNESS_r10 absent from
-    # r11/r12, in r10 key order — llm_ann_pq_encode, llm_chunk_dedup,
-    # llm_text_repetition, llm_corpus_final,
-    # llm_dedup_edit_distance_verify, dwd_base_log_page, ...) + the
-    # oldest r11-fresh names (round-11 gate head order) to fill 50.
-    #
-    # CHANGED-PLAN re-entries (the r4/r5/r7-r12 convention):
-    # llm_ann_pq_adc_recall gained the measured nprobe=1/2/4 operating
-    # curve columns this round (r11 verdict item 3);
-    # llm_lsh_tuning_curve's true_positives column was renamed
-    # true_positives_sampled (ADVICE: self-describing sampled scope).
-    # Both were r11-fresh and re-enter at the head.
-    "llm_ann_pq_adc_recall",
-    "llm_lsh_tuning_curve",
-    # late-r12 changed plans (two-phase exact top-k ranking): the whole
-    # ANN rerank family re-enters; the 3 tail fill names they displace
-    # (llm_text_repetition, llm_corpus_final,
-    # llm_dedup_edit_distance_verify) stay r10-fresh and lead the r13
-    # fill instead.
+    # CHANGED-PLAN re-entries (the r4-r12 convention — every query whose
+    # plan changed after the r12 gate prefix froze, or changes this
+    # round, leads the head so the driver re-verifies it):
+    # - llm_dedup_simhash / llm_dedup_simhash_pairs: late-r12
+    #   single-shuffle packed-vote rewrite (r12 verdict item 1);
+    # - llm_dedup_edit_distance_verify: late-r12 minhash_candidates
+    #   factoring (also r10-fresh, so it leads the r10 fill below);
+    # - r13 changed plans are appended here in the same commit as the
+    #   change lands (two-phase top-k SALT retune: the 5 ANN-family
+    #   consumers; CC propagate restructure: llm_dedup_clusters;
+    #   referential-integrity fold; quality-score spread revert).
+    "llm_dedup_simhash",
+    "llm_dedup_simhash_pairs",
+    # r13 changed plans (see above)
     "llm_ann_cosine_topk",
     "llm_ann_ivf",
     "llm_ann_ivf_trained_recall",
-    "dq_benford_first_digit",
-    "llm_sample_pps",
-    "llm_multimodal_audio_resample",
-    "dws_dau_wau_stickiness",
-    "llm_dedup_containment_lsh",
-    "f_set_ops_source_overlap",
-    "dq_reconcile_orders_lineitem",
-    "f_bloom_prefilter_semi_join",
-    "llm_multimodal_resize",
-    "llm_multimodal_audio_stats",
-    "llm_pii_redact",
-    "llm_text_unigram_surprisal",
-    "llm_text_bigram_surprisal",
-    "llm_bpe_pair_counts",
-    "f_entity_resolution_customers",
-    "llm_sketch_countmin",
-    "llm_dedup_url_normalize",
+    "llm_ann_pq_adc_recall",
+    "llm_lsh_tuning_curve",
     "llm_dedup_clusters",
-    "llm_dedup_exact",
-    "llm_text_token_count",
     "llm_text_quality_score",
-    "llm_text_langid",
-    "llm_text_length_quantiles",
-    "llm_corpus_prepare",
-    "llm_text_fingerprint",
-    "llm_dedup_minhash_lsh",
-    "llm_ngram_heavy_hitters",
-    "f_skyline_pareto_suppliers",
-    "dws_event_cooccurrence_lift",
-    "llm_text_readability",
-    "llm_sample_reservoir",
-    "llm_embedding_pca_power_step",
-    "llm_tfidf_top_terms",
-    "f_pivot_event_day",
-    "f_window_suite_orders",
-    "dws_cube_event_stats",
-    "llm_split_train_val_test",
-    "llm_type_token_ratio",
-    "f_top_users_per_event_type",
-    "dq_outlier_mad_events",
-    "llm_length_decile_curriculum",
-    "llm_dup_span_coverage",
-    "llm_embedding_covariance",
-    "llm_decontaminate",
-    "f_range_band_join",
+    # the 40 r10-fresh names, r10 key order (includes the changed-plan
+    # llm_dedup_edit_distance_verify and dq_referential_integrity)
+    "llm_ann_pq_encode",
+    "llm_chunk_dedup",
+    "llm_text_repetition",
+    "llm_corpus_final",
+    "llm_dedup_edit_distance_verify",
+    "dwd_base_log_page",
+    "dwd_base_log_start",
+    "dwd_base_log_err",
+    "dwd_base_log_display",
+    "dwd_base_log_action",
+    "dim_app_router",
+    "dim_app_materialize",
+    "dws_sliding_window_events",
+    "llm_corpus_rollup",
+    "dws_user_event_funnel",
+    "dws_session_window_events",
+    "dws_time_hierarchy_rollup",
+    "dws_user_retention_cohort",
+    "dws_gap_fill_locf_daily_orders",
+    "dim_scd2_user_event_intervals",
+    "dwd_trade_order_detail",
+    "dwd_trade_order_cancel_detail",
+    "dwd_trade_order_pay_suc_detail",
+    "dws_trade_trademark_category_user_refund_window",
+    "dq_audit_warehouse",
+    "llm_mix_domains",
+    "llm_text_rare_token_ratio",
+    "dq_checksum_partition",
+    "llm_dedup_embedding_cosine",
+    "dws_event_anomaly_zscore",
+    "f_unpivot_event_day",
+    "dq_referential_integrity",
+    "dws_user_path_transitions",
+    "dq_null_profile",
+    "dwd_trade_cart_add",
+    "dwd_interaction_comment_info",
+    "dwd_trade_order_refund",
+    "dwd_base_db_router",
+    "dws_traffic_source_keyword_page_view_window",
+    "dws_traffic_vc_ch_ar_is_new_page_view_window",
+    # r11-fresh fill to 50 (r11 key order)
+    "dws_traffic_home_detail_page_view_window",
 ]
 
 

@@ -874,10 +874,13 @@ def llm_dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def containment_lsh(
     spark: SparkSession, sf_dir: str, persist: bool = True
 ) -> DataFrame:
-    """Containment-over-LSH core. ``persist=True`` (production) cuts the
-    fan-out re-derivation with localCheckpoint; ``persist=False`` keeps the
-    full lineage visible so plan tests can assert the semi-join prune that
-    checkpointing hides from explain()."""
+    """Containment-over-LSH core. ``persist`` controls only the
+    PRUNED-SHINGLE checkpoint below: ``persist=True`` (production) caps the
+    query at one documents scan; ``persist=False`` leaves the shingle
+    lineage visible so plan tests can assert the semi-join prune that
+    checkpointing hides from explain(). The candidate-PAIR frame is always
+    lineage-cut regardless — ``minhash_candidates`` checkpoints it
+    internally (r12)."""
     from .llm_scale_queries import _shingles, minhash_candidates
 
     def _persist(df: DataFrame) -> DataFrame:

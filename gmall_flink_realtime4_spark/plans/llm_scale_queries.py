@@ -365,7 +365,9 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint. The votes are a fixed 64-wide reduction, so fold them in
     # ONE groupBy(doc_id): per hex position p, pack the four bit-COUNTS
     # c_{p,b} (= tokens with bit b of digit p set) two to a long in 32-bit
-    # fields (overflow-safe to 2^32 tokens per doc), 32 packed SUMs + one
+    # fields (overflow-safe to 2^31 tokens per doc — the HIGH lane's sum
+    # occupies bits 32..63 of a SIGNED long, so its count must stay under
+    # 2^31 before the shift touches the sign bit), 32 packed SUMs + one
     # COUNT — no row explosion, map-side partial aggregation, a single
     # shuffle carrying 33 longs per doc per map partition instead of 64
     # (doc,p,b,s) rows through three exchanges. The +1/-1 vote sum is

@@ -83,6 +83,21 @@ def _file_bytes(path: str) -> int:
         return 1 << 60  # unknown (remote FS): assume big, don't reshuffle
 
 
+def _dir_max_mtime_ns(path: str) -> int:
+    """Max st_mtime_ns over all files under a directory: an in-place
+    rewrite of a part file's CONTENTS bumps the file's mtime but not the
+    directory's (dir mtime moves only on entry add/remove/rename), so the
+    schema-cache stamp must fold the contained files' mtimes in."""
+    mx = 0
+    for r, _, fs in os.walk(path):
+        for f in fs:
+            try:
+                mx = max(mx, os.stat(os.path.join(r, f)).st_mtime_ns)
+            except OSError:
+                pass
+    return mx
+
+
 # Parquet SCHEMA cache (r12 optimization, guide §6 file-metadata costs):
 # schema inference re-reads the parquet footer through the JVM on every
 # ``spark.read.parquet`` — measured 109 ms vs 22 ms with an explicit
@@ -99,6 +114,10 @@ _SCHEMA_CACHE: dict[tuple, object] = {}
 def _path_stamp(path: str) -> tuple | None:
     try:
         st = os.stat(path)
+        if os.path.isdir(path):
+            # ADVICE r12: a directory's own mtime misses in-place content
+            # rewrites of part files — include the newest contained mtime
+            return (st.st_mtime_ns, _dir_max_mtime_ns(path), st.st_size)
         return (st.st_mtime_ns, st.st_size)
     except OSError:
         return None

@@ -1,9 +1,10 @@
-"""Dump .explain('formatted') for named queries to plans/r12/<q>_<tag>.txt.
+"""Dump .explain('formatted') for named queries to plans/<round>/<q>_<tag>.txt.
 
 Usage: python tools/dump_plans.py <tag> [sf_dir] [query...]
   tag     suffix for the output file (before/after)
   sf_dir  defaults to /root/testdata/sf0.1
   query   default: the bench HEADLINE set
+The round directory defaults to r13; override with SPARK_GRAFT_PLANS_ROUND.
 
 The explain is captured from the UNEXECUTED frame (AdaptiveSparkPlan
 isFinalPlan=false) — the static shape the judge checks claims against.
@@ -33,7 +34,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump_plans")
