@@ -12,6 +12,8 @@ exact integer arithmetic at every boundary, identical aliases both sides.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -987,7 +989,11 @@ def ivfpq_residual_frame(emb: DataFrame) -> DataFrame:
     return _ivfpq_residuals(subint, cassign, _ivfpq_ccb(subint))
 
 
-TOPK_SALT = 32  # phase-1 slices per qid (two-phase exact top-k)
+# Phase-1 slices per qid (two-phase exact top-k) — same retune + rationale
+# as llm_queries.ANN_TOPK_SALT (r13): 8 bounds the local second-window
+# overhead, still lifts the NQ-way ceiling to NQ*8; identical output for
+# any salt (shared total order), production raises via env to ~cores/NQ.
+TOPK_SALT = int(os.environ.get("SPARK_GRAFT_TOPK_SALT", "8"))
 
 
 def _topk_per_qid(scored: DataFrame, ordcol: str) -> DataFrame:
