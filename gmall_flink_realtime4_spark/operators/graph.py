@@ -29,8 +29,12 @@ to the edge count (near-dup pairs are tiny relative to the corpus).
 
 from __future__ import annotations
 
+import logging
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
 
 
 def _fingerprint(edges: DataFrame) -> tuple:
@@ -91,7 +95,6 @@ def connected_components(
     edges: DataFrame,
     algorithm: str = "propagate",
     max_rounds: int | None = None,
-    rounds_per_check: int = 3,
 ) -> DataFrame:
     """Exact connected components of DataFrame[src, dst] (any orderable id
     type); returns DataFrame[node, lab] with lab = min id in the node's
@@ -111,8 +114,13 @@ def connected_components(
     # propagate node set). The label loop is scheduling-bound, not
     # data-bound — per-iteration cost is tasks, so keep the iteration
     # frames narrow. At 100 TB the edge set is still tiny relative to
-    # the corpus (only near-dup pairs).
-    edges = _sym(edges).distinct().coalesce(8).localCheckpoint()
+    # the corpus (only near-dup pairs). r13: hash-distribute by src
+    # BEFORE the checkpoint — the LogicalRDD keeps that partitioning, so
+    # the static edge side of every propagate sweep's join is never
+    # reshuffled again (the off-pair-path explicit-repartition pattern,
+    # CLAUDE.md; the old coalesce(8) left distinct's (src,dst) hash
+    # partitioning, useless to the per-sweep src join).
+    edges = _sym(edges).distinct().repartition(8, "src").localCheckpoint()
 
     if algorithm == "star":
         cur = edges
@@ -152,18 +160,24 @@ def connected_components(
     )
 
     def propagate(lab_df):
-        # string-key joins: edges appears multiple times in one chained
-        # lineage (rounds_per_check rounds per checkpoint), so attribute-
-        # reference join conditions would be ambiguous
-        neighbor_min = (
+        # r13 sweep shape (guide §2.4 — fewer exchanges per iteration):
+        # new_lab(v) = min over ({lab(v)} ∪ {lab(u): u ∈ N(v)}), computed
+        # as messages-union-own folded by ONE groupBy(node) — 2 exchanges
+        # per sweep (labels→src for the join, union→node for the agg; the
+        # checkpointed edge side is pre-partitioned by src) versus the old
+        # join + groupBy(dst) + left-join-back shape's 4, with the same
+        # per-node min semantics (own label rides the union, so isolated
+        # nodes keep their row). String-key join: edges appears in every
+        # sweep's lineage, attribute references would be ambiguous.
+        msgs = (
             lab_df.select(F.col("node").alias("src"), "lab")
             .join(edges, "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lab").alias("nlab"))
+            .select(F.col("dst").alias("node"), "lab")
         )
-        return lab_df.join(neighbor_min, "node", "left").select(
-            "node",
-            F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
+        return (
+            msgs.unionByName(lab_df)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
         )
 
     # run to FIXPOINT by default — a fixed round cap would silently emit
@@ -171,26 +185,21 @@ def connected_components(
     # it (a chain of pairwise near-dups). Termination is guaranteed: the
     # SUM(lab) potential strictly decreases every super-step until
     # converged, and rounds are bounded by the largest component's
-    # diameter.
+    # diameter. r13: ONE sweep per convergence check (the old cadence ran
+    # 3 sweeps per check, so a diameter-2 near-dup graph paid 6 sweeps —
+    # 3 to converge + 3 to observe no change; per-sweep checks pay 3),
+    # and the checkpoint is NON-eager so the check's sum-agg action
+    # materializes it in the same job (one job per sweep, not two). The
+    # per-check cost is one scalar collect over the 8-partition
+    # checkpointed frame. max_rounds still bounds sweeps EXACTLY.
     prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
     done_rounds = 0
-    while True:
-        # never overshoot an explicit cap: the last super-step shrinks to
-        # the rounds remaining, so max_rounds bounds propagate rounds
-        # EXACTLY (not rounded up to the next multiple of rounds_per_check)
-        step = (
-            rounds_per_check
-            if max_rounds is None
-            else max(0, min(rounds_per_check, max_rounds - done_rounds))
-        )
-        for _ in range(step):
-            labels = propagate(labels)
-        done_rounds += step
-        labels = labels.coalesce(8).localCheckpoint()
+    while max_rounds is None or done_rounds < max_rounds:
+        labels = propagate(labels).localCheckpoint(eager=False)
+        done_rounds += 1
         cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
         if cur_sum == prev_sum:
             break
-        if max_rounds is not None and done_rounds >= max_rounds:
-            break
         prev_sum = cur_sum
+    _log.info("connected_components(propagate): %d sweeps", done_rounds)
     return labels

@@ -107,3 +107,27 @@ def test_max_rounds_is_exact(spark):
     for k in (1, 2, 4):
         got = _labels(connected_components(edges, max_rounds=k))
         assert got == {i: max(1, i - k) for i in range(1, n + 1)}, k
+
+
+def test_propagate_sweep_count_is_distance_plus_one(caplog, spark):
+    """r13 per-sweep convergence: propagate must stop after exactly
+    (max min-label distance + 1) sweeps — the +1 is the unavoidable
+    no-change confirmation sweep (the old 3-sweeps-per-check cadence
+    paid up to 3 extra sweeps past convergence)."""
+    import logging
+
+    # distance 3: chain 1-2-3-4 (label 1 reaches node 4 in 3 sweeps)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    with caplog.at_level(
+        logging.INFO, logger="gmall_flink_realtime4_spark.operators.graph"
+    ):
+        got = _labels(connected_components(edges, algorithm="propagate"))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+    sweeps = [
+        int(r.message.rsplit(" ", 2)[-2])
+        for r in caplog.records
+        if "sweeps" in r.message
+    ]
+    assert sweeps == [4]  # 3 to converge + 1 confirmation
