@@ -431,8 +431,16 @@ def llm_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ratios are exact integer per-mille (floor division) so they hash-match;
     no floating point anywhere. All expressions stay in whole-stage codegen.
+
+    spread stays ON (default): this query is map-only — the loader spread is
+    its ONLY exchange, i.e. its only parallelizer — and the per-row compute
+    is heavy (three split() calls, array_distinct, an interpreted filter
+    lambda), the documented kept-ON family. The r12 flip to spread=False
+    violated the flip criterion (first consumer must itself be an exchange)
+    and would serialize the whole text pass onto one task on single-
+    row-group replicated fixtures at x30/x100.
     """
-    d = T.load(spark, sf_dir, "documents", spread=False)
+    d = T.load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.expr("size(split(text, ' '))").alias("n_tokens"),

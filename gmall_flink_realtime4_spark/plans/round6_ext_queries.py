@@ -1003,14 +1003,27 @@ def _bpe_oracle() -> str:
 
 
 def _bpe_train(
-    spark: SparkSession, sf_dir: str
-) -> tuple[list[DataFrame], DataFrame]:
+    spark: SparkSession, sf_dir: str, need_vocab: bool = True
+) -> tuple[list[DataFrame], DataFrame | None]:
     """Run the BPE_TRAIN_ROUNDS training rounds; returns (tops, vocab):
     ``tops`` = one checkpointed 1-row frame per round (lft, rgt, cnt), and
     ``vocab`` = the final (word, freq, syms) frame with all merges applied
-    — the artifact the encode query consumes. Word identity is carried
-    through every round so the trained vocabulary doubles as the encode
-    lookup table."""
+    — the artifact the encode query consumes (None when ``need_vocab``
+    is False: the merge-table query never reads it, so the final —
+    heaviest — vocabulary fold is neither planned nor run). Word identity
+    is carried through every round so the trained vocabulary doubles as
+    the encode lookup table.
+
+    r13 job shape (guide §2 chained shuffles / §5 lineage): the 1-row
+    ``top`` checkpoints stay EAGER (one pair-count job per round — the
+    round barrier is inherent to greedy BPE), but the vocabulary folds are
+    LAZY checkpoints: each materializes inside the NEXT round's pair-count
+    job (or the encode consumer) instead of paying its own job + an extra
+    pass over the blocks, halving the job count. The fold itself only
+    runs the interpreted greedy aggregate on words that can contain the
+    winning pair: syms partitions word into contiguous substrings, so
+    adjacent (lft, rgt) implies instr(word, lft||rgt) > 0 — for every
+    other word the fold is the identity and the CASE skips it."""
     d = T.load(spark, sf_dir, "documents")
     w = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
         (F.length("word") >= 1) & (~F.col("word").like("%|%"))
@@ -1020,7 +1033,7 @@ def _bpe_train(
     )
     cur = wf.select(
         "word", "freq", F.split("word", "").alias("syms")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     tops: list[DataFrame] = []
     for _r in range(BPE_TRAIN_ROUNDS):
         pairs = (
@@ -1046,18 +1059,21 @@ def _bpe_train(
             .localCheckpoint()
         )
         tops.append(top)
+        if _r == BPE_TRAIN_ROUNDS - 1 and not need_vocab:
+            return tops, None
         cur = (
             cur.crossJoin(F.broadcast(top))
             .select(
                 "word",
                 "freq",
                 F.expr(
-                    "split(substr(aggregate("
+                    "CASE WHEN instr(word, concat(lft, rgt)) = 0 THEN syms"
+                    " ELSE split(substr(aggregate("
                     " transform(syms, s -> concat('|', s)), '',"
-                    f" (acc, x) -> {_BPE_STEP}), 2), '\\\\|')"
+                    f" (acc, x) -> {_BPE_STEP}), 2), '\\\\|') END"
                 ).alias("syms"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return tops, cur
 
@@ -1076,7 +1092,7 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer ships. Exact greedy-fold semantics proven equal across
     engines by construction (see block comment) and pinned by the
     from-scratch python model test."""
-    tops, _ = _bpe_train(spark, sf_dir)
+    tops, _ = _bpe_train(spark, sf_dir, need_vocab=False)
     out = None
     for r, top in enumerate(tops):
         row = top.select(
