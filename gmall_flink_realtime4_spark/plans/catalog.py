@@ -77,7 +77,10 @@ GATE_PRIORITY: list[str] = [
     # - r13 changed plans are appended here in the same commit as the
     #   change lands (two-phase top-k SALT retune: the 5 ANN-family
     #   consumers; CC propagate restructure: llm_dedup_clusters;
-    #   referential-integrity fold; quality-score spread revert).
+    #   referential-integrity shared-scan probe fold; quality-score
+    #   spread revert; skyline frontier checkpoint; BPE trainer job
+    #   restructure — the last three displace the 3 tail names, whose
+    #   plans are untouched and whose r10/r11 rows stand).
     "llm_dedup_simhash",
     "llm_dedup_simhash_pairs",
     # r13 changed plans (see above)
@@ -88,6 +91,9 @@ GATE_PRIORITY: list[str] = [
     "llm_lsh_tuning_curve",
     "llm_dedup_clusters",
     "llm_text_quality_score",
+    "f_skyline_pareto_suppliers",
+    "llm_bpe_train_merges",
+    "llm_bpe_encode_corpus",
     # the 40 r10-fresh names, r10 key order (includes the changed-plan
     # llm_dedup_edit_distance_verify and dq_referential_integrity)
     "llm_ann_pq_encode",
@@ -128,10 +134,6 @@ GATE_PRIORITY: list[str] = [
     "dwd_interaction_comment_info",
     "dwd_trade_order_refund",
     "dwd_base_db_router",
-    "dws_traffic_source_keyword_page_view_window",
-    "dws_traffic_vc_ch_ar_is_new_page_view_window",
-    # r11-fresh fill to 50 (r11 key order)
-    "dws_traffic_home_detail_page_view_window",
 ]
 
 

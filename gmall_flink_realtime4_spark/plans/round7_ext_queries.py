@@ -133,7 +133,15 @@ def pareto_frontier_2d(pts: DataFrame) -> DataFrame:
     """2-D skyline core over any frame with ``rev``/``qty`` maximize
     columns (other columns ride along): keep rows not dominated under
     (>=, >=, one strict). Split out so the property test can drive random
-    point sets against a quadratic python model."""
+    point sets against a quadratic python model.
+
+    ``pts`` has TWO consumers here (the rev-class fold and the join-back)
+    and is dim-bounded by contract while deriving from a corpus-sized
+    aggregation, so it is localCheckpoint'ed (CLAUDE.md checkpoint rule):
+    without it the whole upstream agg ran twice — the r13 before-plan
+    scanned + aggregated lineitem once per consumer (Exchange 4 AND 9).
+    Lazy: the frontier's broadcast build materializes it in-job."""
+    pts = pts.localCheckpoint(eager=False)
     byrev = pts.groupBy("rev").agg(F.max("qty").alias("mq"))
     # prefix max over STRICTLY higher revenue classes: byrev has one row
     # per distinct revenue, so rows strictly preceding in desc order are
