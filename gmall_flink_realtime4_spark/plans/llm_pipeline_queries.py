@@ -472,9 +472,14 @@ def llm_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join. The shape a nightly 100 TB corpus build actually ships.
     """
     d = T.load(spark, sf_dir, "documents")
-    # two consumers each: keeper agg + semi-join probe / eval set + probes
-    kept = corpus_final_feat_partials(d).localCheckpoint()
-    sh = corpus_final_shingle_partials(d).localCheckpoint()
+    # two consumers each: keeper agg + semi-join probe / eval set + probes.
+    # LAZY checkpoints (r13): each materializes inside its first consumer
+    # stage instead of paying a dedicated build job + barrier before the
+    # timed action even starts; blocks are still written once (interleaved
+    # A/B: med 2.87 -> 2.54 s sf0.1, best 5.27 -> 4.53 s x30 — no
+    # double-compute, the decon legs are sequential stage submissions).
+    kept = corpus_final_feat_partials(d).localCheckpoint(eager=False)
+    sh = corpus_final_shingle_partials(d).localCheckpoint(eager=False)
     return corpus_final_finalize(kept, sh)
 
 

@@ -10,6 +10,14 @@ comparison rather than a sweep-adjacency artifact.
 Usage: python tools/isopair.py <repo_dir> <sf_dir> <query> [reps=5]
 Prints one JSON line: {"query", "repo", "sf_dir", "reps": [...], "best",
 "median", "load1": <1-min load avg before the session exists>}.
+
+CAVEAT (measured r13, dq_referential_integrity): the timed action is
+count(), the bench-identical methodology — but for a query whose plan is
+a UNION OF GLOBAL AGGREGATES, count() lets the optimizer answer from the
+one-row-per-branch cardinality without computing the aggregate VALUES
+(old dq_ref read 1.3 s at x30 under count() vs ~6 s under the noop sink).
+For such shapes, arbitrate with a noop-sink A/B instead; count() numbers
+on them are only comparable to other count() numbers of the SAME shape.
 """
 
 from __future__ import annotations
